@@ -1,0 +1,246 @@
+"""The fetch-extract-emit round — one scheduler round as one Spark job DAG.
+
+Spark-native restatement of the reference's per-request loop (SURVEY §3.1):
+Redis ZSET pop -> middleware chain -> Twisted HTTP GET -> XPath parse ->
+pipeline upsert becomes, per round:
+
+    pop slice (window)                       [Q2+N1-N5]
+    -> robots admit/deny (broadcast join)    [N4]
+    -> FETCH = slice join pages on url       [F1; "fetch" = lookup into the
+       Common-Crawl-style corpus, per BASELINE.json input_hint]
+    -> extract_records_and_links kernel      [F2-F4, Arrow]
+    -> validate/cast -> upsert results       [F5-F6, S1]
+    -> explode links -> canonicalize -> fp   [F3, D2]
+    -> anti-join seen -> merge frontier+seen [D1, Q1]
+    -> mark done/retry/exhausted/denied      [P4, N9]
+    -> metrics + atomic snapshot commit      [Q8, S9]
+
+Discovery-counter contract (the north_rule's "per-host FIFO within priority
+class" tiebreak, made deterministic *and* shuffle-free): a child link's
+
+    seq = (round+1) * 2^32  +  parent_rn * 2^12  +  link_idx
+
+where ``parent_rn`` is the parent's pop position within its host (1..budget)
+and ``link_idx`` the link's position on the page. Monotone across rounds,
+FIFO within a host's discoveries, computed arithmetically — no global
+row_number, no extra shuffle. Residual ties (same rn on different parent
+hosts) break on fp — the pure-Python simulator (simulator.py) implements
+the identical contract and the order-parity test compares fetch sequences
+exactly. Bounds: rounds < 2^31, parent_rn < 2^20, links/page < 2^12.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from .kernels import canonicalize_urls, extract_records_and_links, fingerprint_col, host_bucket_col, host_col
+from .schema import (
+    FRONTIER,
+    METRICS,
+    STATUS_DONE,
+    STATUS_EXHAUSTED,
+    STATUS_QUEUED,
+    STATUS_ROBOTS_DENIED,
+)
+from .scheduler import CrawlConfig, link_priority_col, pop_slice
+from .store import FrontierStore
+
+S_ROUND = 1 << 32
+S_PARENT = 1 << 12
+
+_FRONTIER_COLS = [f.name for f in FRONTIER.fields]
+
+
+def seed_frontier(spark: SparkSession, store: FrontierStore, seeds: DataFrame, cfg: CrawlConfig) -> int:
+    """Round-0 seed injection (Q3/Q10): canonicalize, fingerprint, bucket,
+    insert into frontier + seen. Idempotent re-init = a new snapshot chain
+    (mirror of the reference deleting old Redis keys,
+    /root/reference/scripts/run_crawler.py:165-280)."""
+    canon = seeds.withColumn("url", canonicalize_urls(F.col("url")))
+    rows = (
+        canon.withColumn("fp", fingerprint_col(F.col("url")))
+        .withColumn("host", host_col(F.col("url")))
+        .withColumn("host_bucket", host_bucket_col(F.col("host"), cfg.n_buckets))
+        .withColumn("depth", F.lit(0))
+        .withColumn("status", F.lit(STATUS_QUEUED))
+        .withColumn("retry_count", F.lit(0))
+        .withColumn("discovered_round", F.lit(0))
+        .withColumn("op_seq", F.lit(1).cast("long"))
+    )
+    w = Window.partitionBy("fp").orderBy(F.asc("seq"))
+    rows = rows.withColumn("_rn", F.row_number().over(w)).filter(F.col("_rn") == 1).drop("_rn")
+    rows = rows.select(*_FRONTIER_COLS)
+    store.merge_seen(
+        rows.select("fp", "url", "host_bucket", F.lit(0).alias("first_round")),
+        round_no=-1,
+    )
+    return store.merge_frontier(rows, round_no=-1, meta={"phase": "seed"})
+
+
+def run_round(
+    spark: SparkSession,
+    store: FrontierStore,
+    pages: DataFrame,
+    robots: DataFrame,
+    cfg: CrawlConfig,
+    round_no: int,
+) -> dict:
+    """Execute one round; returns metric counts. Commit order matters:
+    seen/results/fetch_log/metrics first, frontier LAST — the frontier
+    snapshot is the round's atomic commit point (resume rolls siblings
+    back to it, store.SnapshotStore.rollback_to_round)."""
+    state = store.frontier_state()
+    if state is None:
+        return {"popped": 0}
+    sliced, denied = pop_slice(state, robots, cfg)
+    sliced = sliced.cache()
+    denied = denied.cache()
+    n_popped = sliced.count()
+    n_denied = denied.count()
+    if n_popped == 0 and n_denied == 0:
+        sliced.unpersist()
+        denied.unpersist()
+        return {"popped": 0}
+
+    # F1 fetch: the popped slice is small relative to the corpus -> Catalyst
+    # broadcasts it into the inner join against `pages`; at larger slices
+    # AQE falls back to sort-merge on url. Misses are computed against the
+    # (small) hit set, never by anti-joining the full corpus.
+    slice_ctx = sliced.select("fp", "url", "host", "host_bucket", "priority", "depth", "seq", "retry_count", "discovered_round", "_rn")
+    hits_raw = pages.select("url", "html").join(F.broadcast(slice_ctx.select("url")), "url", "inner")
+
+    ext = (
+        extract_records_and_links(hits_raw)
+        .join(F.broadcast(slice_ctx), "url", "inner")
+        .cache()
+    )
+
+    # F5/F6 validate + cast; S1 upsert-by-rank
+    records = (
+        ext.filter(
+            (F.col("kind") == "detail")
+            & F.col("name").isNotNull()
+            & F.col("rank").isNotNull()
+            & (F.col("rank") >= 1)
+        )
+        .select(
+            "rank", "name", "rate", "num", "genres", "url",
+            F.lit(round_no).alias("crawl_round"),
+        )
+    )
+
+    # F3/D1/D2: link discovery -> canonicalize -> fingerprint -> dedup
+    links = (
+        ext.select(
+            F.col("url").alias("parent_url"),
+            F.col("depth").alias("parent_depth"),
+            F.col("_rn").alias("parent_rn"),
+            F.posexplode("links").alias("link_idx", "raw_url"),
+        )
+        .withColumn("url", canonicalize_urls(F.col("raw_url")))
+        .filter(F.col("url").startswith("http"))
+        .withColumn("depth", (F.col("parent_depth") + 1).cast("int"))
+        .filter(F.col("depth") <= cfg.max_depth)
+        .withColumn("fp", fingerprint_col(F.col("url")))
+        .withColumn("host", host_col(F.col("url")))
+        .withColumn("host_bucket", host_bucket_col(F.col("host"), cfg.n_buckets))
+        .withColumn("priority", link_priority_col(F.col("url"), cfg.priority_t1, cfg.priority_t2))
+        .withColumn(
+            "seq",
+            (
+                F.lit((round_no + 1) * S_ROUND)
+                + F.col("parent_rn").cast("long") * F.lit(S_PARENT)
+                + F.col("link_idx").cast("long")
+            ),
+        )
+        .withColumn("status", F.lit(STATUS_QUEUED))
+        .withColumn("retry_count", F.lit(0))
+        .withColumn("discovered_round", F.lit(round_no))
+        .withColumn("op_seq", F.lit((round_no + 1) * 4 + 1).cast("long"))
+    )
+    # in-batch dedup (D3): deterministic winner = lowest (seq, url)
+    w_fp = Window.partitionBy("fp").orderBy(F.asc("seq"), F.asc("url"))
+    links = links.withColumn("_r", F.row_number().over(w_fp)).filter(F.col("_r") == 1).drop("_r")
+
+    seen = store.seen_state()
+    new_rows = links.select(*_FRONTIER_COLS)
+    if seen is not None:
+        new_rows = new_rows.join(seen.select("fp"), "fp", "left_anti")
+    new_rows = new_rows.cache()
+    n_new = new_rows.count()
+
+    # status marks (op_seq = round*4+2 always beats the insert op_seq of any
+    # earlier round, see store.py docstring)
+    mark_op = F.lit(round_no * 4 + 2).cast("long")
+    fetched_urls = ext.select("url").distinct()
+    done = (
+        sliced.join(F.broadcast(fetched_urls), "url", "left_semi")
+        .withColumn("status", F.lit(STATUS_DONE))
+        .withColumn("op_seq", mark_op)
+    )
+    missed = sliced.join(F.broadcast(fetched_urls), "url", "left_anti")
+    # P4/N9: failed fetch -> requeue at max priority with retry_count+1,
+    # give up after max_retries (RETRY_TIMES=3 analog)
+    retried = (
+        missed.filter(F.col("retry_count") < cfg.max_retries - 1)
+        .withColumn("status", F.lit(STATUS_QUEUED))
+        .withColumn("retry_count", (F.col("retry_count") + 1).cast("int"))
+        .withColumn("priority", F.lit(1))
+        .withColumn("op_seq", mark_op)
+    )
+    exhausted = (
+        missed.filter(F.col("retry_count") >= cfg.max_retries - 1)
+        .withColumn("status", F.lit(STATUS_EXHAUSTED))
+        .withColumn("retry_count", (F.col("retry_count") + 1).cast("int"))
+        .withColumn("op_seq", mark_op)
+    )
+    denied_marks = denied.withColumn("status", F.lit(STATUS_ROBOTS_DENIED)).withColumn(
+        "op_seq", mark_op
+    )
+
+    marks = (
+        done.select(*_FRONTIER_COLS)
+        .unionByName(retried.select(*_FRONTIER_COLS))
+        .unionByName(exhausted.select(*_FRONTIER_COLS))
+        .unionByName(denied_marks.select(*_FRONTIER_COLS))
+    )
+
+    # ---- commits (frontier last = round commit point) ----
+    n_items = records.count()
+    n_fetched = done.count()
+    counts = {
+        "popped": n_popped,
+        "fetched": n_fetched,
+        "missed": n_popped - n_fetched,
+        "denied": n_denied,
+        "new_links": n_new,
+        "items": n_items,
+    }
+    if n_new:
+        store.merge_seen(
+            new_rows.select("fp", "url", "host_bucket", F.lit(round_no).alias("first_round")),
+            round_no,
+        )
+    if n_items:
+        store.upsert_results(records, round_no)
+    if n_fetched:
+        store.append_fetch_log(
+            sliced.join(F.broadcast(fetched_urls), "url", "left_semi").select(
+                F.lit(round_no).alias("round"), "host", "url", "priority", "seq", F.col("_rn").alias("rn")
+            ),
+            round_no,
+        )
+    store.append_metrics(
+        spark.createDataFrame(
+            [(round_no, k, int(v)) for k, v in counts.items()], schema=METRICS
+        ),
+        round_no,
+    )
+    store.merge_frontier(marks.unionByName(new_rows), round_no, meta={"counts": counts})
+
+    sliced.unpersist()
+    denied.unpersist()
+    ext.unpersist()
+    new_rows.unpersist()
+    return counts

@@ -1,0 +1,103 @@
+"""Driver loop: scheduler rounds until the frontier drains; kill-resume.
+
+Replaces the reference's orchestration (scripts/start_all.py spawning
+dispatcher/monitor/3 crawler processes, SURVEY §3.1) and its spider-close
+state machine (/root/reference/Douban2/pipelines.py:209-258): the stop
+condition is "no queued rows for ``idle_rounds`` consecutive rounds, or
+``max_rounds``/``max_items`` caps hit" — the S9 semantics.
+
+Resume contract (north_rule): every round ends with the frontier snapshot
+commit; reopening a killed run rolls sibling tables back to the last fully
+committed round and continues — final state is identical to an
+uninterrupted run (tested in tests/test_resume.py).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .crawl import run_round, seed_frontier
+from .scheduler import CrawlConfig
+from .schema import STATUS_QUEUED
+from .store import FrontierStore
+
+
+@dataclass
+class RunResult:
+    rounds: int
+    counts: list[dict] = field(default_factory=list)
+
+    @property
+    def total_fetched(self) -> int:
+        return sum(c.get("fetched", 0) for c in self.counts)
+
+
+class CrawlRunner:
+    def __init__(self, spark: SparkSession, root: str, cfg: CrawlConfig | None = None):
+        self.spark = spark
+        self.cfg = cfg or CrawlConfig()
+        self.store = FrontierStore(spark, root)
+
+    def init(self, seeds: DataFrame) -> None:
+        seed_frontier(self.spark, self.store, seeds, self.cfg)
+
+    def resume_round(self) -> int:
+        """Next round to run, derived from the frontier commit chain; rolls
+        sibling tables back if a kill left them ahead."""
+        last = self.store.last_committed_round()
+        if last is None:
+            raise RuntimeError("store not seeded — call init() first")
+        for s in (self.store.seen, self.store.results, self.store.metrics, self.store.fetch_log):
+            s.rollback_to_round(last)
+        return last + 1
+
+    def run(
+        self,
+        pages: DataFrame,
+        robots: DataFrame,
+        max_rounds: int = 1000,
+        max_items: int | None = None,
+        stop_after_round: int | None = None,
+    ) -> RunResult:
+        """Run rounds until drained. ``stop_after_round`` simulates a kill
+        for resume tests."""
+        start = self.resume_round()
+        counts: list[dict] = []
+        r = start
+        while r < start + max_rounds:
+            c = run_round(self.spark, self.store, pages, robots, self.cfg, r)
+            counts.append(c)
+            if c.get("popped", 0) == 0:
+                break
+            if max_items is not None:
+                res = self.store.results_state()
+                if res is not None and res.count() >= max_items:
+                    break
+            if stop_after_round is not None and r >= stop_after_round:
+                break
+            r += 1
+        return RunResult(rounds=r - start + 1, counts=counts)
+
+    # -- observables ---------------------------------------------------------
+
+    def queued_count(self) -> int:
+        st = self.store.frontier_state()
+        if st is None:
+            return 0
+        return st.filter(F.col("status") == STATUS_QUEUED).count()
+
+    def seen_urls(self) -> set[str]:
+        s = self.store.seen_state()
+        return set() if s is None else {r["url"] for r in s.select("url").collect()}
+
+    def fetch_sequence(self) -> list[tuple]:
+        """Deterministic fetch order: (round, host, url) sorted by the
+        engine's own contract — for parity vs the simulator."""
+        log = self.store.fetch_log_state()
+        if log is None:
+            return []
+        rows = log.orderBy("round", F.desc("priority"), "seq", "url").collect()
+        return [(r["round"], r["host"], r["url"]) for r in rows]

@@ -1,0 +1,135 @@
+"""Scheduler-round admission: priority pop, politeness budgets, robots.
+
+Reproduces, as declarative Spark, the reference's scheduling stack:
+
+* **Priority pop** (Q2): scrapy-redis ``SpiderPriorityQueue`` ZRANGE pop —
+  highest priority first (selected /root/reference/Douban2/settings.py:70,73).
+  The north_rule pins the tiebreak as per-host FIFO within a priority
+  class: we order by (priority DESC, seq ASC, fp ASC) inside each host.
+* **Politeness** (N1-N3): the reference sleeps (DOWNLOAD_DELAY=3 randomized,
+  AUTOTHROTTLE 3-10s, ``Douban2/settings.py:17-21,29-33``; sliding 1s
+  window <=3 in-flight, ``url_dispatcher/url_dispatcher.py:118-130``; Redis
+  <=30/min INCR window, ``Douban2/middlewares.py:399-409``). Sleeping inside
+  executors is an anti-pattern; the batch-equivalent is **admission
+  control**: with crawl delay d and round wall-time T, a host may admit
+  floor(T/d) URLs per round, capped at the 30/min analog. Same fetch
+  schedule, zero idle executors.
+* **robots.txt** (N4): the per-domain allow/deny + crawl-delay parse
+  (``utils/robots_parser.py:43-109``) becomes a small broadcast ``robots``
+  table joined on host — parse once per host, never per URL.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from .schema import STATUS_QUEUED
+
+
+@dataclass
+class CrawlConfig:
+    round_wall: float = 60.0       # seconds of wall-clock one round stands for
+    default_delay: float = 1.0     # robots default crawl_delay (utils/robots_parser.py:108-109)
+    per_host_cap: int = 30         # 30-per-minute analog (Douban2/middlewares.py:399-409)
+    max_retries: int = 3           # RETRY_TIMES=3 (Douban2/settings.py:36-38)
+    max_depth: int = 1             # request_depth_max: 1 (logs/spider_douban1.log:561)
+    n_buckets: int = 64
+    priority_t1: int = 100         # rank<=100 -> priority 1 (douban2.py:160-166)
+    priority_t2: int = 200         # rank<=200 -> priority 0, else -1
+    max_urls_per_round: int | None = None  # global cap (P2 backpressure analog)
+
+    def host_budget(self, crawl_delay: float | None) -> int:
+        d = crawl_delay if crawl_delay and crawl_delay > 0 else self.default_delay
+        return max(1, min(int(self.round_wall // d), self.per_host_cap))
+
+
+def with_robots(queued: DataFrame, robots: DataFrame, cfg: CrawlConfig) -> DataFrame:
+    """Annotate queued rows with robots verdict + per-host budget.
+
+    ``robots`` is tiny (one row per known host) -> broadcast hash join;
+    unknown hosts default-allow (reference default-allows on robots fetch
+    failure, utils/robots_parser.py:66-70).
+    """
+    r = robots.select(
+        F.col("host").alias("_rhost"),
+        F.col("deny_prefixes"),
+        F.col("crawl_delay"),
+    )
+    out = queued.join(F.broadcast(r), queued["host"] == r["_rhost"], "left").drop("_rhost")
+    path = F.parse_url(F.col("url"), F.lit("PATH"))
+    denied = F.when(
+        F.col("deny_prefixes").isNotNull(),
+        F.exists("deny_prefixes", lambda p: path.startswith(p)),
+    ).otherwise(F.lit(False))
+    budget = F.least(
+        F.greatest(
+            F.floor(F.lit(cfg.round_wall) / F.coalesce(F.col("crawl_delay"), F.lit(cfg.default_delay))),
+            F.lit(1),
+        ),
+        F.lit(cfg.per_host_cap),
+    ).cast("int")
+    return out.withColumn("_denied", denied).withColumn("_budget", budget).drop(
+        "deny_prefixes", "crawl_delay"
+    )
+
+
+def pop_slice(frontier_state: DataFrame, robots: DataFrame, cfg: CrawlConfig):
+    """One round's admission. Returns (slice, denied).
+
+    slice rows carry ``_rn`` — the pop position within the host, 1..budget —
+    which seeds the deterministic discovery counter of child links
+    (see crawl.assign_seq). The window shuffles once on host; with the
+    frontier partitioned by host_bucket this is bucket-local, and AQE
+    handles the hot-host skew the reference throttles by hand.
+    """
+    queued = frontier_state.filter(F.col("status") == STATUS_QUEUED)
+    annotated = with_robots(queued, robots, cfg)
+    denied = annotated.filter(F.col("_denied")).drop("_denied", "_budget")
+    admissible = annotated.filter(~F.col("_denied"))
+
+    w = Window.partitionBy("host").orderBy(
+        F.desc("priority"), F.asc("seq"), F.asc("fp")
+    )
+    sliced = (
+        admissible.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= F.col("_budget"))
+        .drop("_denied", "_budget")
+    )
+    if cfg.max_urls_per_round is not None:
+        wg = Window.orderBy(F.desc("priority"), F.asc("seq"), F.asc("fp"))
+        sliced = (
+            sliced.withColumn("_grn", F.row_number().over(wg))
+            .filter(F.col("_grn") <= cfg.max_urls_per_round)
+            .drop("_grn")
+        )
+    return sliced, denied
+
+
+def link_priority_col(url_col, t1: int = 100, t2: int = 200) -> "F.Column":
+    """Priority of a discovered link, derived from the rank embedded in the
+    canonical URL — the reference derives it from list-page rank position
+    (/root/reference/Douban2/spiders/douban2.py:160-166: rank<=100 -> 1,
+    <=200 -> 0, else -1)."""
+    rank = F.regexp_extract(url_col, r"/item/(\d+)$", 1)
+    rank_l = F.when(rank == "", F.lit(None)).otherwise(rank).cast("long")
+    return (
+        F.when(rank_l.isNull(), F.lit(0))
+        .when(rank_l <= t1, F.lit(1))
+        .when(rank_l <= t2, F.lit(0))
+        .otherwise(F.lit(-1))
+        .cast("int")
+    )
+
+
+def link_priority(url: str, t1: int = 100, t2: int = 200) -> int:
+    """Pure-Python twin of :func:`link_priority_col` (simulator parity)."""
+    import re
+
+    m = re.search(r"/item/(\d+)$", url)
+    if not m:
+        return 0
+    r = int(m.group(1))
+    return 1 if r <= t1 else (0 if r <= t2 else -1)

@@ -1,0 +1,57 @@
+"""SparkSession factory tuned for the sandbox (local[N]) and for scale.
+
+The same builder config is what we'd ship to a real cluster via
+``spark-submit --py-files`` — only ``master`` and the shuffle-partition
+count change (driver flags on a real deployment).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(
+    app_name: str = "crawlspark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or reuse) a SparkSession.
+
+    Defaults: ``local[$SPARK_GRAFT_CPUS or *]``, AQE on (runtime
+    re-planning + skew-join splitting — the Spark-native answer to the
+    reference's hot-domain throttling, SURVEY.md §4), Arrow on (all four
+    kernels are Arrow-batched), shuffle partitions sized to cores rather
+    than the 200 default (local mode has no network shuffle).
+    """
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "*")
+    master = master or f"local[{cpus}]"
+    if shuffle_partitions is None:
+        try:
+            shuffle_partitions = int(cpus)
+        except ValueError:
+            shuffle_partitions = 32
+
+    b = (
+        SparkSession.builder.master(master)
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.parquet.compression.codec", "snappy")
+        # bloom filters on fingerprint columns: the Parquet-native stand-in
+        # for the reference's Redis SET membership probe (SURVEY.md §2.2 D1)
+        .config("spark.sql.parquet.filterPushdown", "true")
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", os.environ.get("CRAWLSPARK_DRIVER_MEM", "48g"))
+    )
+    for k, v in (extra_conf or {}).items():
+        b = b.config(k, v)
+    spark = b.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark

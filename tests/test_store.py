@@ -1,0 +1,116 @@
+"""SnapshotStore / FrontierStore contract tests — the pytest rewrite of
+scrapy-redis's test_queue.py / test_scheduler.py persistence semantics,
+asserted over snapshots instead of Redis keys (SURVEY §5.1-5.3)."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+from crawlspark.schema import FRONTIER, SEEN
+from crawlspark.store import FrontierStore, SnapshotStore
+
+
+def _frontier_row(fp, url, pri, seq, status="queued", op_seq=1, **kw):
+    return {
+        "fp": fp, "url": url, "host": "h.com", "host_bucket": 0,
+        "priority": pri, "depth": 0, "seq": seq, "status": status,
+        "retry_count": kw.get("retry_count", 0),
+        "discovered_round": kw.get("discovered_round", 0), "op_seq": op_seq,
+    }
+
+
+def test_append_read_timetravel(spark, tmp_store_root):
+    st = SnapshotStore(spark, tmp_store_root + "/t")
+    df1 = spark.createDataFrame([_frontier_row("a", "u1", 1, 0)], schema=FRONTIER)
+    s1 = st.append(df1, round_no=0)
+    df2 = spark.createDataFrame([_frontier_row("b", "u2", 0, 1)], schema=FRONTIER)
+    s2 = st.append(df2, round_no=1)
+    assert st.read(s1).count() == 1
+    assert st.read(s2).count() == 2          # snapshot chain accumulates
+    assert st.read().count() == 2            # CURRENT == latest
+    # lineage recorded per file
+    m = st.manifest()
+    assert [f["rows"] for f in m["files"]] == [1, 1]
+    assert m["parent_id"] == s1
+
+
+def test_rollback_to_round(spark, tmp_store_root):
+    st = SnapshotStore(spark, tmp_store_root + "/t")
+    for r in range(3):
+        st.append(
+            spark.createDataFrame([_frontier_row(f"f{r}", f"u{r}", 0, r)], schema=FRONTIER),
+            round_no=r,
+        )
+    st.rollback_to_round(1)
+    assert st.read().count() == 2
+    # new commits after rollback get fresh snapshot ids (no collision)
+    sid = st.append(
+        spark.createDataFrame([_frontier_row("x", "ux", 0, 9)], schema=FRONTIER), round_no=2
+    )
+    assert sid == 4
+    assert st.read().count() == 3
+
+
+def test_frontier_merge_on_read_latest_wins(spark, tmp_store_root):
+    fs = FrontierStore(spark, tmp_store_root)
+    fs.merge_frontier(
+        spark.createDataFrame(
+            [_frontier_row("a", "u1", 1, 0, "queued", op_seq=1)], schema=FRONTIER
+        ),
+        round_no=-1,
+    )
+    fs.merge_frontier(
+        spark.createDataFrame(
+            [_frontier_row("a", "u1", 1, 0, "done", op_seq=2),
+             _frontier_row("b", "u2", 0, 1, "queued", op_seq=5)],
+            schema=FRONTIER,
+        ),
+        round_no=0,
+    )
+    state = {r["fp"]: r["status"] for r in fs.frontier_state().collect()}
+    assert state == {"a": "done", "b": "queued"}
+
+
+def test_seen_insert_if_absent_semantics(spark, tmp_store_root):
+    """dupefilter contract: seeing the same fp twice must not grow the set
+    (SADD returns 0 analog) — caller anti-joins, store dedups in-batch."""
+    fs = FrontierStore(spark, tmp_store_root)
+    rows = [
+        {"fp": "x", "url": "u", "host_bucket": 0, "first_round": 0},
+        {"fp": "x", "url": "u", "host_bucket": 0, "first_round": 0},
+    ]
+    fs.merge_seen(spark.createDataFrame(rows, schema=SEEN), round_no=0)
+    assert fs.seen_state().count() == 1
+    # second arrival dropped by the caller's anti-join
+    seen = fs.seen_state()
+    incoming = spark.createDataFrame(rows[:1], schema=SEEN)
+    fresh = incoming.join(seen.select("fp"), "fp", "left_anti")
+    assert fresh.count() == 0
+
+
+def test_compaction_keeps_state(spark, tmp_store_root):
+    fs = FrontierStore(spark, tmp_store_root)
+    for i in range(FrontierStore.COMPACT_EVERY + 1):
+        fs.merge_frontier(
+            spark.createDataFrame(
+                [_frontier_row(f"f{i}", f"u{i}", 0, i, op_seq=i + 1)], schema=FRONTIER
+            ),
+            round_no=i,
+        )
+    # compaction happened: file count collapsed but state intact
+    assert fs.frontier.n_delta_files() <= 2
+    assert fs.frontier_state().count() == FrontierStore.COMPACT_EVERY + 1
+
+
+def test_results_upsert_last_writer_wins(spark, tmp_store_root):
+    from crawlspark.schema import RESULTS
+
+    fs = FrontierStore(spark, tmp_store_root)
+    r1 = [{"rank": 1, "name": "a", "rate": 9.0, "num": 5, "genres": ["x"],
+           "url": "u1", "crawl_round": 0}]
+    r2 = [{"rank": 1, "name": "b", "rate": 9.5, "num": 6, "genres": ["y"],
+           "url": "u1", "crawl_round": 1}]
+    fs.upsert_results(spark.createDataFrame(r1, schema=RESULTS), 0)
+    fs.upsert_results(spark.createDataFrame(r2, schema=RESULTS), 1)
+    rows = fs.results_state().collect()
+    assert len(rows) == 1 and rows[0]["name"] == "b"
