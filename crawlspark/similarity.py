@@ -1,0 +1,155 @@
+"""Similarity search over an embedding column (array<float>).
+
+Two paths, both pure DataFrame algebra (F.zip_with / F.aggregate — JVM-side
+higher-order functions, no Python in the hot loop):
+
+* ``cosine_topk``   — brute-force exact top-k: query set x corpus join,
+  cosine, window rank. The correctness baseline; O(|Q|·N) — fine when the
+  query set is small or N is bucketed.
+* ``lsh_topk``      — random-hyperplane (sign) LSH: deterministic
+  hyperplanes derived from coordinate strides bucket vectors; candidates
+  are same-bucket pairs only. The scale path: the expensive cosine runs on
+  a tiny candidate set, the bucket join is an equi-join Catalyst can
+  shuffle-partition — the ANN analog of the frontier's host_bucket
+  placement (SURVEY §2.3 P1).
+
+All scoring rounds to 6 decimals so results are stable across summation
+orders and bit-identical vs the DuckDB list_cosine_similarity oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def dot_col(a, b):
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def norm_col(a):
+    return F.sqrt(
+        F.aggregate(
+            F.transform(a, lambda x: x.cast("double") * x.cast("double")),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+    )
+
+
+def cosine_col(a, b):
+    return dot_col(a, b) / (norm_col(a) * norm_col(b))
+
+
+def cosine_topk(
+    embeddings: DataFrame,
+    query_ids: list[int],
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact top-k neighbors for each query id (excluding self).
+
+    The query side is tiny -> broadcast; corpus side streams. Ranking key
+    includes the neighbor id so ties are deterministic.
+    """
+    q = embeddings.filter(F.col(id_col).isin(query_ids)).select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec")
+    )
+    joined = embeddings.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("nvec")
+    ).join(F.broadcast(q), F.col("neighbor_id") != F.col("query_id"))
+    scored = joined.select(
+        "query_id",
+        "neighbor_id",
+        F.round(cosine_col(F.col("qvec"), F.col("nvec")), 6).alias("cosine"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+    )
+
+
+def sign_bucket_col(vec, planes: list[int]):
+    """Deterministic sign-LSH bucket: concat of sign bits at the given
+    coordinate indices (a fixed, data-independent 'hyperplane' family —
+    axis-aligned planes keep the oracle SQL-expressible)."""
+    bits = [
+        F.when(F.element_at(vec, i + 1) >= 0, F.lit("1")).otherwise(F.lit("0"))
+        for i in planes
+    ]
+    return F.concat(*bits)
+
+
+def lsh_topk(
+    embeddings: DataFrame,
+    query_ids: list[int],
+    k: int = 5,
+    planes: list[int] | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """ANN top-k: candidates restricted to the query's sign-LSH bucket.
+    Recall < 1 by design; the tradeoff is the bucket equi-join replacing
+    the full cross product."""
+    planes = planes or [0, 1, 2, 3]
+    with_bucket = embeddings.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("nvec"),
+        sign_bucket_col(F.col(vec_col), planes).alias("bucket"),
+    )
+    q = with_bucket.filter(F.col("neighbor_id").isin(query_ids)).select(
+        F.col("neighbor_id").alias("query_id"),
+        F.col("nvec").alias("qvec"),
+        "bucket",
+    )
+    joined = with_bucket.join(F.broadcast(q), "bucket").filter(
+        F.col("neighbor_id") != F.col("query_id")
+    )
+    scored = joined.select(
+        "query_id",
+        "neighbor_id",
+        F.round(cosine_col(F.col("qvec"), F.col("nvec")), 6).alias("cosine"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+    )
+
+
+def embedding_near_dup(
+    embeddings: DataFrame,
+    threshold: float = 0.95,
+    planes: list[int] | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (id_a < id_b, cosine >=
+    threshold), bucketed by sign-LSH so the pair join never goes
+    quadratic over the whole corpus."""
+    planes = planes or [0, 1, 2, 3]
+    wb = embeddings.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("vec"),
+        sign_bucket_col(F.col(vec_col), planes).alias("bucket"),
+    )
+    a = wb.select(F.col("id").alias("id_a"), F.col("vec").alias("vec_a"), "bucket")
+    b = wb.select(F.col("id").alias("id_b"), F.col("vec").alias("vec_b"), "bucket")
+    return (
+        a.join(b, "bucket")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a",
+            "id_b",
+            F.round(cosine_col(F.col("vec_a"), F.col("vec_b")), 6).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= threshold)
+    )

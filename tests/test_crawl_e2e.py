@@ -1,0 +1,131 @@
+"""End-to-end golden crawl: Spark engine vs pure-Python simulator.
+
+SURVEY §5.4: (a) final results table equals the expected golden set,
+(b) crawl order matches the reference-semantics simulator exactly,
+(c) final URL-seen set matches exactly, (d) robots/retry statuses land,
+(e) politeness budgets hold, (f) queue pop ordering (priority DESC, FIFO
+within class) — the scrapy-redis test_queue/test_scheduler rewrite.
+
+The engine runs ONCE per module (expensive); every test asserts against
+that shared run.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+import pytest
+
+from crawlspark.runner import CrawlRunner
+from crawlspark.scheduler import CrawlConfig
+from crawlspark.schema import PAGES, ROBOTS, SEEDS
+from crawlspark.simulator import simulate
+from crawlspark.synth import SiteSpec, generate_site
+
+CFG = CrawlConfig(round_wall=20.0, max_depth=1)
+
+
+@pytest.fixture(scope="module")
+def golden_site():
+    # reference shape scaled down: 2 hosts (one slow, one robots-restricted),
+    # list pages -> detail pages, canonicalization traps, dead links
+    return generate_site(SiteSpec(n_hosts=2, lists_per_host=5, per_list=10, seed=7))
+
+
+@pytest.fixture(scope="module")
+def engine_run(spark, golden_site, tmp_path_factory):
+    root = str(tmp_path_factory.mktemp("crawl") / "store")
+    pages = spark.createDataFrame(golden_site["pages"], schema=PAGES)
+    seeds = spark.createDataFrame(golden_site["seeds"], schema=SEEDS)
+    robots = spark.createDataFrame(golden_site["robots"], schema=ROBOTS)
+    runner = CrawlRunner(spark, root, CFG)
+    runner.init(seeds)
+    res = runner.run(pages, robots)
+    return runner, res
+
+
+@pytest.fixture(scope="module")
+def sim_run(golden_site):
+    return simulate(
+        {p["url"]: p["html"] for p in golden_site["pages"]},
+        golden_site["seeds"],
+        golden_site["robots"],
+        CFG,
+    )
+
+
+def test_seen_set_parity(engine_run, sim_run):
+    runner, _ = engine_run
+    assert runner.seen_urls() == sim_run.seen_urls
+
+
+def test_crawl_order_parity(engine_run, sim_run):
+    runner, _ = engine_run
+    assert runner.fetch_sequence() == sim_run.fetch_sequence
+
+
+def test_results_parity_and_golden(engine_run, sim_run, golden_site):
+    runner, _ = engine_run
+    got = {
+        r["rank"]: (r["name"], r["rate"], r["num"], r["url"])
+        for r in runner.store.results_state().collect()
+    }
+    want = {
+        k: (v["name"], v["rate"], v["num"], v["url"]) for k, v in sim_run.results.items()
+    }
+    assert got == want
+    expected_urls = {e["url"] for e in golden_site["expected_details"]}
+    assert {u for (_, _, _, u) in got.values()} <= expected_urls
+    # no url crawled twice (the reference's movies_duplicates invariant)
+    log = engine_run[0].store.fetch_log_state()
+    assert log.groupBy("url").count().filter(F.col("count") > 1).count() == 0
+
+
+def test_robots_denied_and_dead_links(engine_run):
+    runner, _ = engine_run
+    state = runner.store.frontier_state().collect()
+    statuses = {r["url"]: r["status"] for r in state}
+    denied = [u for u, s in statuses.items() if s == "robots_denied"]
+    exhausted = [u for u, s in statuses.items() if s == "exhausted"]
+    assert denied and all("/private/" in u for u in denied)
+    assert exhausted and all("/dead/" in u for u in exhausted)
+    retried = {r["url"]: r["retry_count"] for r in state if r["status"] == "exhausted"}
+    assert all(rc == CFG.max_retries for rc in retried.values())
+    fetched = {r["url"] for r in runner.store.fetch_log_state().collect()}
+    assert not any("/private/" in u for u in fetched)
+
+
+def test_priority_classes_pop_in_order(engine_run):
+    """Within one host and round: priorities non-increasing; FIFO by seq
+    within a priority class (north_rule tiebreak)."""
+    runner, _ = engine_run
+    log = runner.store.fetch_log_state().orderBy("round", F.desc("priority"), "seq").collect()
+    by_rh: dict[tuple, list] = {}
+    for r in log:
+        by_rh.setdefault((r["round"], r["host"]), []).append((r["priority"], r["seq"]))
+    checked = 0
+    for (rnd, host), rows in by_rh.items():
+        pris = [p for p, _ in rows]
+        assert pris == sorted(pris, reverse=True), f"round {rnd} {host} priority order"
+        for p in set(pris):
+            seqs = [s for pp, s in rows if pp == p]
+            assert seqs == sorted(seqs), f"round {rnd} {host} FIFO within priority {p}"
+            checked += 1
+    assert checked > 5  # the site actually exercised multiple classes/rounds
+
+
+def test_politeness_budget_respected(engine_run, golden_site):
+    runner, _ = engine_run
+    robots = {r["host"]: r for r in golden_site["robots"]}
+    for r in runner.store.fetch_log_state().groupBy("round", "host").count().collect():
+        budget = CFG.host_budget(robots[r["host"]]["crawl_delay"] if r["host"] in robots else None)
+        assert r["count"] <= budget, f"host {r['host']} exceeded budget in round {r['round']}"
+
+
+def test_metrics_and_lineage_recorded(engine_run):
+    runner, _ = engine_run
+    m = runner.store.metrics_state()
+    kinds = {r["metric"] for r in m.collect()}
+    assert {"popped", "fetched", "new_links", "items"} <= kinds
+    # per-partition lineage in every manifest (north_rule checkpoint contract)
+    for man in runner.store.frontier.snapshots():
+        assert all("rows" in f for f in man["files"])

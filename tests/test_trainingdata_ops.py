@@ -1,0 +1,149 @@
+"""Training-data pipeline operators: dedup, similarity, text analysis,
+multimodal plumbing — unit tests with hand-computable oracles plus
+DuckDB cross-checks on the real testdata tables."""
+
+from __future__ import annotations
+
+import math
+import os
+
+import duckdb
+import pyspark.sql.functions as F
+import pytest
+
+from crawlspark import dedup, multimodal, similarity, textops
+
+SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF", "/root/testdata/sf0.001")
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (0, "a b c d e"),
+        (1, "a b c d e"),          # exact dup of 0
+        (2, "a b c d x"),          # near dup of 0 (shares 'a b c', 'b c d')
+        (3, "q r s t u v"),        # unrelated
+    ]
+    return spark.createDataFrame(rows, ["doc_id", "text"])
+
+
+def test_exact_dedup(spark, docs):
+    out = {r["keep_doc_id"]: r["n_copies"] for r in dedup.exact_dedup(docs).collect()}
+    assert out[0] == 2 and out[2] == 1 and out[3] == 1
+
+
+def test_ngram_jaccard_hand_computed(spark, docs):
+    # doc0 shingles(k=3): {abc,bcd,cde}; doc2: {abc,bcd,cdx}; J = 2/4 = 0.5
+    pairs = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in dedup.ngram_jaccard_pairs(docs, k=3, threshold=0.4).collect()
+    }
+    assert pairs[(0, 1)] == 1.0
+    assert pairs[(0, 2)] == 0.5
+    assert (0, 3) not in pairs
+
+
+def test_minhash_lsh_finds_exact_and_near_dups(spark, docs):
+    got = {
+        (r["doc_a"], r["doc_b"])
+        for r in dedup.minhash_lsh_pairs(docs, n_hashes=16, bands=8, threshold=0.4).collect()
+    }
+    assert (0, 1) in got            # identical signatures always collide
+    assert (0, 3) not in got
+
+
+def test_minhash_signature_identical_for_identical_text(spark, docs):
+    sig = {r["doc_id"]: r["signature"] for r in dedup.minhash_signatures(docs, 8).collect()}
+    assert sig[0] == sig[1]
+    assert sig[0] != sig[3]
+
+
+def test_simhash_groups(spark, docs):
+    groups = dedup.simhash_dup_groups(docs).collect()
+    assert any(g["n_docs"] == 2 and g["keep_doc_id"] == 0 for g in groups)
+
+
+def test_cosine_topk_matches_numpy(spark):
+    import numpy as np
+
+    rng = np.random.RandomState(7)
+    vecs = rng.randn(20, 8).astype("float32")
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in vecs[i]]) for i in range(20)], ["vec_id", "embedding"]
+    )
+    got = similarity.cosine_topk(df, query_ids=[0], k=3).collect()
+    sims = vecs @ vecs[0] / (np.linalg.norm(vecs, axis=1) * np.linalg.norm(vecs[0]))
+    order = [i for i in np.argsort(-sims) if i != 0][:3]
+    assert [r["neighbor_id"] for r in got] == order
+    for r in got:
+        assert abs(r["cosine"] - round(float(sims[r["neighbor_id"]]), 6)) < 1e-5
+
+
+def test_lsh_topk_subset_of_bucket(spark):
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    out = similarity.lsh_topk(emb, query_ids=[0, 1], k=5).collect()
+    assert out, "LSH bucket should contain at least one neighbor"
+    # every returned neighbor shares the query's sign bucket
+    rows = {r["vec_id"]: r["embedding"] for r in emb.filter(F.col("vec_id") < 200).collect()}
+    def bucket(v):
+        return tuple(x >= 0 for x in v[:4])
+    for r in out:
+        if r["neighbor_id"] in rows and r["query_id"] in rows:
+            assert bucket(rows[r["neighbor_id"]]) == bucket(rows[r["query_id"]])
+
+
+def test_cosine_matches_duckdb_on_real_embeddings(spark):
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    got = {
+        (r["query_id"], r["neighbor_id"]): r["cosine"]
+        for r in similarity.cosine_topk(emb, query_ids=[0], k=5).collect()
+    }
+    con = duckdb.connect()
+    want = con.execute(
+        f"""
+        SELECT 0 AS query_id, b.vec_id AS neighbor_id,
+               round(list_cosine_similarity(a.embedding, b.embedding), 6) AS cosine
+        FROM '{SF_DIR}/embeddings.parquet' a, '{SF_DIR}/embeddings.parquet' b
+        WHERE a.vec_id = 0 AND b.vec_id != 0
+        ORDER BY cosine DESC, neighbor_id LIMIT 5
+        """
+    ).fetchall()
+    for q, n, c in want:
+        assert (q, n) in got
+        assert math.isclose(got[(q, n)], c, abs_tol=2e-6)
+
+
+def test_textops_profile(spark):
+    d = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    prof = textops.profile(d)
+    row = prof.filter(F.col("doc_id") == 0).collect()[0]
+    assert row["n_tokens"] > 0
+    assert 0 < row["avg_token_len"] < 20
+    assert 0.0 <= row["quality"] <= 1.0
+    assert len(row["fingerprint"]) == 32
+    # fingerprint matches duckdb md5 of the same normalization
+    con = duckdb.connect()
+    want = con.execute(
+        f"""SELECT md5(lower(regexp_replace(text, '\\s+', ' ', 'g')))
+            FROM '{SF_DIR}/documents.parquet' WHERE doc_id = 0"""
+    ).fetchone()[0]
+    assert row["fingerprint"] == want
+
+
+def test_multimodal_plumbing(spark):
+    media = multimodal.synthetic_media(spark, n=30)
+    feats = multimodal.extract_features(media, dim=8, fake=True).collect()
+    assert len(feats) == 30
+    by_id = {r["media_id"]: r for r in feats}
+    assert all(len(r["feature"]) == 8 for r in feats)
+    # deterministic: same payload -> same feature
+    again = {r["media_id"]: r for r in multimodal.extract_features(media, dim=8, fake=True).collect()}
+    assert by_id[0]["feature"] == again[0]["feature"]
+    assert by_id[0]["sha256"] == again[0]["sha256"]
+    # real decode is stubbed
+    with pytest.raises(Exception):
+        multimodal.extract_features(media, dim=8, fake=False).collect()
+    # frame sampling plan
+    frames = multimodal.frame_sample(media, every_ms=500)
+    one = frames.groupBy("media_id").count().collect()
+    assert all(r["count"] >= 2 for r in one)
