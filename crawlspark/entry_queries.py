@@ -1,0 +1,691 @@
+"""Driver-contract queries: every operator family from SURVEY.md §2 as a
+(spark, sf_dir) -> DataFrame callable plus an exact DuckDB oracle SQL.
+
+Contract rules honored throughout (driver compares row count + schema +
+order-insensitive value hash at sf0.01):
+* every computed column aliased IDENTICALLY in Spark and SQL;
+* float aggregates rounded (2-6 dp) on BOTH sides so summation order can
+  never flip the hash;
+* deterministic tiebreaks on every top-k.
+
+Operator-ID cross references (SURVEY §2): rXX = relational plane §2.7,
+qX/dX/pX/fX = crawl plane §2.1-2.6 analogs expressed over the driver's
+TPC-H-ish tables, plus the training-data ops (dedup/similarity/text).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from . import dedup as dd
+from . import similarity as sim
+from . import textops as tx
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# ---------------------------------------------------------------------------
+# relational plane (§2.7)
+# ---------------------------------------------------------------------------
+
+def q01_pricing_summary(spark, sf_dir):
+    """R12/R13/R16: TPC-H-Q1-shaped multi-aggregate — the flagship."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= "2002-09-02")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("sum_disc_price"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
+            F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+def q02_filter_project(spark, sf_dir):
+    """R1/R2: projection + comparison filter (pushed to the parquet scan)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.filter((F.col("l_quantity") > 45) & (F.col("l_discount") < 0.05)).select(
+        "l_orderkey", "l_linenumber", "l_quantity", "l_discount"
+    )
+
+
+def q03_like_search(spark, sf_dir):
+    """R3: LIKE/contains keyword search (query_movies.py:44-54 analog)."""
+    d = _t(spark, sf_dir, "documents")
+    return d.filter(F.col("text").contains("spark") | F.col("text").contains("shuffle")).select(
+        "doc_id", "lang", "source"
+    )
+
+
+def q04_year_range(spark, sf_dir):
+    """R4/R22: BETWEEN on a derived year."""
+    o = _t(spark, sf_dir, "orders")
+    return o.filter(F.year("o_orderdate").between(1997, 1998)).select(
+        "o_orderkey", "o_custkey", F.year("o_orderdate").alias("order_year")
+    )
+
+
+def q05_null_empty_audit(spark, sf_dir):
+    """R5/R30: IS NULL / empty-string data-quality audit."""
+    d = _t(spark, sf_dir, "documents")
+    return d.agg(
+        F.count("*").alias("total_docs"),
+        F.sum(F.when(F.col("source").isNull() | (F.col("source") == ""), 1).otherwise(0)).alias("missing_source"),
+        F.sum(F.when(F.col("text").isNull() | (F.col("text") == ""), 1).otherwise(0)).alias("missing_text"),
+        F.sum(F.when(F.col("n_chars") <= 0, 1).otherwise(0)).alias("empty_docs"),
+    )
+
+
+def q07_topk(spark, sf_dir):
+    """R7/R8: multi-key sort + LIMIT (TakeOrdered physical op)."""
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.select("o_orderkey", "o_totalprice", "o_orderpriority")
+        .orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+        .limit(10)
+    )
+
+
+def q09_group_count(spark, sf_dir):
+    """R9/R13: group-by-column aggregate."""
+    e = _t(spark, sf_dir, "events")
+    return e.groupBy("event_type").agg(
+        F.count("*").alias("n_events"),
+        F.round(F.sum("value"), 2).alias("total_value"),
+    )
+
+
+def q10_group_by_expr(spark, sf_dir):
+    """R10: GROUP BY derived expression (year)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy(F.year("l_shipdate").alias("ship_year")).agg(
+        F.count("*").alias("n_items"),
+        F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+    )
+
+
+def q11_case_buckets(spark, sf_dir):
+    """R11/R23: CASE-bucket grouping (duration/rating-bucket analog)."""
+    e = _t(spark, sf_dir, "events")
+    bucket = (
+        F.when(F.col("value") < 10, "small")
+        .when(F.col("value") < 100, "medium")
+        .otherwise("large")
+    )
+    return e.groupBy(bucket.alias("value_bucket")).agg(
+        F.count("*").alias("n_events"),
+        F.round(F.avg("value"), 4).alias("avg_value"),
+    )
+
+
+def q14_count_distinct(spark, sf_dir):
+    """R14: exact COUNT(DISTINCT)."""
+    e = _t(spark, sf_dir, "events")
+    return e.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("n_users"),
+    )
+
+
+def q15_conditional_agg(spark, sf_dir):
+    """R15: SUM(CASE WHEN ...)."""
+    o = _t(spark, sf_dir, "orders")
+    return o.agg(
+        F.sum(F.when(F.col("o_orderstatus") == "F", 1).otherwise(0)).alias("n_finished"),
+        F.sum(F.when(F.col("o_totalprice") > 100000, 1).otherwise(0)).alias("n_big"),
+        F.count("*").alias("n_total"),
+    )
+
+
+def q17_having(spark, sf_dir):
+    """R17: HAVING over grouped counts."""
+    c = _t(spark, sf_dir, "customer")
+    return (
+        c.groupBy("c_mktsegment")
+        .agg(F.count("*").alias("n_customers"), F.round(F.avg("c_acctbal"), 2).alias("avg_bal"))
+        .filter(F.col("n_customers") >= 10)
+    )
+
+
+def q18_group_concat(spark, sf_dir):
+    """R18: GROUP_CONCAT(DISTINCT) with pinned (sorted) order."""
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region")
+    return (
+        n.join(F.broadcast(r), n["n_regionkey"] == r["r_regionkey"])
+        .groupBy("r_name")
+        .agg(
+            F.concat_ws(",", F.sort_array(F.collect_set("n_name"))).alias("nations"),
+            F.count("*").alias("n_nations"),
+        )
+    )
+
+
+def q19_string_ops(spark, sf_dir):
+    """R19/R20/R21: SUBSTR + REPLACE + INSTR-style splitting."""
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.substring("source", 1, 3).alias("src_prefix"),
+        F.regexp_replace("source", "src", "origin_").alias("src_renamed"),
+        F.substring_index("text", " ", 1).alias("first_token"),
+    )
+
+
+def q24_union_dedup(spark, sf_dir):
+    """R24/R25: UNION ALL + dropDuplicates (pipelines.py:361-362 analog)."""
+    o = _t(spark, sf_dir, "orders")
+    a = o.filter(F.col("o_totalprice") > 400000).select("o_orderkey")
+    b = o.filter(F.col("o_orderpriority") == "1-URGENT").select("o_orderkey")
+    return a.unionByName(b).dropDuplicates(["o_orderkey"])
+
+
+def q29_key_lookup(spark, sf_dir):
+    """R29: point lookup by key."""
+    c = _t(spark, sf_dir, "customer")
+    return c.filter(F.col("c_custkey") == 42).select("c_custkey", "c_name", "c_mktsegment")
+
+
+def q27_json_extract(spark, sf_dir):
+    """R27-adjacent: JSON field extraction from the events props column."""
+    e = _t(spark, sf_dir, "events")
+    return (
+        e.select(F.get_json_object("props", "$.k").cast("long").alias("k_value"))
+        .groupBy("k_value")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+def q28_pivot_histogram(spark, sf_dir):
+    """R28: histogram/pivot report as conditional aggregation."""
+    e = _t(spark, sf_dir, "events")
+    return e.groupBy("event_type").agg(
+        F.sum(F.when(F.col("value") < 50, 1).otherwise(0)).alias("lo"),
+        F.sum(F.when((F.col("value") >= 50) & (F.col("value") < 200), 1).otherwise(0)).alias("mid"),
+        F.sum(F.when(F.col("value") >= 200, 1).otherwise(0)).alias("hi"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# join plane (F1 fetch join, D1 anti-join, N4 broadcast join analogs)
+# ---------------------------------------------------------------------------
+
+def j01_fetch_join(spark, sf_dir):
+    """F1 analog: small-slice inner equi-join into a big table, broadcast."""
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    return (
+        o.join(c, o["o_custkey"] == c["c_custkey"])
+        .join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
+        .groupBy("n_name")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+        )
+    )
+
+
+def j02_anti_join(spark, sf_dir):
+    """D1 analog: seen-set anti-join — parts never shipped."""
+    p = _t(spark, sf_dir, "part")
+    li = _t(spark, sf_dir, "lineitem")
+    return p.join(li.select("l_partkey"), p["p_partkey"] == F.col("l_partkey"), "left_anti").select(
+        "p_partkey", "p_name"
+    )
+
+
+def j03_semi_join(spark, sf_dir):
+    """EXISTS/left-semi: customers that have at least one urgent order."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    urgent = o.filter(F.col("o_orderpriority") == "1-URGENT").select("o_custkey")
+    return c.join(urgent, c["c_custkey"] == F.col("o_custkey"), "left_semi").select(
+        "c_custkey", "c_name"
+    )
+
+
+# ---------------------------------------------------------------------------
+# crawl-plane operator analogs over driver tables (machine-checkable shapes)
+# ---------------------------------------------------------------------------
+
+def c01_priority_pop(spark, sf_dir):
+    """Q2 pop window: top-3 per user by value DESC, event_id ASC — the
+    exact window shape of the frontier pop (priority DESC, seq ASC)."""
+    e = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.desc("value"), F.asc("event_id"))
+    return (
+        e.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("user_id", "event_id", "value", "rn")
+    )
+
+
+def c02_host_bucket(spark, sf_dir):
+    """P1 consistent-hash placement shape: pmod bucketing + per-bucket load."""
+    e = _t(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.pmod(F.col("user_id"), F.lit(16)).alias("bucket"))
+        .agg(F.count("*").alias("n"), F.countDistinct("user_id").alias("n_users"))
+    )
+
+
+def c03_dedup_latest(spark, sf_dir):
+    """D4/S1 upsert view: latest event per user (last-writer-wins by ts,
+    tiebreak event_id) — the results_state/frontier_state window."""
+    e = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.desc("ts"), F.desc("event_id"))
+    return (
+        e.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("user_id", "event_id", "event_type")
+    )
+
+
+def c04_retry_budget(spark, sf_dir):
+    """N1-N3 politeness-budget math as data: per-user admission with
+    budget = least(cap, floor(window/delay))-shaped arithmetic."""
+    e = _t(spark, sf_dir, "events")
+    return (
+        e.groupBy("user_id")
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            "user_id",
+            "n_events",
+            F.least(F.col("n_events"), F.lit(30)).alias("admitted"),
+            F.greatest(F.col("n_events") - 30, F.lit(0)).alias("deferred"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# training-data plane
+# ---------------------------------------------------------------------------
+
+def t01_text_profile(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        tx.token_count(F.col("text")).alias("n_tokens"),
+        F.round(tx.avg_token_len(F.col("text")), 4).alias("avg_token_len"),
+        F.round(tx.stopword_ratio(F.col("text")), 4).alias("stopword_ratio"),
+        tx.lang_id(F.col("text")).alias("lang_pred"),
+        tx.doc_fingerprint(F.col("text")).alias("fingerprint"),
+    )
+
+
+def t02_quality_by_lang(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return d.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.round(F.avg(tx.token_count(F.col("text"))), 4).alias("avg_tokens"),
+        F.round(F.avg(tx.quality_score(F.col("text"))), 4).alias("avg_quality"),
+    )
+
+
+def t03_exact_dedup(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return dd.exact_dedup(d)
+
+
+def t04_ngram_jaccard(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return dd.ngram_jaccard_pairs(d, k=3, threshold=0.2)
+
+
+def t05_minhash_signature(spark, sf_dir):
+    """MinHash signature head (first 4 hashes) — fully SQL-checkable thanks
+    to the md5-derived hash family."""
+    d = _t(spark, sf_dir, "documents")
+    sig = dd.minhash_signatures(d, n_hashes=4)
+    return sig.select(
+        "doc_id",
+        F.col("signature")[0].alias("h0"),
+        F.col("signature")[1].alias("h1"),
+        F.col("signature")[2].alias("h2"),
+        F.col("signature")[3].alias("h3"),
+    )
+
+
+def t06_simhash_groups(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return dd.simhash_dup_groups(d, k=3, bits=16)
+
+
+def t07_ann_cosine_topk(spark, sf_dir):
+    e = _t(spark, sf_dir, "embeddings")
+    return sim.cosine_topk(e, query_ids=[0, 1, 2, 3, 4], k=5)
+
+
+def t08_ann_lsh_bucketed(spark, sf_dir):
+    e = _t(spark, sf_dir, "embeddings")
+    return sim.lsh_topk(e, query_ids=[0, 1, 2, 3, 4], k=5)
+
+
+def t09_embedding_near_dup(spark, sf_dir):
+    e = _t(spark, sf_dir, "embeddings")
+    return sim.embedding_near_dup(e, threshold=0.8)
+
+
+def t10_label_centroid_sim(spark, sf_dir):
+    """Per-label mean cosine vs label-0 centroid — aggregate over vector
+    column via element-wise avg (posexplode-free: aggregate on arrays)."""
+    e = _t(spark, sf_dir, "embeddings")
+    return e.groupBy("label").agg(
+        F.count("*").alias("n_vecs"),
+        F.round(F.avg(F.element_at("embedding", 1)), 6).alias("mean_dim1"),
+        F.round(F.avg(F.element_at("embedding", 2)), 6).alias("mean_dim2"),
+    )
+
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "q01_pricing_summary": q01_pricing_summary,
+    "q02_filter_project": q02_filter_project,
+    "q03_like_search": q03_like_search,
+    "q04_year_range": q04_year_range,
+    "q05_null_empty_audit": q05_null_empty_audit,
+    "q07_topk": q07_topk,
+    "q09_group_count": q09_group_count,
+    "q10_group_by_expr": q10_group_by_expr,
+    "q11_case_buckets": q11_case_buckets,
+    "q14_count_distinct": q14_count_distinct,
+    "q15_conditional_agg": q15_conditional_agg,
+    "q17_having": q17_having,
+    "q18_group_concat": q18_group_concat,
+    "q19_string_ops": q19_string_ops,
+    "q24_union_dedup": q24_union_dedup,
+    "q27_json_extract": q27_json_extract,
+    "q28_pivot_histogram": q28_pivot_histogram,
+    "q29_key_lookup": q29_key_lookup,
+    "j01_fetch_join": j01_fetch_join,
+    "j02_anti_join": j02_anti_join,
+    "j03_semi_join": j03_semi_join,
+    "c01_priority_pop": c01_priority_pop,
+    "c02_host_bucket": c02_host_bucket,
+    "c03_dedup_latest": c03_dedup_latest,
+    "c04_retry_budget": c04_retry_budget,
+    "t01_text_profile": t01_text_profile,
+    "t02_quality_by_lang": t02_quality_by_lang,
+    "t03_exact_dedup": t03_exact_dedup,
+    "t04_ngram_jaccard": t04_ngram_jaccard,
+    "t05_minhash_signature": t05_minhash_signature,
+    "t06_simhash_groups": t06_simhash_groups,
+    "t07_ann_cosine_topk": t07_ann_cosine_topk,
+    "t08_ann_lsh_bucketed": t08_ann_lsh_bucketed,
+    "t09_embedding_near_dup": t09_embedding_near_dup,
+    "t10_label_centroid_sim": t10_label_centroid_sim,
+}
+
+# ---------------------------------------------------------------------------
+# DuckDB oracles (exact SQL twins; same aliases, same rounding)
+# ---------------------------------------------------------------------------
+
+_STOP_IN = ",".join(f"'{s}'" for s in tx.EN_STOP)
+
+_SHINGLES = """
+    WITH toks AS (
+        SELECT doc_id, string_split(text, ' ') AS ts FROM documents
+    ), sh AS (
+        SELECT DISTINCT doc_id,
+               CASE WHEN len(ts) >= 3 THEN ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2]
+                    ELSE array_to_string(ts, ' ') END AS shingle
+        FROM toks, unnest(range(1, greatest(len(ts) - 2, 1) + 1)) AS t(i)
+    )
+"""
+
+ORACLES: dict[str, str] = {
+    "q01_pricing_summary": """
+        SELECT l_returnflag, l_linestatus,
+               round(sum(l_quantity), 2) AS sum_qty,
+               round(sum(l_extendedprice), 2) AS sum_base_price,
+               round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+               round(avg(l_quantity), 4) AS avg_qty,
+               round(avg(l_extendedprice), 4) AS avg_price,
+               round(avg(l_discount), 6) AS avg_disc,
+               count(*) AS count_order
+        FROM lineitem WHERE l_shipdate <= TIMESTAMP '2002-09-02'
+        GROUP BY l_returnflag, l_linestatus
+    """,
+    "q02_filter_project": """
+        SELECT l_orderkey, l_linenumber, l_quantity, l_discount
+        FROM lineitem WHERE l_quantity > 45 AND l_discount < 0.05
+    """,
+    "q03_like_search": """
+        SELECT doc_id, lang, source FROM documents
+        WHERE text LIKE '%spark%' OR text LIKE '%shuffle%'
+    """,
+    "q04_year_range": """
+        SELECT o_orderkey, o_custkey, CAST(extract(year FROM o_orderdate) AS int) AS order_year
+        FROM orders WHERE extract(year FROM o_orderdate) BETWEEN 1997 AND 1998
+    """,
+    "q05_null_empty_audit": """
+        SELECT count(*) AS total_docs,
+               sum(CASE WHEN source IS NULL OR source = '' THEN 1 ELSE 0 END) AS missing_source,
+               sum(CASE WHEN text IS NULL OR text = '' THEN 1 ELSE 0 END) AS missing_text,
+               sum(CASE WHEN n_chars <= 0 THEN 1 ELSE 0 END) AS empty_docs
+        FROM documents
+    """,
+    "q07_topk": """
+        SELECT o_orderkey, o_totalprice, o_orderpriority FROM orders
+        ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 10
+    """,
+    "q09_group_count": """
+        SELECT event_type, count(*) AS n_events, round(sum(value), 2) AS total_value
+        FROM events GROUP BY event_type
+    """,
+    "q10_group_by_expr": """
+        SELECT CAST(extract(year FROM l_shipdate) AS int) AS ship_year,
+               count(*) AS n_items, round(sum(l_quantity), 2) AS sum_qty
+        FROM lineitem GROUP BY 1
+    """,
+    "q11_case_buckets": """
+        SELECT CASE WHEN value < 10 THEN 'small' WHEN value < 100 THEN 'medium'
+                    ELSE 'large' END AS value_bucket,
+               count(*) AS n_events, round(avg(value), 4) AS avg_value
+        FROM events GROUP BY 1
+    """,
+    "q14_count_distinct": """
+        SELECT event_type, count(DISTINCT user_id) AS n_users FROM events GROUP BY event_type
+    """,
+    "q15_conditional_agg": """
+        SELECT sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS n_finished,
+               sum(CASE WHEN o_totalprice > 100000 THEN 1 ELSE 0 END) AS n_big,
+               count(*) AS n_total
+        FROM orders
+    """,
+    "q17_having": """
+        SELECT c_mktsegment, count(*) AS n_customers, round(avg(c_acctbal), 2) AS avg_bal
+        FROM customer GROUP BY c_mktsegment HAVING count(*) >= 10
+    """,
+    "q18_group_concat": """
+        SELECT r_name, string_agg(DISTINCT n_name, ',' ORDER BY n_name) AS nations,
+               count(*) AS n_nations
+        FROM nation JOIN region ON n_regionkey = r_regionkey GROUP BY r_name
+    """,
+    "q19_string_ops": """
+        SELECT doc_id, substr(source, 1, 3) AS src_prefix,
+               regexp_replace(source, 'src', 'origin_', 'g') AS src_renamed,
+               CASE WHEN instr(text, ' ') > 0 THEN substr(text, 1, instr(text, ' ') - 1)
+                    ELSE text END AS first_token
+        FROM documents
+    """,
+    "q24_union_dedup": """
+        SELECT DISTINCT o_orderkey FROM (
+            SELECT o_orderkey FROM orders WHERE o_totalprice > 400000
+            UNION ALL
+            SELECT o_orderkey FROM orders WHERE o_orderpriority = '1-URGENT'
+        )
+    """,
+    "q27_json_extract": """
+        SELECT try_cast(props->>'$.k' AS bigint) AS k_value, count(*) AS n
+        FROM events GROUP BY 1
+    """,
+    "q28_pivot_histogram": """
+        SELECT event_type,
+               sum(CASE WHEN value < 50 THEN 1 ELSE 0 END) AS lo,
+               sum(CASE WHEN value >= 50 AND value < 200 THEN 1 ELSE 0 END) AS mid,
+               sum(CASE WHEN value >= 200 THEN 1 ELSE 0 END) AS hi
+        FROM events GROUP BY event_type
+    """,
+    "q29_key_lookup": """
+        SELECT c_custkey, c_name, c_mktsegment FROM customer WHERE c_custkey = 42
+    """,
+    "j01_fetch_join": """
+        SELECT n_name, count(*) AS n_orders, round(sum(o_totalprice), 2) AS revenue
+        FROM orders JOIN customer ON o_custkey = c_custkey
+        JOIN nation ON c_nationkey = n_nationkey
+        GROUP BY n_name
+    """,
+    "j02_anti_join": """
+        SELECT p_partkey, p_name FROM part
+        WHERE NOT EXISTS (SELECT 1 FROM lineitem WHERE l_partkey = p_partkey)
+    """,
+    "j03_semi_join": """
+        SELECT c_custkey, c_name FROM customer
+        WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+                      AND o_orderpriority = '1-URGENT')
+    """,
+    "c01_priority_pop": """
+        SELECT user_id, event_id, value,
+               CAST(row_number() OVER (PARTITION BY user_id ORDER BY value DESC, event_id ASC) AS int) AS rn
+        FROM events
+        QUALIFY rn <= 3
+    """,
+    "c02_host_bucket": """
+        SELECT user_id % 16 AS bucket, count(*) AS n, count(DISTINCT user_id) AS n_users
+        FROM events GROUP BY 1
+    """,
+    "c03_dedup_latest": """
+        SELECT user_id, event_id, event_type FROM events
+        QUALIFY row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) = 1
+    """,
+    "c04_retry_budget": """
+        SELECT user_id, count(*) AS n_events,
+               least(count(*), 30) AS admitted,
+               greatest(count(*) - 30, 0) AS deferred
+        FROM events GROUP BY user_id
+    """,
+    "t01_text_profile": f"""
+        SELECT doc_id,
+               CAST(len(string_split(text, ' ')) AS int) AS n_tokens,
+               round(CAST(length(replace(text, ' ', '')) AS double)
+                     / len(string_split(text, ' ')), 4) AS avg_token_len,
+               round(CAST(len(list_filter(string_split(lower(text), ' '),
+                                          x -> x IN ({_STOP_IN}))) AS double)
+                     / len(string_split(lower(text), ' ')), 4) AS stopword_ratio,
+               CASE WHEN CAST(len(list_filter(string_split(lower(text), ' '),
+                                              x -> x IN ({_STOP_IN}))) AS double)
+                         / len(string_split(lower(text), ' ')) >= 0.05
+                    THEN 'en' ELSE 'und' END AS lang_pred,
+               md5(lower(regexp_replace(text, '\\s+', ' ', 'g'))) AS fingerprint
+        FROM documents
+    """,
+    "t02_quality_by_lang": """
+        WITH q AS (
+            SELECT lang,
+                   len(string_split(text, ' ')) AS n_tokens,
+                   round(least(CAST(len(string_split(text, ' ')) AS double) / 100.0, 1.0) * 0.6
+                         + (1.0 - least(CAST(length(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS double)
+                                        / length(text) * 10.0, 1.0)) * 0.4, 4) AS quality
+            FROM documents
+        )
+        SELECT lang, count(*) AS n_docs,
+               round(avg(n_tokens), 4) AS avg_tokens,
+               round(avg(quality), 4) AS avg_quality
+        FROM q GROUP BY lang
+    """,
+    "t03_exact_dedup": """
+        SELECT md5(lower(regexp_replace(text, '\\s+', ' ', 'g'))) AS fingerprint,
+               min(doc_id) AS keep_doc_id, count(*) AS n_copies
+        FROM documents GROUP BY 1
+    """,
+    "t04_ngram_jaccard": _SHINGLES + """
+        , sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id)
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_inter,
+               round(CAST(count(*) AS double)
+                     / (any_value(sa.n_sh) + any_value(sb.n_sh) - count(*)), 6) AS jaccard
+        FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        JOIN sizes sa ON sa.doc_id = a.doc_id
+        JOIN sizes sb ON sb.doc_id = b.doc_id
+        GROUP BY a.doc_id, b.doc_id
+        HAVING round(CAST(count(*) AS double)
+                     / (any_value(sa.n_sh) + any_value(sb.n_sh) - count(*)), 6) >= 0.2
+    """,
+    "t06_simhash_groups": None,  # bit-level fold; rows-only check (non-SQL)
+    "t07_ann_cosine_topk": """
+        SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+               round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) AS cosine,
+               CAST(row_number() OVER (
+                   PARTITION BY a.vec_id
+                   ORDER BY round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) DESC,
+                            b.vec_id ASC) AS int) AS rank
+        FROM embeddings a JOIN embeddings b ON a.vec_id != b.vec_id
+        WHERE a.vec_id IN (0, 1, 2, 3, 4)
+        QUALIFY rank <= 5
+    """,
+    "t08_ann_lsh_bucketed": """
+        WITH wb AS (
+            SELECT vec_id, embedding,
+                   concat(CASE WHEN embedding[1] >= 0 THEN '1' ELSE '0' END,
+                          CASE WHEN embedding[2] >= 0 THEN '1' ELSE '0' END,
+                          CASE WHEN embedding[3] >= 0 THEN '1' ELSE '0' END,
+                          CASE WHEN embedding[4] >= 0 THEN '1' ELSE '0' END) AS bucket
+            FROM embeddings
+        )
+        SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id,
+               round(list_cosine_similarity(q.embedding::DOUBLE[], n.embedding::DOUBLE[]), 6) AS cosine,
+               CAST(row_number() OVER (
+                   PARTITION BY q.vec_id
+                   ORDER BY round(list_cosine_similarity(q.embedding::DOUBLE[], n.embedding::DOUBLE[]), 6) DESC,
+                            n.vec_id ASC) AS int) AS rank
+        FROM wb q JOIN wb n ON q.bucket = n.bucket AND n.vec_id != q.vec_id
+        WHERE q.vec_id IN (0, 1, 2, 3, 4)
+        QUALIFY rank <= 5
+    """,
+    "t09_embedding_near_dup": """
+        WITH wb AS (
+            SELECT vec_id, embedding,
+                   concat(CASE WHEN embedding[1] >= 0 THEN '1' ELSE '0' END,
+                          CASE WHEN embedding[2] >= 0 THEN '1' ELSE '0' END,
+                          CASE WHEN embedding[3] >= 0 THEN '1' ELSE '0' END,
+                          CASE WHEN embedding[4] >= 0 THEN '1' ELSE '0' END) AS bucket
+            FROM embeddings
+        )
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+               round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) AS cosine
+        FROM wb a JOIN wb b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+        WHERE round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) >= 0.8
+    """,
+    "t10_label_centroid_sim": """
+        SELECT label, count(*) AS n_vecs,
+               round(avg(embedding[1]), 6) AS mean_dim1,
+               round(avg(embedding[2]), 6) AS mean_dim2
+        FROM embeddings GROUP BY label
+    """,
+}
+
+# MinHash oracle: the same md5-derived universal hash family, in pure SQL
+def _minhash_oracle() -> str:
+    from .dedup import _P, minhash_params
+
+    params = minhash_params(4)
+    cols = []
+    x = "(try_cast('0x' || substr(md5(shingle), 1, 8) AS bigint) % 2147483647)"
+    for i, (a, b) in enumerate(params):
+        cols.append(f"min(({a} * {x} + {b}) % {_P}) AS h{i}")
+    return _SHINGLES + f"SELECT doc_id, {', '.join(cols)} FROM sh GROUP BY doc_id"
+
+
+ORACLES["t05_minhash_signature"] = _minhash_oracle()
+ORACLES = {k: v for k, v in ORACLES.items() if v is not None}

@@ -1,0 +1,76 @@
+"""Local mimic of the driver's correctness gate: run every queries() entry
+on Spark AND its oracle_sql() on DuckDB over the same parquet, compare
+row count + column names + order-insensitive values (floats rounded).
+
+Driver runs this at sf0.01; we default to sf0.001 for speed (override with
+SPARK_GRAFT_TEST_SF)."""
+
+from __future__ import annotations
+
+import math
+import os
+
+import duckdb
+import pytest
+
+import __spark_entry__ as entry_mod
+
+SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF", "/root/testdata/sf0.001")
+TABLES = [
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+]
+
+
+@pytest.fixture(scope="module")
+def duck():
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{SF_DIR}/{t}.parquet'")
+    return con
+
+
+def _norm_cell(v):
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "nan"
+        return round(v, 5)
+    return v
+
+
+def _norm(rows, cols):
+    idx = sorted(range(len(cols)), key=lambda i: cols[i])
+    return sorted(
+        [tuple(_norm_cell(r[i]) for i in idx) for r in rows], key=repr
+    )
+
+
+def test_entry_smoke(spark):
+    df = entry_mod.entry(spark)
+    assert df.count() > 0
+
+
+def test_every_query_has_oracle_or_reason(spark):
+    qs, os_ = entry_mod.queries(), entry_mod.oracle_sql()
+    missing = set(qs) - set(os_)
+    assert missing <= {"t06_simhash_groups"}, f"unexplained missing oracles: {missing}"
+
+
+@pytest.mark.parametrize("name", sorted(entry_mod.queries().keys()))
+def test_query_matches_oracle(name, spark, duck):
+    qs, oracles = entry_mod.queries(), entry_mod.oracle_sql()
+    sdf = qs[name](spark, SF_DIR)
+    cols = sdf.columns
+    got_rows = [tuple(r) for r in sdf.collect()]
+    if name not in oracles:
+        assert isinstance(got_rows, list)  # rows-only check
+        return
+    res = duck.execute(oracles[name])
+    want_cols = [d[0] for d in res.description]
+    want_rows = res.fetchall()
+    assert sorted(cols) == sorted(want_cols), f"{name} column mismatch: {cols} vs {want_cols}"
+    assert len(got_rows) == len(want_rows), f"{name} rowcount {len(got_rows)} vs {len(want_rows)}"
+    got = _norm(got_rows, cols)
+    want = _norm(want_rows, want_cols)
+    mism = [i for i, (g, w) in enumerate(zip(got, want)) if g != w][:3]
+    assert got == want, f"{name} first mismatches: {[(got[i], want[i]) for i in mism]}"
