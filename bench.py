@@ -1,0 +1,143 @@
+#!/usr/bin/env python
+"""Benchmark: headline analytics queries at $SPARK_GRAFT_SF_DIR plus the
+crawl engine's fetch+extract throughput on a synthetic frontier.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": <total suite seconds>, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": ...,
+   "crawl": {"pages": N, "urls_fetched": N, "wall_s": s, "urls_per_sec": r},
+   "parallelism": "local[N]"}
+
+Scaling evidence (local[8] vs local[32]) is produced by bench/scaling.py,
+which shells out to this file at two parallelism levels and writes
+BENCH/BASELINE.md.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from crawlspark.entry_queries import QUERIES  # noqa: E402
+from crawlspark.session import get_spark  # noqa: E402
+
+HEADLINE = [
+    "q01_pricing_summary",
+    "q02_filter_project",
+    "q07_topk",
+    "q14_count_distinct",
+    "q24_union_dedup",
+    "j01_fetch_join",
+    "j02_anti_join",
+    "c01_priority_pop",
+    "c03_dedup_latest",
+    "t01_text_profile",
+    "t03_exact_dedup",
+    "t04_ngram_jaccard",
+    "t05_minhash_signature",
+    "t07_ann_cosine_topk",
+    "t08_ann_lsh_bucketed",
+]
+
+
+def _materialize(df) -> int:
+    """Force full execution without pulling rows to the driver."""
+    return df.count()
+
+
+def bench_queries(spark, sf_dir: str) -> dict[str, float]:
+    times: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = QUERIES[name]
+        t0 = time.perf_counter()
+        _materialize(fn(spark, sf_dir))
+        times[name] = round(time.perf_counter() - t0, 3)
+    return times
+
+
+def bench_crawl(spark, n_pages_target: int) -> dict:
+    """Unthrottled-engine crawl throughput: URLs fetched+extracted/sec on a
+    Zipf-skewed synthetic site (politeness budgets effectively unbounded so
+    the number is compute-bound, per BASELINE.md protocol)."""
+    from crawlspark.runner import CrawlRunner
+    from crawlspark.scheduler import CrawlConfig
+    from crawlspark.schema import PAGES, ROBOTS, SEEDS
+    from crawlspark.synth import SiteSpec, generate_site
+
+    per_list = 25
+    n_hosts = max(8, n_pages_target // 800)
+    lists_per_host = max(1, n_pages_target // (n_hosts * (per_list + 1)))
+    site = generate_site(
+        SiteSpec(
+            n_hosts=n_hosts,
+            lists_per_host=lists_per_host,
+            per_list=per_list,
+            dead_links_per_host=0,
+            private_hosts=1,
+            slow_hosts=1,
+            seed=42,
+        )
+    )
+    cfg = CrawlConfig(round_wall=1e9, per_host_cap=10**9, max_depth=1)
+    root = tempfile.mkdtemp(prefix="crawlbench_")
+    try:
+        pages = spark.createDataFrame(site["pages"], schema=PAGES)
+        seeds = spark.createDataFrame(site["seeds"], schema=SEEDS)
+        robots = spark.createDataFrame(site["robots"], schema=ROBOTS)
+        runner = CrawlRunner(spark, root + "/store", cfg)
+        t0 = time.perf_counter()
+        runner.init(seeds)
+        res = runner.run(pages, robots)
+        wall = time.perf_counter() - t0
+        fetched = res.total_fetched
+        return {
+            "pages": len(site["pages"]),
+            "urls_fetched": fetched,
+            "rounds": res.rounds,
+            "wall_s": round(wall, 2),
+            "urls_per_sec": round(fetched / wall, 2),
+        }
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    n_pages = int(os.environ.get("SPARK_GRAFT_CRAWL_PAGES", "12000"))
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    spark = get_spark("crawlspark-bench", master=f"local[{cpus}]",
+                      shuffle_partitions=int(cpus))
+
+    # warm the JVM/codegen once so per-query times measure the engine
+    _materialize(QUERIES["q29_key_lookup"](spark, sf_dir))
+
+    queries = bench_queries(spark, sf_dir)
+    crawl = bench_crawl(spark, n_pages) if os.environ.get(
+        "SPARK_GRAFT_SKIP_CRAWL", "0"
+    ) != "1" else {}
+    total = round(sum(queries.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline-suite seconds (queries) + crawl fetch+extract throughput (crawl.urls_per_sec)",
+                "value": total,
+                "unit": "sec",
+                "queries": queries,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+                "crawl": crawl,
+                "parallelism": f"local[{cpus}]",
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,69 @@
+"""Structured Streaming tests — deterministic via availableNow trigger."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pyspark.sql.functions as F
+
+from crawlspark import streaming as st
+
+
+def _write_events(spark, path):
+    base = dt.datetime(2024, 1, 1, 0, 0, 0)
+    rows = [
+        (i, base + dt.timedelta(seconds=20 * i), i % 5,
+         ["click", "view"][i % 2], float(i))
+        for i in range(30)
+    ]
+    spark.createDataFrame(rows, schema=st.EVENT_STREAM_SCHEMA).write.mode(
+        "overwrite"
+    ).parquet(path)
+
+
+def test_windowed_agg_matches_batch(spark, tmp_path):
+    src = str(tmp_path / "events")
+    _write_events(spark, src)
+
+    stream = st.read_event_stream(spark, src)
+    agg = st.windowed_event_agg(stream, window="1 minute", watermark="2 minutes")
+    out = str(tmp_path / "out")
+    st.run_to_table(agg, str(tmp_path / "ckpt"), out)
+
+    got = {
+        (r["window_start"], r["event_type"]): (r["n_events"], r["total_value"])
+        for r in spark.read.parquet(out).collect()
+    }
+    batch = (
+        spark.read.parquet(src)
+        .groupBy(F.window("ts", "1 minute"), "event_type")
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("tv"))
+        .collect()
+    )
+    want = {(r["window"]["start"], r["event_type"]): (r["n"], r["tv"]) for r in batch}
+    # append-mode emits only watermark-closed windows: got ⊆ want, exact values
+    assert got
+    for k, v in got.items():
+        assert want[k] == v
+
+
+def test_stream_metrics_over_store(spark, tmp_path):
+    from crawlspark.schema import METRICS
+    from crawlspark.store import FrontierStore
+
+    fs = FrontierStore(spark, str(tmp_path / "store"))
+    for r in range(3):
+        fs.append_metrics(
+            spark.createDataFrame([(r, "fetched", 10 * (r + 1))], schema=METRICS), r
+        )
+    live = st.stream_metrics(spark, str(tmp_path / "store/metrics/data/*"))
+    q = (
+        live.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName("m")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    rows = {r["metric"]: (r["total"], r["last_round"]) for r in spark.sql("select * from m").collect()}
+    assert rows["fetched"] == (60, 2)
