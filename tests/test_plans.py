@@ -1,0 +1,59 @@
+"""Plan-quality assertions: pushdown, pruning, broadcast, codegen, shuffle
+counts — the properties that keep the engine fast at 100 TB. A change that
+silently de-optimizes a plan fails here, not in production."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+from crawlspark import plans
+from crawlspark.entry_queries import QUERIES
+
+SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF", "/root/testdata/sf0.001")
+
+
+def test_filter_pushdown_reaches_scan(spark):
+    df = QUERIES["q02_filter_project"](spark, SF_DIR)
+    assert plans.has_pushed_filters(df), plans.explain_str(df)
+
+
+def test_column_pruning(spark):
+    df = QUERIES["q02_filter_project"](spark, SF_DIR)
+    cols = plans.scan_read_schema(df)
+    # 4-column projection must not read the other 7 lineitem columns
+    assert set(cols) == {"l_orderkey", "l_linenumber", "l_quantity", "l_discount"}
+
+
+def test_dim_join_broadcasts(spark):
+    df = QUERIES["j01_fetch_join"](spark, SF_DIR)
+    assert plans.uses_broadcast_join(df), plans.explain_str(df)
+
+
+def test_q01_stays_jvm_side(spark):
+    df = QUERIES["q01_pricing_summary"](spark, SF_DIR)
+    assert not plans.has_python_udf(df)
+    assert plans.whole_stage_codegen_spans(df) >= 1
+
+
+def test_textops_no_python_udf(spark):
+    # the entire text-analysis plane is builtin expressions
+    df = QUERIES["t01_text_profile"](spark, SF_DIR)
+    assert not plans.has_python_udf(df)
+
+
+def test_q01_single_shuffle(spark):
+    # one aggregation = one exchange (partial agg map-side, final after)
+    df = QUERIES["q01_pricing_summary"](spark, SF_DIR)
+    assert plans.shuffle_count(df) <= 1, plans.explain_str(df, "simple")
+
+
+def test_pop_window_single_shuffle(spark):
+    df = QUERIES["c01_priority_pop"](spark, SF_DIR)
+    assert plans.shuffle_count(df) <= 1, plans.explain_str(df, "simple")
+
+
+def test_anti_join_no_python(spark):
+    df = QUERIES["j02_anti_join"](spark, SF_DIR)
+    assert not plans.has_python_udf(df)
