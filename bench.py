@@ -87,7 +87,12 @@ def bench_crawl(spark, n_pages_target: int) -> dict:
     cfg = CrawlConfig(round_wall=1e9, per_host_cap=10**9, max_depth=1)
     root = tempfile.mkdtemp(prefix="crawlbench_")
     try:
-        pages = spark.createDataFrame(site["pages"], schema=PAGES)
+        # materialize the corpus as parquet first: fetch joins must scan
+        # parquet (as in production), not re-serialize driver-side rows
+        spark.createDataFrame(site["pages"], schema=PAGES).write.mode(
+            "overwrite"
+        ).parquet(root + "/pages")
+        pages = spark.read.parquet(root + "/pages")
         seeds = spark.createDataFrame(site["seeds"], schema=SEEDS)
         robots = spark.createDataFrame(site["robots"], schema=ROBOTS)
         runner = CrawlRunner(spark, root + "/store", cfg)

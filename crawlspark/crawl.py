@@ -208,7 +208,7 @@ def run_round(
 
     # ---- commits (frontier last = round commit point) ----
     n_items = records.count()
-    n_fetched = done.count()
+    n_fetched = ext.select("url").distinct().count()
     counts = {
         "popped": n_popped,
         "fetched": n_fetched,
@@ -221,23 +221,31 @@ def run_round(
         store.merge_seen(
             new_rows.select("fp", "url", "host_bucket", F.lit(round_no).alias("first_round")),
             round_no,
+            n_rows=n_new,
         )
     if n_items:
-        store.upsert_results(records, round_no)
+        store.upsert_results(records, round_no, n_rows=n_items)
     if n_fetched:
         store.append_fetch_log(
             sliced.join(F.broadcast(fetched_urls), "url", "left_semi").select(
                 F.lit(round_no).alias("round"), "host", "url", "priority", "seq", F.col("_rn").alias("rn")
             ),
             round_no,
+            n_rows=n_fetched,
         )
     store.append_metrics(
         spark.createDataFrame(
             [(round_no, k, int(v)) for k, v in counts.items()], schema=METRICS
         ),
         round_no,
+        n_rows=len(counts),
     )
-    store.merge_frontier(marks.unionByName(new_rows), round_no, meta={"counts": counts})
+    store.merge_frontier(
+        marks.unionByName(new_rows),
+        round_no,
+        meta={"counts": counts},
+        n_rows=n_popped + n_denied + n_new,
+    )
 
     sliced.unpersist()
     denied.unpersist()

@@ -100,12 +100,20 @@ class SnapshotStore:
 
     # -- data ops -------------------------------------------------------------
 
-    def append(self, df: DataFrame, round_no: int, meta: dict | None = None) -> int:
-        """Append a delta file-set and commit a new snapshot (old files kept)."""
+    def append(
+        self, df: DataFrame, round_no: int, meta: dict | None = None,
+        rows: int | None = None,
+    ) -> int:
+        """Append a delta file-set and commit a new snapshot (old files kept).
+
+        ``rows`` lets the caller pass an already-known count for lineage;
+        otherwise a (metadata-only) parquet count runs — cheap, but one
+        extra job per commit."""
         rel = f"data/{uuid.uuid4().hex}"
         full = f"{self.path}/{rel}"
         df.write.mode("overwrite").parquet(full)
-        rows = self.spark.read.parquet(full).count()
+        if rows is None:
+            rows = self.spark.read.parquet(full).count()
         prev = self.manifest()
         files = (prev["files"] if prev else []) + [{"path": rel, "rows": rows}]
         return self._commit(files, round_no, meta)
@@ -200,8 +208,11 @@ class FrontierStore:
             .drop("_rn")
         )
 
-    def merge_frontier(self, rows: DataFrame, round_no: int, meta: dict | None = None) -> int:
-        sid = self.frontier.append(rows, round_no, meta)
+    def merge_frontier(
+        self, rows: DataFrame, round_no: int, meta: dict | None = None,
+        n_rows: int | None = None,
+    ) -> int:
+        sid = self.frontier.append(rows, round_no, meta, rows=n_rows)
         self._maybe_compact(self.frontier, self.frontier_state, round_no)
         return sid
 
@@ -210,10 +221,10 @@ class FrontierStore:
     def seen_state(self, snapshot_id: int | None = None) -> DataFrame | None:
         return self.seen.read(snapshot_id)
 
-    def merge_seen(self, rows: DataFrame, round_no: int) -> int:
+    def merge_seen(self, rows: DataFrame, round_no: int, n_rows: int | None = None) -> int:
         """Insert-if-absent. Caller anti-joins first; we still drop in-batch
         dupes (D3 analog) so the table is unique by fp."""
-        return self.seen.append(rows.dropDuplicates(["fp"]), round_no)
+        return self.seen.append(rows.dropDuplicates(["fp"]), round_no, rows=n_rows)
 
     # -- results ---------------------------------------------------------------
 
@@ -228,16 +239,16 @@ class FrontierStore:
             .drop("_rn")
         )
 
-    def upsert_results(self, rows: DataFrame, round_no: int) -> int:
-        return self.results.append(rows, round_no)
+    def upsert_results(self, rows: DataFrame, round_no: int, n_rows: int | None = None) -> int:
+        return self.results.append(rows, round_no, rows=n_rows)
 
     # -- metrics ----------------------------------------------------------------
 
-    def append_metrics(self, rows: DataFrame, round_no: int) -> int:
-        return self.metrics.append(rows, round_no)
+    def append_metrics(self, rows: DataFrame, round_no: int, n_rows: int | None = None) -> int:
+        return self.metrics.append(rows, round_no, rows=n_rows)
 
-    def append_fetch_log(self, rows: DataFrame, round_no: int) -> int:
-        return self.fetch_log.append(rows, round_no)
+    def append_fetch_log(self, rows: DataFrame, round_no: int, n_rows: int | None = None) -> int:
+        return self.fetch_log.append(rows, round_no, rows=n_rows)
 
     def fetch_log_state(self) -> DataFrame | None:
         return self.fetch_log.read()

@@ -1,0 +1,97 @@
+#!/usr/bin/env python
+"""spark-submit entrypoint for the crawl engine.
+
+Cluster deployment (north_rule):
+
+    zip -r crawlspark.zip crawlspark
+    spark-submit --py-files crawlspark.zip \\
+        --conf spark.sql.adaptive.enabled=true \\
+        --conf spark.sql.adaptive.skewJoin.enabled=true \\
+        run_crawl.py --pages s3://bucket/pages --seeds s3://bucket/seeds \\
+        --robots s3://bucket/robots --store s3://bucket/crawl_state \\
+        --n-buckets 4096 --round-wall 60
+
+Local smoke:
+
+    python run_crawl.py --synthetic 1000 --store /tmp/crawl_state
+
+Resume a killed run by re-invoking with the same --store (and --resume).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser(description="crawlspark distributed crawl")
+    ap.add_argument("--pages", help="parquet/iceberg path of the pages corpus")
+    ap.add_argument("--seeds", help="parquet path of seeds (url, priority, seq)")
+    ap.add_argument("--robots", help="parquet path of robots rules")
+    ap.add_argument("--store", required=True, help="state-store root")
+    ap.add_argument("--synthetic", type=int, default=0,
+                    help="generate an N-page synthetic site instead of --pages")
+    ap.add_argument("--resume", action="store_true",
+                    help="resume from the last committed round (default when "
+                         "the store is already seeded)")
+    ap.add_argument("--max-rounds", type=int, default=1000)
+    ap.add_argument("--round-wall", type=float, default=60.0)
+    ap.add_argument("--per-host-cap", type=int, default=30)
+    ap.add_argument("--max-depth", type=int, default=1)
+    ap.add_argument("--n-buckets", type=int, default=64)
+    args = ap.parse_args()
+
+    from pyspark.sql import SparkSession
+
+    from crawlspark.runner import CrawlRunner
+    from crawlspark.scheduler import CrawlConfig
+    from crawlspark.schema import PAGES, ROBOTS, SEEDS
+
+    # under spark-submit the session master/conf come from the launcher
+    spark = SparkSession.builder.appName("crawlspark").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    cfg = CrawlConfig(
+        round_wall=args.round_wall,
+        per_host_cap=args.per_host_cap,
+        max_depth=args.max_depth,
+        n_buckets=args.n_buckets,
+    )
+    if args.synthetic:
+        from crawlspark.synth import SiteSpec, generate_site
+
+        per_list = 25
+        n_hosts = max(1, args.synthetic // 500)
+        site = generate_site(SiteSpec(
+            n_hosts=n_hosts,
+            lists_per_host=max(1, args.synthetic // (n_hosts * (per_list + 1))),
+            per_list=per_list,
+        ))
+        pages = spark.createDataFrame(site["pages"], schema=PAGES)
+        seeds = spark.createDataFrame(site["seeds"], schema=SEEDS)
+        robots = spark.createDataFrame(site["robots"], schema=ROBOTS)
+    else:
+        if not (args.pages and args.seeds and args.robots):
+            ap.error("--pages/--seeds/--robots required unless --synthetic")
+        pages = spark.read.parquet(args.pages)
+        seeds = spark.read.parquet(args.seeds)
+        robots = spark.read.parquet(args.robots)
+
+    runner = CrawlRunner(spark, args.store, cfg)
+    already_seeded = runner.store.last_committed_round() is not None
+    if not already_seeded:
+        runner.init(seeds)
+    res = runner.run(pages, robots, max_rounds=args.max_rounds)
+    print(json.dumps({
+        "rounds": res.rounds,
+        "fetched": res.total_fetched,
+        "resumed": already_seeded,
+        "per_round": res.counts,
+    }))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
