@@ -40,6 +40,7 @@ class CrawlConfig:
     priority_t1: int = 100         # rank<=100 -> priority 1 (douban2.py:160-166)
     priority_t2: int = 200         # rank<=200 -> priority 0, else -1
     max_urls_per_round: int | None = None  # global cap (P2 backpressure analog)
+    n_salts: int = 8               # hot-host salting fan-out for the pop window (P1)
 
     def host_budget(self, crawl_delay: float | None) -> int:
         d = crawl_delay if crawl_delay and crawl_delay > 0 else self.default_delay
@@ -90,9 +91,24 @@ def pop_slice(frontier_state: DataFrame, robots: DataFrame, cfg: CrawlConfig):
     denied = annotated.filter(F.col("_denied")).drop("_denied", "_budget")
     admissible = annotated.filter(~F.col("_denied"))
 
-    w = Window.partitionBy("host").orderBy(
-        F.desc("priority"), F.asc("seq"), F.asc("fp")
-    )
+    # EXPLICIT SKEW SALTING (north_rule; SURVEY §2.3 P1): a hot host with
+    # 10^7 queued rows would put its whole backlog in one window partition.
+    # Two-phase top-k is semantics-preserving: phase 1 takes the top
+    # `budget` rows within each (host, salt-of-fp) shard — any row in the
+    # host's true top-budget is in *some* shard's top-budget — then phase 2
+    # ranks the <= n_salts*budget survivors per host. The heavy window is
+    # salt-bounded; the exact window runs on a tiny set.
+    order = [F.desc("priority"), F.asc("seq"), F.asc("fp")]
+    if cfg.n_salts > 1:
+        w1 = Window.partitionBy(
+            "host", F.pmod(F.xxhash64("fp"), F.lit(cfg.n_salts))
+        ).orderBy(*order)
+        admissible = (
+            admissible.withColumn("_srn", F.row_number().over(w1))
+            .filter(F.col("_srn") <= F.col("_budget"))
+            .drop("_srn")
+        )
+    w = Window.partitionBy("host").orderBy(*order)
     sliced = (
         admissible.withColumn("_rn", F.row_number().over(w))
         .filter(F.col("_rn") <= F.col("_budget"))
