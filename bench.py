@@ -88,10 +88,14 @@ def bench_crawl(spark, n_pages_target: int) -> dict:
     root = tempfile.mkdtemp(prefix="crawlbench_")
     try:
         # materialize the corpus as parquet first: fetch joins must scan
-        # parquet (as in production), not re-serialize driver-side rows
-        spark.createDataFrame(site["pages"], schema=PAGES).write.mode(
-            "overwrite"
-        ).parquet(root + "/pages")
+        # parquet (as in production), not re-serialize driver-side rows.
+        # Pages are inflated (Spark-side) to realistic Common-Crawl size so
+        # the bench measures per-URL compute, not just round latency.
+        from crawlspark.synth import inflate_pages
+
+        pad_words = int(os.environ.get("SPARK_GRAFT_PAD_WORDS", "2000"))
+        base = spark.createDataFrame(site["pages"], schema=PAGES)
+        inflate_pages(base, pad_words).write.mode("overwrite").parquet(root + "/pages")
         pages = spark.read.parquet(root + "/pages")
         seeds = spark.createDataFrame(site["seeds"], schema=SEEDS)
         robots = spark.createDataFrame(site["robots"], schema=ROBOTS)
@@ -157,7 +161,8 @@ def main() -> None:
     # warm the JVM/codegen once so per-query times measure the engine
     _materialize(QUERIES["q29_key_lookup"](spark, sf_dir))
 
-    queries = bench_queries(spark, sf_dir)
+    skip_queries = os.environ.get("SPARK_GRAFT_SKIP_QUERIES", "0") == "1"
+    queries = bench_queries(spark, sf_dir) if not skip_queries else {}
     skip_crawl = os.environ.get("SPARK_GRAFT_SKIP_CRAWL", "0") == "1"
     skip_parity = os.environ.get("SPARK_GRAFT_SKIP_PARITY", "0") == "1"
     crawl = bench_crawl(spark, n_pages) if not skip_crawl else {}

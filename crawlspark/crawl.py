@@ -59,7 +59,7 @@ def seed_frontier(spark: SparkSession, store: FrontierStore, seeds: DataFrame, c
     /root/reference/scripts/run_crawler.py:165-280)."""
     canon = seeds.withColumn("url", canonicalize_urls(F.col("url")))
     rows = (
-        canon.withColumn("fp", fingerprint_col(F.col("url")))
+        canon.withColumn("fp", fingerprint_col(F.col("url"), already_canonical=True))
         .withColumn("host", host_col(F.col("url")))
         .withColumn("host_bucket", host_bucket_col(F.col("host"), cfg.n_buckets))
         .withColumn("depth", F.lit(0))
@@ -142,7 +142,7 @@ def run_round(
         .filter(F.col("url").startswith("http"))
         .withColumn("depth", (F.col("parent_depth") + 1).cast("int"))
         .filter(F.col("depth") <= cfg.max_depth)
-        .withColumn("fp", fingerprint_col(F.col("url")))
+        .withColumn("fp", fingerprint_col(F.col("url"), already_canonical=True))
         .withColumn("host", host_col(F.col("url")))
         .withColumn("host_bucket", host_bucket_col(F.col("host"), cfg.n_buckets))
         .withColumn("priority", link_priority_col(F.col("url"), cfg.priority_t1, cfg.priority_t2))

@@ -166,13 +166,17 @@ def extract_text(html_col: pd.Series) -> pd.Series:
     return html_col.map(html_to_text)
 
 
-def fingerprint_col(url_col: Column) -> Column:
+def fingerprint_col(url_col: Column, already_canonical: bool = False) -> Column:
     """K2: SHA1 fingerprint — stays entirely JVM-side/codegen'd.
 
     ``sha1(encode(canonicalize(url), 'utf-8'))`` — only the
-    canonicalization needs Python; hashing is a Spark builtin.
+    canonicalization needs Python; hashing is a Spark builtin. Pass
+    ``already_canonical=True`` when the column has been canonicalized
+    (canonicalization is idempotent; skipping the second Arrow pass
+    halves the Python work on the link-discovery path).
     """
-    return F.sha1(F.encode(canonicalize_urls(url_col), "utf-8"))
+    canon = url_col if already_canonical else canonicalize_urls(url_col)
+    return F.sha1(F.encode(canon, "utf-8"))
 
 
 def host_col(url_col: Column) -> Column:

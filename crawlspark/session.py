@@ -40,6 +40,12 @@ def get_spark(
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        # coalesce small shuffles by SIZE, not core count: with the default
+        # parallelismFirst=true every tiny shuffle still launches one task
+        # per core, a flat per-stage tax that grows with cluster size (the
+        # Spark docs recommend false for production)
+        .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", "false")
+        .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", "64m")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
@@ -47,6 +53,14 @@ def get_spark(
         # bloom filters on fingerprint columns: the Parquet-native stand-in
         # for the reference's Redis SET membership probe (SURVEY.md §2.2 D1)
         .config("spark.sql.parquet.filterPushdown", "true")
+        # input-split sizing: 128m (the default) is right at 100 TB but
+        # caps a small corpus at a handful of tasks (540 MB corpus -> 5
+        # splits -> 5-way parallelism no matter how many cores). 16m keeps
+        # sandbox-scale runs parallel; override for big data.
+        .config(
+            "spark.sql.files.maxPartitionBytes",
+            os.environ.get("CRAWLSPARK_MAX_PARTITION_BYTES", "16m"),
+        )
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("CRAWLSPARK_DRIVER_MEM", "48g"))
     )

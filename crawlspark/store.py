@@ -108,9 +108,17 @@ class SnapshotStore:
 
         ``rows`` lets the caller pass an already-known count for lineage;
         otherwise a (metadata-only) parquet count runs — cheap, but one
-        extra job per commit."""
+        extra job per commit.
+
+        Small appends are coalesced to a few files: without this, every
+        delta writes shuffle.partitions files, and each subsequent round
+        re-lists and re-reads them all — the classic small-file problem,
+        here an actual anti-scaling term (more cores -> more files ->
+        slower rounds)."""
         rel = f"data/{uuid.uuid4().hex}"
         full = f"{self.path}/{rel}"
+        if rows is not None:
+            df = df.coalesce(max(1, min(32, rows // 250_000 + 1)))
         df.write.mode("overwrite").parquet(full)
         if rows is None:
             rows = self.spark.read.parquet(full).count()

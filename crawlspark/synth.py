@@ -185,6 +185,41 @@ def _page_row(url: str, html: bytes, hi: int, salt: int) -> dict:
     }
 
 
+def inflate_pages(pages_df, n_pad_words: int = 2000):
+    """Distributed page inflation: pad every page to realistic
+    Common-Crawl size (tens of KB) WITHOUT breaking the byte-identity
+    invariant. A deterministic per-url word sequence is appended inside a
+    final ``<p class="pad">...</p>`` block before ``</body>``; the same
+    words are appended to ``text`` — so ``html_to_text(html) == text``
+    still holds exactly (tags -> space, whitespace collapsed).
+
+    Pure builtin expressions (sequence/transform/concat) — generation
+    scales with executors, never through the driver.
+    """
+    from pyspark.sql import functions as F
+
+    pad_words = F.concat_ws(
+        " ",
+        F.transform(
+            F.sequence(F.lit(1), F.lit(n_pad_words)),
+            lambda i: F.concat(
+                F.lit("pad"), F.pmod(F.xxhash64(F.col("url")) + i, F.lit(997))
+            ),
+        ),
+    )
+    html_str = F.decode(F.col("html"), "utf-8")
+    inflated_html = F.encode(
+        F.replace(
+            html_str,
+            F.lit("</body>"),
+            F.concat(F.lit('<p class="pad">'), pad_words, F.lit("</p></body>")),
+        ),
+        "utf-8",
+    )
+    inflated_text = F.concat(F.col("text"), F.lit(" "), pad_words)
+    return pages_df.withColumn("html", inflated_html).withColumn("text", inflated_text)
+
+
 def write_site(spark, spec: SiteSpec, out_dir: str) -> dict[str, str]:
     """Materialize the corpus as parquet under ``out_dir``; returns paths."""
     from .schema import PAGES, ROBOTS, SEEDS

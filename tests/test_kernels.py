@@ -98,6 +98,25 @@ def test_extract_text_byte_identity_whole_corpus(spark):
     assert mismatches == 0
 
 
+def test_inflated_pages_keep_byte_identity(spark):
+    """inflate_pages pads html AND text consistently: the extract_text
+    invariant must survive inflation (bench runs on inflated pages)."""
+    from crawlspark.schema import PAGES
+    from crawlspark.synth import inflate_pages
+
+    data = generate_site(SiteSpec(n_hosts=2, lists_per_host=1, per_list=3))
+    pages = inflate_pages(
+        spark.createDataFrame(data["pages"], schema=PAGES), n_pad_words=50
+    )
+    rows = pages.select(
+        "url",
+        (extract_text(F.col("html")) == F.col("text")).alias("ok"),
+        F.length("text").alias("n"),
+    ).collect()
+    assert all(r["ok"] for r in rows), [r["url"] for r in rows if not r["ok"]]
+    assert all(r["n"] > 300 for r in rows)  # actually inflated
+
+
 def test_extract_records_and_links_spark_matches_pure(spark):
     data = generate_site(SiteSpec(n_hosts=2, lists_per_host=2, per_list=4))
     from crawlspark.schema import PAGES
