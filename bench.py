@@ -166,7 +166,7 @@ def main() -> None:
     skip_crawl = os.environ.get("SPARK_GRAFT_SKIP_CRAWL", "0") == "1"
     skip_parity = os.environ.get("SPARK_GRAFT_SKIP_PARITY", "0") == "1"
     crawl = bench_crawl(spark, n_pages) if not skip_crawl else {}
-    parity = bench_crawl_parity(spark) if not (skip_crawl or skip_parity) else {}
+    parity = bench_crawl_parity(spark) if not skip_parity else {}
     total = round(sum(queries.values()), 3)
     print(
         json.dumps(

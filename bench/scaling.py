@@ -60,13 +60,17 @@ def _save(name: str, obj) -> None:
 
 
 def cmd_crawl(pages: int, sf_dir: str, reps: int) -> None:
+    path = os.path.join(BENCH_DIR, "crawl_runs.json")
     runs: dict[int, list] = {lv: [] for lv in LEVELS}
+    if os.path.exists(path):  # accumulate across invocations
+        with open(path) as f:
+            runs.update({int(k): v for k, v in json.load(f).items()})
     for i in range(reps):
         for lv in LEVELS:  # interleave so temporal drift hits both levels
             r = run_bench(lv, pages, sf_dir, crawl=True, suite=False)
             runs[lv].append(r["crawl"])
+            _save("crawl_runs.json", runs)  # save after every run
             print(json.dumps({"rep": i, "level": lv, "crawl": r["crawl"]}), flush=True)
-    _save("crawl_runs.json", runs)
 
 
 def cmd_suite(pages: int, sf_dir: str) -> None:

@@ -118,7 +118,11 @@ class SnapshotStore:
         rel = f"data/{uuid.uuid4().hex}"
         full = f"{self.path}/{rel}"
         if rows is not None:
-            df = df.coalesce(max(1, min(32, rows // 250_000 + 1)))
+            # repartition (a real exchange), NOT coalesce: coalesce(k)
+            # collapses the upstream DAG onto k tasks, serializing the
+            # whole compute; an exchange keeps upstream wide and only the
+            # tiny write narrow.
+            df = df.repartition(max(1, min(32, rows // 250_000 + 1)))
         df.write.mode("overwrite").parquet(full)
         if rows is None:
             rows = self.spark.read.parquet(full).count()
