@@ -193,6 +193,35 @@ def rate_range_analysis(m: DataFrame) -> DataFrame:  # R11, R21 (INSTR+SUBSTR)
     )
 
 
+def votes_trend(m: DataFrame) -> DataFrame:  # sql/queries.sql:145-153 (5.2)
+    return m.groupBy(F.substring("release_date", 1, 4).alias("year")).agg(
+        F.round(F.avg("num"), 0).alias("avg_votes"),
+        F.max("num").alias("max_votes"),
+        F.min("num").alias("min_votes"),
+    )
+
+
+def high_rated_genres(m: DataFrame) -> DataFrame:  # sql/queries.sql:156-164 (6.1)
+    return (
+        m.filter(F.col("rate") >= 9.0)
+        .groupBy("genres")
+        .agg(
+            F.count("*").alias("movie_count"),
+            F.round(F.avg("rate"), 2).alias("avg_rate"),
+            F.round(F.avg("num"), 0).alias("avg_votes"),
+        )
+    )
+
+
+def genre_rate_votes_year(m: DataFrame) -> DataFrame:  # sql/queries.sql:193-200 (7.2)
+    return m.filter(
+        F.col("genres").contains("剧情")
+        & (F.col("rate") >= 8.5)
+        & (F.col("num") >= 50000)
+        & (F.substring("release_date", 1, 4) >= "2000")
+    ).select("name", "director", "rate", "genres", "num")
+
+
 def data_quality(m: DataFrame) -> DataFrame:  # R5, R15, R30
     def missing(c):
         return F.sum(F.when(F.col(c).isNull() | (F.col(c) == ""), 1).otherwise(0))
@@ -352,6 +381,22 @@ CORPUS: dict[str, tuple] = {
         "ORDER BY CASE WHEN instr(genres,'/') > 0 "
         "THEN substr(genres,1,instr(genres,'/')-1) ELSE genres END) AS main_genres "
         "FROM movies_all GROUP BY 1",
+    ),
+    "votes_trend": (
+        votes_trend,
+        "SELECT substr(release_date,1,4) AS year, round(avg(num),0) AS avg_votes, "
+        "max(num) AS max_votes, min(num) AS min_votes FROM movies_all GROUP BY 1",
+    ),
+    "high_rated_genres": (
+        high_rated_genres,
+        "SELECT genres, count(*) AS movie_count, round(avg(rate),2) AS avg_rate, "
+        "round(avg(num),0) AS avg_votes FROM movies_all WHERE rate >= 9.0 GROUP BY genres",
+    ),
+    "genre_rate_votes_year": (
+        genre_rate_votes_year,
+        "SELECT name, director, rate, genres, num FROM movies_all "
+        "WHERE genres LIKE '%剧情%' AND rate >= 8.5 AND num >= 50000 "
+        "AND substr(release_date,1,4) >= '2000'",
     ),
     "data_quality": (
         data_quality,

@@ -85,6 +85,7 @@ def run_round(
     robots: DataFrame,
     cfg: CrawlConfig,
     round_no: int,
+    budget_scale: float = 1.0,
 ) -> dict:
     """Execute one round; returns metric counts. Commit order matters:
     seen/results/fetch_log/metrics first, frontier LAST — the frontier
@@ -93,7 +94,7 @@ def run_round(
     state = store.frontier_state()
     if state is None:
         return {"popped": 0}
-    sliced, denied = pop_slice(state, robots, cfg)
+    sliced, denied = pop_slice(state, robots, cfg, budget_scale)
     sliced = sliced.cache()
     denied = denied.cache()
     n_popped = sliced.count()

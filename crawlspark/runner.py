@@ -67,9 +67,16 @@ class CrawlRunner:
         start = self.resume_round()
         counts: list[dict] = []
         r = start
+        budget_scale = 1.0
         while r < start + max_rounds:
-            c = run_round(self.spark, self.store, pages, robots, self.cfg, r)
+            c = run_round(self.spark, self.store, pages, robots, self.cfg, r,
+                          budget_scale=budget_scale)
             counts.append(c)
+            # AUTOTHROTTLE feedback (N3): adjust next round's budgets from
+            # this round's observed failure ratio
+            budget_scale = self.cfg.next_budget_scale(
+                budget_scale, c.get("popped", 0), c.get("missed", 0)
+            )
             if c.get("popped", 0) == 0:
                 break
             if max_items is not None:

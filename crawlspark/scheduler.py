@@ -41,13 +41,35 @@ class CrawlConfig:
     priority_t2: int = 200         # rank<=200 -> priority 0, else -1
     max_urls_per_round: int | None = None  # global cap (P2 backpressure analog)
     n_salts: int = 8               # hot-host salting fan-out for the pop window (P1)
+    # AUTOTHROTTLE analog (Douban2/settings.py:29-33): feedback on budgets
+    # instead of on sleep delays — backoff when fetches fail, recover when
+    # clean. Off by default (parity tests pin the static-budget semantics).
+    autothrottle: bool = False
+    at_backoff: float = 0.5        # scale multiplier after a bad round
+    at_recover: float = 1.5        # scale multiplier after a clean round
+    at_miss_threshold: float = 0.2  # miss ratio that counts as "bad"
+    at_min_scale: float = 0.05
 
     def host_budget(self, crawl_delay: float | None) -> int:
         d = crawl_delay if crawl_delay and crawl_delay > 0 else self.default_delay
         return max(1, min(int(self.round_wall // d), self.per_host_cap))
 
+    def next_budget_scale(self, scale: float, popped: int, missed: int) -> float:
+        """AUTOTHROTTLE feedback: shrink budgets when the miss (failure)
+        ratio is high, recover toward 1.0 when rounds are clean."""
+        if not self.autothrottle or popped <= 0:
+            return scale
+        miss_ratio = missed / popped
+        if miss_ratio > self.at_miss_threshold:
+            return max(self.at_min_scale, scale * self.at_backoff)
+        if missed == 0:
+            return min(1.0, scale * self.at_recover)
+        return scale
 
-def with_robots(queued: DataFrame, robots: DataFrame, cfg: CrawlConfig) -> DataFrame:
+
+def with_robots(
+    queued: DataFrame, robots: DataFrame, cfg: CrawlConfig, budget_scale: float = 1.0
+) -> DataFrame:
     """Annotate queued rows with robots verdict + per-host budget.
 
     ``robots`` is tiny (one row per known host) -> broadcast hash join;
@@ -65,19 +87,28 @@ def with_robots(queued: DataFrame, robots: DataFrame, cfg: CrawlConfig) -> DataF
         F.col("deny_prefixes").isNotNull(),
         F.exists("deny_prefixes", lambda p: path.startswith(p)),
     ).otherwise(F.lit(False))
-    budget = F.least(
-        F.greatest(
-            F.floor(F.lit(cfg.round_wall) / F.coalesce(F.col("crawl_delay"), F.lit(cfg.default_delay))),
-            F.lit(1),
+    budget = F.greatest(
+        F.floor(
+            F.least(
+                F.greatest(
+                    F.floor(F.lit(cfg.round_wall) / F.coalesce(F.col("crawl_delay"), F.lit(cfg.default_delay))),
+                    F.lit(1),
+                ),
+                F.lit(cfg.per_host_cap),
+            )
+            * F.lit(budget_scale)
         ),
-        F.lit(cfg.per_host_cap),
+        F.lit(1),
     ).cast("int")
     return out.withColumn("_denied", denied).withColumn("_budget", budget).drop(
         "deny_prefixes", "crawl_delay"
     )
 
 
-def pop_slice(frontier_state: DataFrame, robots: DataFrame, cfg: CrawlConfig):
+def pop_slice(
+    frontier_state: DataFrame, robots: DataFrame, cfg: CrawlConfig,
+    budget_scale: float = 1.0,
+):
     """One round's admission. Returns (slice, denied).
 
     slice rows carry ``_rn`` — the pop position within the host, 1..budget —
@@ -87,7 +118,7 @@ def pop_slice(frontier_state: DataFrame, robots: DataFrame, cfg: CrawlConfig):
     handles the hot-host skew the reference throttles by hand.
     """
     queued = frontier_state.filter(F.col("status") == STATUS_QUEUED)
-    annotated = with_robots(queued, robots, cfg)
+    annotated = with_robots(queued, robots, cfg, budget_scale)
     denied = annotated.filter(F.col("_denied")).drop("_denied", "_budget")
     admissible = annotated.filter(~F.col("_denied"))
 

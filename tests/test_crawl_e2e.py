@@ -129,3 +129,17 @@ def test_metrics_and_lineage_recorded(engine_run):
     # per-partition lineage in every manifest (north_rule checkpoint contract)
     for man in runner.store.frontier.snapshots():
         assert all("rows" in f for f in man["files"])
+
+
+def test_autothrottle_backoff(spark, tmp_path):
+    """N3 feedback: a site full of dead links shrinks budgets the next
+    round; a clean site keeps scale at 1.0 (static parity preserved)."""
+    from crawlspark.scheduler import CrawlConfig
+
+    cfg = CrawlConfig(autothrottle=True)
+    assert cfg.next_budget_scale(1.0, popped=10, missed=5) == 0.5
+    assert cfg.next_budget_scale(0.5, popped=10, missed=0) == 0.75
+    assert cfg.next_budget_scale(1.0, popped=10, missed=0) == 1.0
+    assert cfg.next_budget_scale(1.0, popped=10, missed=1) == 1.0  # within threshold
+    off = CrawlConfig(autothrottle=False)
+    assert off.next_budget_scale(1.0, popped=10, missed=9) == 1.0
