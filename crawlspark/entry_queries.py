@@ -138,6 +138,16 @@ def q14_count_distinct(spark, sf_dir):
     )
 
 
+def q14b_approx_distinct(spark, sf_dir):
+    """R14 scale path: approx_count_distinct (HLL) — the 10^10-scale
+    replacement for exact distinct; sketch internals differ per engine so
+    this entry takes the rows-only check (no SQL oracle)."""
+    e = _t(spark, sf_dir, "events")
+    return e.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id", rsd=0.02).alias("n_users_approx"),
+    )
+
+
 def q15_conditional_agg(spark, sf_dir):
     """R15: SUM(CASE WHEN ...)."""
     o = _t(spark, sf_dir, "orders")
@@ -400,6 +410,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q10_group_by_expr": q10_group_by_expr,
     "q11_case_buckets": q11_case_buckets,
     "q14_count_distinct": q14_count_distinct,
+    "q14b_approx_distinct": q14b_approx_distinct,
     "q15_conditional_agg": q15_conditional_agg,
     "q17_having": q17_having,
     "q18_group_concat": q18_group_concat,

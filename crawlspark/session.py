@@ -49,6 +49,10 @@ def get_spark(
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # bound Arrow batch memory for binary-heavy rows: 10k rows/batch
+        # (the default) of 50-100 KB pages is a 0.5-1 GB batch per python
+        # worker; 2048 keeps extraction batches in the tens of MB
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "2048")
         .config("spark.sql.parquet.compression.codec", "snappy")
         # bloom filters on fingerprint columns: the Parquet-native stand-in
         # for the reference's Redis SET membership probe (SURVEY.md §2.2 D1)
