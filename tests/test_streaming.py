@@ -47,6 +47,44 @@ def test_windowed_agg_matches_batch(spark, tmp_path):
         assert want[k] == v
 
 
+def test_sessionize_stateful(spark, tmp_path):
+    """applyInPandasWithState sessionization: two bursts separated by more
+    than the gap become two sessions per user once the watermark passes."""
+    import datetime as dt
+
+    base = dt.datetime(2024, 1, 1, 0, 0, 0)
+    rows = []
+    eid = 0
+    for user in (1, 2):
+        for burst_start in (0, 1200):  # two bursts, 20 min apart (gap=300s)
+            for k in range(3):
+                rows.append((eid, base + dt.timedelta(seconds=burst_start + 10 * k),
+                             user, "click", 1.0))
+                eid += 1
+    # a late sentinel event far in the future advances the watermark so
+    # both sessions time out and emit
+    rows.append((eid, base + dt.timedelta(hours=2), 99, "click", 0.0))
+    src = str(tmp_path / "sess_events")
+    spark.createDataFrame(rows, schema=st.EVENT_STREAM_SCHEMA).write.mode(
+        "overwrite"
+    ).parquet(src)
+
+    sessions = st.sessionize(st.read_event_stream(spark, src, max_files=100),
+                             gap_seconds=300, watermark="0 seconds")
+    out = str(tmp_path / "sess_out")
+    st.run_to_table(sessions, str(tmp_path / "sess_ckpt"), out)
+    got = spark.read.parquet(out).collect()
+    per_user = {}
+    for r in got:
+        per_user.setdefault(r["user_id"], []).append(r)
+    for user in (1, 2):
+        assert user in per_user, f"user {user} sessions missing: {got}"
+        for s in per_user[user]:
+            assert s["n_events"] == 3
+            assert s["total_value"] == 3.0
+            assert (s["session_end"] - s["session_start"]).total_seconds() == 20
+
+
 def test_stream_metrics_over_store(spark, tmp_path):
     from crawlspark.schema import METRICS
     from crawlspark.store import FrontierStore
