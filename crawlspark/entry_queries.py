@@ -388,6 +388,14 @@ def t09_embedding_near_dup(spark, sf_dir):
     return sim.embedding_near_dup(e, threshold=0.8)
 
 
+def t11_ann_ivf(spark, sf_dir):
+    """IVF ANN (k-means coarse quantizer, nprobe probing) — the scale path
+    beyond sign-LSH; iterative k-means is not SQL-expressible, so this
+    entry takes the rows-only check."""
+    e = _t(spark, sf_dir, "embeddings")
+    return sim.ivf_topk(e, query_ids=[0, 1, 2, 3, 4], k=5, nlist=8, nprobe=4)
+
+
 def t10_label_centroid_sim(spark, sf_dir):
     """Per-label mean cosine vs label-0 centroid — aggregate over vector
     column via element-wise avg (posexplode-free: aggregate on arrays)."""
@@ -436,6 +444,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "t08_ann_lsh_bucketed": t08_ann_lsh_bucketed,
     "t09_embedding_near_dup": t09_embedding_near_dup,
     "t10_label_centroid_sim": t10_label_centroid_sim,
+    "t11_ann_ivf": t11_ann_ivf,
 }
 
 # ---------------------------------------------------------------------------

@@ -125,6 +125,73 @@ def lsh_topk(
     )
 
 
+def ivf_topk(
+    embeddings: DataFrame,
+    query_ids: list[int],
+    k: int = 5,
+    nlist: int = 16,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+) -> DataFrame:
+    """IVF (inverted-file) ANN: a k-means coarse quantizer partitions the
+    corpus into ``nlist`` cells; a query scans only its ``nprobe`` nearest
+    cells. The standard production ANN layout (FAISS IVF-Flat shape) done
+    Spark-native: centroids broadcast, cell assignment is one pass, the
+    search is an equi-join on cell id — same join geometry as the
+    frontier's host_bucket placement.
+
+    Deterministic given ``seed``. Recall < 1 by design; tests assert
+    recall vs cosine_topk.
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    with_vec = embeddings.select(
+        F.col(id_col).alias("nid"),
+        F.col(vec_col).alias("arr"),
+        array_to_vector(F.col(vec_col)).alias("features"),
+    )
+    model = KMeans(k=nlist, seed=seed, maxIter=20).fit(with_vec)
+    assigned = model.transform(with_vec).select(
+        "nid", "arr", F.col("prediction").alias("cell")
+    )
+
+    # nprobe nearest centroids per query vector (centroids are tiny ->
+    # computed driver-side, shipped as a literal probe map)
+    centers = [list(map(float, c)) for c in model.clusterCenters()]
+    q_rows = assigned.filter(F.col("nid").isin(query_ids)).select("nid", "arr").collect()
+
+    def _dist2(a, c):
+        return sum((float(x) - y) ** 2 for x, y in zip(a, c))
+
+    probes = []
+    for r in q_rows:
+        order = sorted(range(len(centers)), key=lambda i: _dist2(r["arr"], centers[i]))
+        for cell in order[:nprobe]:
+            probes.append((r["nid"], r["arr"], cell))
+    probe_df = embeddings.sparkSession.createDataFrame(
+        probes, ["query_id", "qvec", "cell"]
+    )
+
+    scored = (
+        assigned.join(F.broadcast(probe_df), "cell")
+        .filter(F.col("nid") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("nid").alias("neighbor_id"),
+            F.round(cosine_col(F.col("qvec"), F.col("arr")), 6).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+    )
+
+
 def embedding_near_dup(
     embeddings: DataFrame,
     threshold: float = 0.95,

@@ -147,3 +147,25 @@ def test_multimodal_plumbing(spark):
     frames = multimodal.frame_sample(media, every_ms=500)
     one = frames.groupBy("media_id").count().collect()
     assert all(r["count"] >= 2 for r in one)
+
+
+def test_ivf_topk_recall_vs_brute_force(spark):
+    """IVF ANN: nprobe=4/16 cells must recover most of the exact top-5
+    (recall >= 0.5 on random-ish embeddings; =1.0 when nprobe=nlist)."""
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    qids = [0, 1, 2]
+    exact = {
+        (r["query_id"], r["neighbor_id"])
+        for r in similarity.cosine_topk(emb, query_ids=qids, k=5).collect()
+    }
+    approx = {
+        (r["query_id"], r["neighbor_id"])
+        for r in similarity.ivf_topk(emb, query_ids=qids, k=5, nlist=8, nprobe=4).collect()
+    }
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.5, f"recall {recall}"
+    full = {
+        (r["query_id"], r["neighbor_id"])
+        for r in similarity.ivf_topk(emb, query_ids=qids, k=5, nlist=8, nprobe=8).collect()
+    }
+    assert full == exact  # probing every cell == brute force
