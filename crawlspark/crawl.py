@@ -94,12 +94,16 @@ def run_round(
     state = store.frontier_state()
     if state is None:
         return {"popped": 0}
+    # cache the resolved state: both the pop slice and the denied branch
+    # derive from it, and the merge-on-read window must not run twice
+    state = state.cache()
     sliced, denied = pop_slice(state, robots, cfg, budget_scale)
     sliced = sliced.cache()
     denied = denied.cache()
     n_popped = sliced.count()
     n_denied = denied.count()
     if n_popped == 0 and n_denied == 0:
+        state.unpersist()
         sliced.unpersist()
         denied.unpersist()
         return {"popped": 0}
@@ -208,8 +212,20 @@ def run_round(
     )
 
     # ---- commits (frontier last = round commit point) ----
-    n_items = records.count()
-    n_fetched = ext.select("url").distinct().count()
+    # one aggregate job yields both fetch and item counts (fewer
+    # driver-serial actions per round)
+    _valid_rec = (
+        (F.col("kind") == "detail")
+        & F.col("name").isNotNull()
+        & F.col("rank").isNotNull()
+        & (F.col("rank") >= 1)
+    )
+    _stats = ext.agg(
+        F.countDistinct("url").alias("nf"),
+        F.sum(F.when(_valid_rec, 1).otherwise(0)).alias("ni"),
+    ).collect()[0]
+    n_fetched = int(_stats["nf"] or 0)
+    n_items = int(_stats["ni"] or 0)
     counts = {
         "popped": n_popped,
         "fetched": n_fetched,
@@ -248,6 +264,7 @@ def run_round(
         n_rows=n_popped + n_denied + n_new,
     )
 
+    state.unpersist()
     sliced.unpersist()
     denied.unpersist()
     ext.unpersist()
