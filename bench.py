@@ -84,7 +84,9 @@ def bench_crawl(spark, n_pages_target: int) -> dict:
             seed=42,
         )
     )
-    cfg = CrawlConfig(round_wall=1e9, per_host_cap=10**9, max_depth=1)
+    # per_host_cap: effectively unbounded for the bench site but within the
+    # discovery counter's 2^20 parent_rn field (CrawlConfig validates)
+    cfg = CrawlConfig(round_wall=1e9, per_host_cap=10**6, max_depth=1)
     root = tempfile.mkdtemp(prefix="crawlbench_")
     try:
         # materialize the corpus as parquet first: fetch joins must scan

@@ -350,8 +350,13 @@ def t03_exact_dedup(spark, sf_dir):
 
 
 def t04_ngram_jaccard(spark, sf_dir):
+    """Exact k-gram Jaccard near-dup pairs WITH the stop-shingle cap on
+    (max_df=100): shingles appearing in >100 docs are boilerplate — they
+    carry no near-dup signal but quadratic join cost. The oracle applies
+    the identical cap, so the gate checks the scale configuration, not
+    just the unguarded small-data path."""
     d = _t(spark, sf_dir, "documents")
-    return dd.ngram_jaccard_pairs(d, k=3, threshold=0.2)
+    return dd.ngram_jaccard_pairs(d, k=3, threshold=0.2, max_df=100)
 
 
 def t05_minhash_signature(spark, sf_dir):
@@ -491,9 +496,9 @@ ORACLES: dict[str, str] = {
     """,
     "q05_null_empty_audit": """
         SELECT count(*) AS total_docs,
-               sum(CASE WHEN source IS NULL OR source = '' THEN 1 ELSE 0 END) AS missing_source,
-               sum(CASE WHEN text IS NULL OR text = '' THEN 1 ELSE 0 END) AS missing_text,
-               sum(CASE WHEN n_chars <= 0 THEN 1 ELSE 0 END) AS empty_docs
+               CAST(sum(CASE WHEN source IS NULL OR source = '' THEN 1 ELSE 0 END) AS BIGINT) AS missing_source,
+               CAST(sum(CASE WHEN text IS NULL OR text = '' THEN 1 ELSE 0 END) AS BIGINT) AS missing_text,
+               CAST(sum(CASE WHEN n_chars <= 0 THEN 1 ELSE 0 END) AS BIGINT) AS empty_docs
         FROM documents
     """,
     "q07_topk": """
@@ -519,8 +524,8 @@ ORACLES: dict[str, str] = {
         SELECT event_type, count(DISTINCT user_id) AS n_users FROM events GROUP BY event_type
     """,
     "q15_conditional_agg": """
-        SELECT sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS n_finished,
-               sum(CASE WHEN o_totalprice > 100000 THEN 1 ELSE 0 END) AS n_big,
+        SELECT CAST(sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS n_finished,
+               CAST(sum(CASE WHEN o_totalprice > 100000 THEN 1 ELSE 0 END) AS BIGINT) AS n_big,
                count(*) AS n_total
         FROM orders
     """,
@@ -553,9 +558,9 @@ ORACLES: dict[str, str] = {
     """,
     "q28_pivot_histogram": """
         SELECT event_type,
-               sum(CASE WHEN value < 50 THEN 1 ELSE 0 END) AS lo,
-               sum(CASE WHEN value >= 50 AND value < 200 THEN 1 ELSE 0 END) AS mid,
-               sum(CASE WHEN value >= 200 THEN 1 ELSE 0 END) AS hi
+               CAST(sum(CASE WHEN value < 50 THEN 1 ELSE 0 END) AS BIGINT) AS lo,
+               CAST(sum(CASE WHEN value >= 50 AND value < 200 THEN 1 ELSE 0 END) AS BIGINT) AS mid,
+               CAST(sum(CASE WHEN value >= 200 THEN 1 ELSE 0 END) AS BIGINT) AS hi
         FROM events GROUP BY event_type
     """,
     "q29_key_lookup": """
@@ -631,11 +636,15 @@ ORACLES: dict[str, str] = {
         FROM documents GROUP BY 1
     """,
     "t04_ngram_jaccard": _SHINGLES + """
-        , sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id)
+        , shc AS (  -- stop-shingle cap, mirror of shingle_index(max_df=100)
+            SELECT * FROM sh WHERE shingle NOT IN (
+                SELECT shingle FROM sh GROUP BY shingle HAVING count(*) > 100)
+        )
+        , sizes AS (SELECT doc_id, count(*) AS n_sh FROM shc GROUP BY doc_id)
         SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_inter,
                round(CAST(count(*) AS double)
                      / (any_value(sa.n_sh) + any_value(sb.n_sh) - count(*)), 6) AS jaccard
-        FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        FROM shc a JOIN shc b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
         JOIN sizes sa ON sa.doc_id = a.doc_id
         JOIN sizes sb ON sb.doc_id = b.doc_id
         GROUP BY a.doc_id, b.doc_id

@@ -68,6 +68,7 @@ class CrawlRunner:
         counts: list[dict] = []
         r = start
         budget_scale = 1.0
+        items_emitted = 0
         while r < start + max_rounds:
             c = run_round(self.spark, self.store, pages, robots, self.cfg, r,
                           budget_scale=budget_scale)
@@ -79,14 +80,22 @@ class CrawlRunner:
             )
             if c.get("popped", 0) == 0:
                 break
-            if max_items is not None:
-                res = self.store.results_state()
-                if res is not None and res.count() >= max_items:
-                    break
+            # max_items: maintained from per-round item deltas (already
+            # known from the round's own aggregate) — no extra
+            # results_state() resolve+count job per round. Emitted items
+            # upper-bound distinct results, matching the reference's
+            # "close when N items collected" counter semantics
+            # (Douban2/pipelines.py item counter, incremented per emit).
+            items_emitted += c.get("items", 0)
+            if max_items is not None and items_emitted >= max_items:
+                break
             if stop_after_round is not None and r >= stop_after_round:
                 break
             r += 1
-        return RunResult(rounds=r - start + 1, counts=counts)
+        # executed-rounds count derives from the counts list, not the loop
+        # variable (the max_rounds exit path leaves r one past the last
+        # executed round)
+        return RunResult(rounds=len(counts), counts=counts)
 
     # -- observables ---------------------------------------------------------
 

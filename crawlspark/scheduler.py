@@ -26,7 +26,7 @@ from dataclasses import dataclass
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from .schema import STATUS_QUEUED
+from .schema import MAX_PARENT_RN, STATUS_QUEUED
 
 
 @dataclass
@@ -49,6 +49,17 @@ class CrawlConfig:
     at_recover: float = 1.5        # scale multiplier after a clean round
     at_miss_threshold: float = 0.2  # miss ratio that counts as "bad"
     at_min_scale: float = 0.05
+
+    def __post_init__(self) -> None:
+        # the pop position (parent_rn) is bounded by the per-host budget;
+        # the discovery counter packs it into a 2^20-wide field — fail fast
+        # instead of silently corrupting the FIFO order at runtime
+        if self.per_host_cap >= MAX_PARENT_RN:
+            raise ValueError(
+                f"per_host_cap={self.per_host_cap} >= 2^20 would overflow the "
+                "discovery-counter parent_rn field (seq = round*2^32 + rn*2^12 "
+                "+ link_idx); use <= 1048575"
+            )
 
     def host_budget(self, crawl_delay: float | None) -> int:
         d = crawl_delay if crawl_delay and crawl_delay > 0 else self.default_delay
@@ -146,12 +157,13 @@ def pop_slice(
         .drop("_denied", "_budget")
     )
     if cfg.max_urls_per_round is not None:
-        wg = Window.orderBy(F.desc("priority"), F.asc("seq"), F.asc("fp"))
-        sliced = (
-            sliced.withColumn("_grn", F.row_number().over(wg))
-            .filter(F.col("_grn") <= cfg.max_urls_per_round)
-            .drop("_grn")
-        )
+        # global top-k via sort+limit: Spark plans this as TakeOrdered
+        # (per-partition top-k, merge of k rows) — no single-partition
+        # Exchange like a global row_number() window would need. Rows per
+        # host are already <= budget, so k is small relative to the slice.
+        sliced = sliced.orderBy(
+            F.desc("priority"), F.asc("seq"), F.asc("fp")
+        ).limit(cfg.max_urls_per_round)
     return sliced, denied
 
 

@@ -143,6 +143,15 @@ MOVIES = T.StructType(
 
 N_BUCKETS_DEFAULT = 64  # sandbox default; 4096 at 10^10-frontier scale
 
+# Discovery-counter field widths (crawl.py docstring):
+#   seq = (round+1)*S_ROUND + parent_rn*S_PARENT + link_idx
+# Valid iff parent_rn < S_ROUND/S_PARENT (2^20) and link_idx < S_PARENT
+# (2^12); violations are raised loudly (CrawlConfig.__post_init__ bounds
+# the pop budget; a row-level raise_error guards link_idx at runtime).
+S_ROUND = 1 << 32
+S_PARENT = 1 << 12
+MAX_PARENT_RN = S_ROUND // S_PARENT  # 2^20
+
 STATUS_QUEUED = "queued"
 STATUS_DONE = "done"
 STATUS_FAILED = "failed"

@@ -170,9 +170,12 @@ def ivf_topk(
     for r in q_rows:
         order = sorted(range(len(centers)), key=lambda i: _dist2(r["arr"], centers[i]))
         for cell in order[:nprobe]:
-            probes.append((r["nid"], r["arr"], cell))
+            probes.append((int(r["nid"]), [float(x) for x in r["arr"]], cell))
+    # explicit schema: an empty probe list (no query_ids present) must
+    # yield an empty result like cosine_topk does, not an infer error
     probe_df = embeddings.sparkSession.createDataFrame(
-        probes, ["query_id", "qvec", "cell"]
+        probes,
+        schema="query_id long, qvec array<double>, cell int",
     )
 
     scored = (
