@@ -139,8 +139,9 @@ def bench_crawl_parity(spark) -> dict:
         runner = CrawlRunner(spark, root + "/store", cfg)
         runner.init(seeds)
         res = runner.run(pages, robots)
-        # the final empty round only detects drain; exclude it from sim time
-        active_rounds = max(1, res.rounds - 1)
+        # sim time counts rounds that actually popped work (the runner no
+        # longer pays a trailing drain-detection round)
+        active_rounds = max(1, sum(1 for c in res.counts if c.get("popped", 0) > 0))
         sim_time = active_rounds * cfg.round_wall
         return {
             "urls_fetched": res.total_fetched,

@@ -38,7 +38,6 @@ from .kernels import canonicalize_urls, extract_records_and_links, fingerprint_c
 from .schema import (
     FRONTIER,
     MAX_PARENT_RN,
-    METRICS,
     S_PARENT,
     S_ROUND,
     STATUS_DONE,
@@ -51,12 +50,71 @@ from .store import FrontierStore
 
 _FRONTIER_COLS = [f.name for f in FRONTIER.fields]
 
+# Unified "round delta" schema: the single per-round write carries every
+# output table's rows, tagged by _table; each SnapshotStore prunes back to
+# its declared columns at read (parquet is columnar — nulls in the unused
+# columns cost ~nothing on disk or at scan).
+_TEE_TYPES: dict[str, str] = {
+    # frontier / seen
+    "fp": "string", "url": "string", "host": "string", "host_bucket": "int",
+    "priority": "int", "depth": "int", "seq": "long", "status": "string",
+    "retry_count": "int", "discovered_round": "int", "op_seq": "long",
+    "first_round": "int",
+    # results
+    "rank": "long", "name": "string", "rate": "double", "num": "long",
+    "genres": "array<string>", "crawl_round": "int",
+    # fetch_log
+    "round": "int", "rn": "int",
+}
+
+
+def _pad(df: DataFrame, table: str) -> DataFrame:
+    """Project a table's rows onto the unified tee schema."""
+    present = set(df.columns)
+    cols = [
+        (F.col(c).cast(t) if c in present else F.lit(None).cast(t)).alias(c)
+        for c, t in _TEE_TYPES.items()
+    ]
+    return df.select(F.lit(table).alias("_table"), *cols)
+
+
+def _write_tee(store: FrontierStore, tee: DataFrame) -> str:
+    """The round's ONE Spark action: repartition + partitionBy(_table)
+    parquet write; per-table counts are collected by the Observation the
+    caller attached — no separate count jobs, no collect()s.
+
+    repartition WITHOUT an explicit count: AQE's size-based coalescing
+    (advisoryPartitionSize=64m, parallelismFirst=false) right-sizes the
+    write — a small round's delta lands in 1-2 files (no small-file
+    explosion rounds later), a 10^8-row round stays wide. The exchange
+    also keeps the upstream compute at full parallelism while the write
+    itself is narrow.
+
+    Returns (shared_dir, has_data). has_data is read driver-side from the
+    output layout: a dynamic-partition write of an EMPTY DataFrame creates
+    no ``_table=`` subdirs — and, a Spark quirk, also never materializes
+    the attached Observation's metrics (obs.get would raise). Callers must
+    consult has_data BEFORE touching the Observation."""
+    import os
+
+    shared = store.shared_write_dir()
+    (
+        tee.repartition("_table", "url")
+        .write.partitionBy("_table")
+        .mode("overwrite")
+        .parquet(shared)
+    )
+    has_data = any(n.startswith("_table=") for n in os.listdir(shared))
+    return shared, has_data
+
 
 def seed_frontier(spark: SparkSession, store: FrontierStore, seeds: DataFrame, cfg: CrawlConfig) -> int:
     """Round-0 seed injection (Q3/Q10): canonicalize, fingerprint, bucket,
-    insert into frontier + seen. Idempotent re-init = a new snapshot chain
-    (mirror of the reference deleting old Redis keys,
-    /root/reference/scripts/run_crawler.py:165-280)."""
+    insert into frontier + seen — one tee write, one Spark job. Idempotent
+    re-init = a new snapshot chain (mirror of the reference deleting old
+    Redis keys, /root/reference/scripts/run_crawler.py:165-280)."""
+    from pyspark.sql import Observation
+
     canon = seeds.withColumn("url", canonicalize_urls(F.col("url")))
     rows = (
         canon.withColumn("fp", fingerprint_col(F.col("url"), already_canonical=True))
@@ -71,11 +129,24 @@ def seed_frontier(spark: SparkSession, store: FrontierStore, seeds: DataFrame, c
     w = Window.partitionBy("fp").orderBy(F.asc("seq"))
     rows = rows.withColumn("_rn", F.row_number().over(w)).filter(F.col("_rn") == 1).drop("_rn")
     rows = rows.select(*_FRONTIER_COLS)
-    store.merge_seen(
-        rows.select("fp", "url", "host_bucket", F.lit(0).alias("first_round")),
-        round_no=-1,
+    seen_rows = rows.select("fp", "url", "host_bucket", F.lit(0).alias("first_round"))
+    tee = _pad(rows, "frontier").unionByName(_pad(seen_rows, "seen"))
+    obs = Observation()
+    tee = tee.observe(
+        obs,
+        F.sum(F.when(F.col("_table") == "frontier", 1).otherwise(0)).alias("frontier"),
+        F.sum(F.when(F.col("_table") == "seen", 1).otherwise(0)).alias("seen"),
     )
-    return store.merge_frontier(rows, round_no=-1, meta={"phase": "seed"})
+    shared, has_data = _write_tee(store, tee)
+    if not has_data:
+        raise ValueError("seed_frontier: empty seed set")
+    vals = obs.get
+    return store.commit_round(
+        shared,
+        {"frontier": int(vals["frontier"] or 0), "seen": int(vals["seen"] or 0)},
+        round_no=-1,
+        meta={"phase": "seed"},
+    )
 
 
 def run_round(
@@ -87,10 +158,36 @@ def run_round(
     round_no: int,
     budget_scale: float = 1.0,
 ) -> dict:
-    """Execute one round; returns metric counts. Commit order matters:
-    seen/results/fetch_log/metrics first, frontier LAST — the frontier
-    snapshot is the round's atomic commit point (resume rolls siblings
-    back to it, store.SnapshotStore.rollback_to_round)."""
+    """Execute one round; returns metric counts.
+
+    THE SCALING CONTRACT (round 2): the whole round is **one Spark job** —
+    a single tee write carrying frontier marks + new frontier rows + seen
+    inserts + results + fetch_log, partitioned by ``_table``, with every
+    count the round needs collected by an attached Observation during that
+    same write. Round 1 ran ~9 driver-serial actions per round (2 counts,
+    1 collect, 4 table writes, 1 metrics write, + manifest commits); the
+    driver-side serial floor was the measured anti-scaling term. Metrics
+    rows are a few KB — written driver-side via pyarrow, zero jobs.
+
+    Commit order matters: seen/results/fetch_log/metrics manifests first,
+    frontier LAST — the frontier snapshot is the round's atomic commit
+    point (resume rolls siblings back to it, SnapshotStore.rollback_to_round).
+    """
+    import os as _os
+    import time as _time
+
+    from pyspark.sql import Observation
+
+    _timing = _os.environ.get("CRAWLSPARK_TIMING") == "1"
+    _t0 = _time.perf_counter()
+
+    def _mark(label):
+        nonlocal _t0
+        if _timing:
+            now = _time.perf_counter()
+            print(f"  [round {round_no}] {label}: {now - _t0:.2f}s", flush=True)
+            _t0 = now
+
     state = store.frontier_state()
     if state is None:
         return {"popped": 0}
@@ -98,11 +195,24 @@ def run_round(
     # derive from it, and the merge-on-read window must not run twice
     state = state.cache()
     sliced, denied = pop_slice(state, robots, cfg, budget_scale)
+    # caching makes each branch compute once inside the tee job: union
+    # branches that share a cached subtree block on the BlockManager's
+    # per-partition load lock instead of recomputing it. The caches are
+    # WARMED by the two count jobs below — letting the tee job race 6 cold
+    # branches (each triggering broadcast sub-jobs over the cold subtrees)
+    # measured 3-5x slower than materializing in dependency order.
     sliced = sliced.cache()
     denied = denied.cache()
-    n_popped = sliced.count()
-    n_denied = denied.count()
-    if n_popped == 0 and n_denied == 0:
+    # job 1 of 3: early-exit counts (one job for both branches)
+    pd_counts = dict(
+        sliced.select(F.lit("p").alias("_t"))
+        .unionByName(denied.select(F.lit("d").alias("_t")))
+        .groupBy("_t").count().collect()
+    )
+    n_popped_pre = int(pd_counts.get("p", 0))
+    n_denied_pre = int(pd_counts.get("d", 0))
+    _mark("job1 pop/denied counts")
+    if n_popped_pre == 0 and n_denied_pre == 0:
         state.unpersist()
         sliced.unpersist()
         denied.unpersist()
@@ -120,6 +230,12 @@ def run_round(
         .join(F.broadcast(slice_ctx), "url", "inner")
         .cache()
     )
+    # job 2 of 3: materialize the extract kernel ONCE (pages are unique by
+    # url, so ext rows == fetched URLs — this count IS n_fetched) so the
+    # tee job's many branches read a warm cache instead of racing the
+    # whole fetch+parse pipeline behind their broadcast sub-jobs
+    n_fetched = ext.count()
+    _mark("job2 ext materialize")
 
     # F5/F6 validate + cast; S1 upsert-by-rank
     records = (
@@ -190,6 +306,7 @@ def run_round(
         new_rows = new_rows.join(seen.select("fp"), "fp", "left_anti")
     new_rows = new_rows.cache()
     n_new = new_rows.count()
+    _mark("job2b new_rows materialize")
 
     # status marks (op_seq = round*4+2 always beats the insert op_seq of any
     # earlier round, see store.py docstring)
@@ -227,62 +344,74 @@ def run_round(
         .unionByName(denied_marks.select(*_FRONTIER_COLS))
     )
 
-    # ---- commits (frontier last = round commit point) ----
-    # one aggregate job yields both fetch and item counts (fewer
-    # driver-serial actions per round)
-    _valid_rec = (
-        (F.col("kind") == "detail")
-        & F.col("name").isNotNull()
-        & F.col("rank").isNotNull()
-        & (F.col("rank") >= 1)
+    # ---- the round's single job: tee write + observed counts ----
+    seen_rows = new_rows.select(
+        "fp", "url", "host_bucket", F.lit(round_no).alias("first_round")
     )
-    _stats = ext.agg(
-        F.countDistinct("url").alias("nf"),
-        F.sum(F.when(_valid_rec, 1).otherwise(0)).alias("ni"),
-    ).collect()[0]
-    n_fetched = int(_stats["nf"] or 0)
-    n_items = int(_stats["ni"] or 0)
-    counts = {
-        "popped": n_popped,
-        "fetched": n_fetched,
-        "missed": n_popped - n_fetched,
-        "denied": n_denied,
-        "new_links": n_new,
-        "items": n_items,
-    }
-    if n_new:
-        store.merge_seen(
-            new_rows.select("fp", "url", "host_bucket", F.lit(round_no).alias("first_round")),
-            round_no,
-            n_rows=n_new,
-        )
-    if n_items:
-        store.upsert_results(records, round_no, n_rows=n_items)
-    if n_fetched:
-        store.append_fetch_log(
-            sliced.join(F.broadcast(fetched_urls), "url", "left_semi").select(
-                F.lit(round_no).alias("round"), "host", "url", "priority", "seq", F.col("_rn").alias("rn")
-            ),
-            round_no,
-            n_rows=n_fetched,
-        )
-    store.append_metrics(
-        spark.createDataFrame(
-            [(round_no, k, int(v)) for k, v in counts.items()], schema=METRICS
-        ),
-        round_no,
-        n_rows=len(counts),
+    fetch_rows = sliced.join(F.broadcast(fetched_urls), "url", "left_semi").select(
+        F.lit(round_no).alias("round"), "host", "url", "priority", "seq",
+        F.col("_rn").alias("rn"),
     )
-    store.merge_frontier(
-        marks.unionByName(new_rows),
-        round_no,
-        meta={"counts": counts},
-        n_rows=n_popped + n_denied + n_new,
+    tee = (
+        _pad(marks.unionByName(new_rows), "frontier")
+        .unionByName(_pad(seen_rows, "seen"))
+        .unionByName(_pad(records, "results"))
+        .unionByName(_pad(fetch_rows, "fetch_log"))
     )
+    def _n(cond):
+        return F.sum(F.when(cond, 1).otherwise(0))
+
+    # job 3 of 3: the tee write. Only seen/results counts are unknown at
+    # this point (popped/denied from job 1, fetched from job 2) — the
+    # attached Observation collects them during the write itself.
+    obs = Observation()
+    tee = tee.observe(
+        obs,
+        _n(F.col("_table") == "seen").alias("seen"),
+        _n(F.col("_table") == "results").alias("results"),
+        _n(
+            (F.col("_table") == "frontier")
+            & (F.col("op_seq") == F.lit(round_no * 4 + 2))
+            & (F.col("status") == STATUS_EXHAUSTED)
+        ).alias("exhausted"),
+    )
+    shared, has_data = _write_tee(store, tee)
+    _mark("job3 tee write")
 
     state.unpersist()
     sliced.unpersist()
     denied.unpersist()
     ext.unpersist()
     new_rows.unpersist()
+
+    if not has_data:
+        # defensive: popped+denied > 0 implies mark rows exist, so the tee
+        # can't be empty — but never touch obs on an empty write (its
+        # metrics never materialize under a partitionBy write of 0 rows)
+        return {"popped": 0}
+
+    vals = obs.get
+    n_new = int(vals.get("seen") or 0)
+    n_items = int(vals.get("results") or 0)
+    n_exhausted = int(vals.get("exhausted") or 0)
+    counts = {
+        "popped": n_popped_pre,
+        "fetched": n_fetched,
+        "missed": n_popped_pre - n_fetched,
+        "denied": n_denied_pre,
+        "new_links": n_new,
+        "items": n_items,
+        # retried rows stay queued; exhausted/done/denied leave the queue —
+        # lets the runner track remaining-queued arithmetically and stop
+        # without paying a drain round (see CrawlRunner.run)
+        "exhausted": n_exhausted,
+    }
+    store.commit_round(
+        shared,
+        {"frontier": n_popped_pre + n_denied_pre + n_new, "seen": n_new,
+         "results": n_items, "fetch_log": n_fetched},
+        round_no,
+        meta={"counts": counts},
+        metrics_rows=[(round_no, k, int(v)) for k, v in counts.items()],
+    )
     return counts

@@ -69,7 +69,12 @@ class CrawlRunner:
         r = start
         budget_scale = 1.0
         items_emitted = 0
-        while r < start + max_rounds:
+        # remaining-queued is tracked ARITHMETICALLY from each round's own
+        # counts (queued' = queued - done - exhausted - denied + new_links;
+        # retried rows stay queued) — one state count at start, then the
+        # drain is detected without paying a no-op round at the end.
+        queued = self.queued_count()
+        while r < start + max_rounds and queued > 0:
             c = run_round(self.spark, self.store, pages, robots, self.cfg, r,
                           budget_scale=budget_scale)
             counts.append(c)
@@ -80,6 +85,13 @@ class CrawlRunner:
             )
             if c.get("popped", 0) == 0:
                 break
+            queued = (
+                queued
+                - c.get("fetched", 0)
+                - c.get("exhausted", 0)
+                - c.get("denied", 0)
+                + c.get("new_links", 0)
+            )
             # max_items: maintained from per-round item deltas (already
             # known from the round's own aggregate) — no extra
             # results_state() resolve+count job per round. Emitted items

@@ -36,11 +36,19 @@ from pyspark.sql import functions as F
 
 
 class SnapshotStore:
-    """One versioned table rooted at ``path``."""
+    """One versioned table rooted at ``path``.
 
-    def __init__(self, spark: SparkSession, path: str):
+    ``columns`` (optional) declares the table's logical column set. Data
+    files may physically be *wide* (the round's single tee write carries
+    the union of all table schemas — see crawl.run_round); read() prunes
+    wide files down to ``columns``. Parquet is columnar, so the pruning
+    happens at the scan (unread columns cost nothing).
+    """
+
+    def __init__(self, spark: SparkSession, path: str, columns: list[str] | None = None):
         self.spark = spark
         self.path = path.rstrip("/")
+        self.columns = columns
         os.makedirs(f"{self.path}/manifests", exist_ok=True)
         os.makedirs(f"{self.path}/data", exist_ok=True)
 
@@ -138,12 +146,69 @@ class SnapshotStore:
         rows = self.spark.read.parquet(full).count()
         return self._commit([{"path": rel, "rows": rows}], round_no, meta)
 
+    def _full_path(self, p: str) -> str:
+        return p if p.startswith("/") else f"{self.path}/{p}"
+
     def read(self, snapshot_id: int | None = None) -> DataFrame | None:
         m = self.manifest(snapshot_id)
         if m is None or not m["files"]:
             return None
-        paths = [f"{self.path}/{f['path']}" for f in m["files"]]
-        return self.spark.read.parquet(*paths)
+        # narrow files (own-schema writes, compactions) and wide files (the
+        # round tee) can coexist in one snapshot; read each group with its
+        # own physical schema, prune to the declared columns, union.
+        narrow = [f for f in m["files"] if not f.get("wide")]
+        wide = [f for f in m["files"] if f.get("wide")]
+        dfs = []
+        if narrow:
+            df = self.spark.read.parquet(*[self._full_path(f["path"]) for f in narrow])
+            if self.columns:
+                df = df.select(*self.columns)
+            dfs.append(df)
+        if wide:
+            if not self.columns:
+                raise ValueError(f"wide files present but no declared columns at {self.path}")
+            dfs.append(
+                self.spark.read.parquet(*[self._full_path(f["path"]) for f in wide])
+                .select(*self.columns)
+            )
+        out = dfs[0]
+        for d in dfs[1:]:
+            out = out.unionByName(d)
+        return out
+
+    def commit_external(
+        self, abs_path: str, rows: int, round_no: int, meta: dict | None = None
+    ) -> int:
+        """Commit a snapshot referencing an already-written (wide) file set
+        — the per-round tee write. No Spark job: the caller supplies the
+        row count (from the write job's own Observation metrics)."""
+        prev = self.manifest()
+        files = (prev["files"] if prev else []) + [
+            {"path": abs_path, "rows": rows, "wide": True}
+        ]
+        return self._commit(files, round_no, meta)
+
+    def append_local(
+        self, rows: list[tuple], arrow_schema, round_no: int, meta: dict | None = None
+    ) -> int:
+        """Append tiny driver-side rows (metrics) via pyarrow directly —
+        zero Spark jobs. A few KB of per-round observability never needs
+        an executor."""
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        rel = f"data/{uuid.uuid4().hex}"
+        full = f"{self.path}/{rel}"
+        os.makedirs(full, exist_ok=True)
+        cols = list(zip(*rows)) if rows else [[] for _ in arrow_schema.names]
+        table = pa.Table.from_arrays(
+            [pa.array(c, type=f.type) for c, f in zip(cols, arrow_schema)],
+            schema=arrow_schema,
+        )
+        pq.write_table(table, f"{full}/part-00000.parquet")
+        prev = self.manifest()
+        files = (prev["files"] if prev else []) + [{"path": rel, "rows": len(rows)}]
+        return self._commit(files, round_no, meta)
 
     def n_delta_files(self) -> int:
         m = self.manifest()
@@ -187,17 +252,23 @@ class FrontierStore:
 
     COMPACT_EVERY = 8  # delta files per table before a base rewrite
 
+    FRONTIER_COLS = ["fp", "url", "host", "host_bucket", "priority", "depth",
+                     "seq", "status", "retry_count", "discovered_round", "op_seq"]
+    SEEN_COLS = ["fp", "url", "host_bucket", "first_round"]
+    RESULTS_COLS = ["rank", "name", "rate", "num", "genres", "url", "crawl_round"]
+    FETCH_LOG_COLS = ["round", "host", "url", "priority", "seq", "rn"]
+
     def __init__(self, spark: SparkSession, root: str):
         self.spark = spark
         self.root = root.rstrip("/")
-        self.frontier = SnapshotStore(spark, f"{self.root}/frontier")
-        self.seen = SnapshotStore(spark, f"{self.root}/seen")
-        self.results = SnapshotStore(spark, f"{self.root}/results")
+        self.frontier = SnapshotStore(spark, f"{self.root}/frontier", self.FRONTIER_COLS)
+        self.seen = SnapshotStore(spark, f"{self.root}/seen", self.SEEN_COLS)
+        self.results = SnapshotStore(spark, f"{self.root}/results", self.RESULTS_COLS)
         self.metrics = SnapshotStore(spark, f"{self.root}/metrics")
         # crawl-order evidence: one row per fetched URL per round — the
         # columnar analog of the reference's scrapy crawl log, and the
         # artifact the order-parity tests compare against the simulator
-        self.fetch_log = SnapshotStore(spark, f"{self.root}/fetch_log")
+        self.fetch_log = SnapshotStore(spark, f"{self.root}/fetch_log", self.FETCH_LOG_COLS)
 
     # -- frontier -------------------------------------------------------------
 
@@ -207,18 +278,24 @@ class FrontierStore:
     def frontier_state(self, snapshot_id: int | None = None) -> DataFrame | None:
         """Resolve the log to current rows: latest op_seq per fp.
 
-        One shuffle on fp; at 10^10 scale the log is partitioned by
-        host_bucket so the window is bucket-local and AQE coalesces.
+        HASH AGGREGATE, not a sort-window: ``max_by(struct(cols), op_seq)``
+        resolves with partial (map-side) aggregation — each input split
+        pre-resolves its own rows before the exchange, so the shuffle
+        carries ~distinct-fps rows instead of the whole log, and no
+        per-partition sort runs at all. A row_number() window (round 1)
+        cannot partial-aggregate: it shuffled the entire log every round.
+        op_seq is unique per fp (insert=4(r+1)+1 happens once per fp thanks
+        to the seen-set; mark=4r+2 at most once per round), so max_by is
+        deterministic.
         """
         log = self.frontier_log(snapshot_id)
         if log is None:
             return None
-        w = Window.partitionBy("fp").orderBy(F.desc("op_seq"))
-        return (
-            log.withColumn("_rn", F.row_number().over(w))
-            .filter(F.col("_rn") == 1)
-            .drop("_rn")
+        others = [c for c in log.columns if c != "fp"]
+        resolved = log.groupBy("fp").agg(
+            F.max_by(F.struct(*others), F.col("op_seq")).alias("_row")
         )
+        return resolved.select("fp", *[F.col(f"_row.{c}").alias(c) for c in others])
 
     def merge_frontier(
         self, rows: DataFrame, round_no: int, meta: dict | None = None,
@@ -267,6 +344,57 @@ class FrontierStore:
 
     def metrics_state(self) -> DataFrame | None:
         return self.metrics.read()
+
+    # -- single-job round commit ------------------------------------------------
+
+    def shared_write_dir(self) -> str:
+        """Fresh directory for a round's tee write (all tables, one job)."""
+        d = f"{self.root}/shared/{uuid.uuid4().hex}"
+        return d
+
+    def commit_round(
+        self,
+        shared_dir: str,
+        table_rows: dict[str, int],
+        round_no: int,
+        meta: dict | None = None,
+        metrics_rows: list[tuple] | None = None,
+    ) -> int:
+        """Commit one round's tee write into every table's snapshot chain.
+
+        Input: the already-written ``shared_dir`` (partitioned by _table)
+        plus per-table row counts from the write job's Observation — so the
+        whole commit is manifest fsyncs, zero additional Spark jobs.
+        Commit order is the recovery contract: siblings first, frontier
+        LAST (the frontier snapshot is the round's atomic commit point;
+        resume rolls the siblings back to it).
+        """
+        if table_rows.get("seen"):
+            self.seen.commit_external(
+                f"{shared_dir}/_table=seen", table_rows["seen"], round_no
+            )
+        if table_rows.get("results"):
+            self.results.commit_external(
+                f"{shared_dir}/_table=results", table_rows["results"], round_no
+            )
+        if table_rows.get("fetch_log"):
+            self.fetch_log.commit_external(
+                f"{shared_dir}/_table=fetch_log", table_rows["fetch_log"], round_no
+            )
+        if metrics_rows:
+            import pyarrow as pa
+
+            self.metrics.append_local(
+                metrics_rows,
+                pa.schema([("round", pa.int32()), ("metric", pa.string()),
+                           ("value", pa.int64())]),
+                round_no,
+            )
+        sid = self.frontier.commit_external(
+            f"{shared_dir}/_table=frontier", table_rows.get("frontier", 0), round_no, meta
+        )
+        self._maybe_compact(self.frontier, self.frontier_state, round_no)
+        return sid
 
     # -- maintenance --------------------------------------------------------------
 
