@@ -31,6 +31,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def oracle_sql() -> dict[str, str]:
-    """DuckDB-runnable ANSI SQL twin per query (omitted only for the
-    bit-fold SimHash, which gets the rows-only check)."""
+    """DuckDB-runnable ANSI SQL twin per query. Rows-only (no oracle):
+    q14b (HLL internals are engine-specific — its ACCURACY is gated by
+    q14c), t11 (iterative k-means — its RECALL is gated by t11b), and
+    t12 (64-bit md5 prefixes overflow SQL BIGINT; cross-checked against
+    an independent pure-Python fold in pytest)."""
     return dict(ORACLES)

@@ -275,6 +275,30 @@ def crawl_summary(m: DataFrame) -> DataFrame:  # S8 (crawl_summary.txt analog)
     )
 
 
+def write_crawl_summary(m: DataFrame, path: str, timestamp: str = "") -> str:
+    """Materialize the crawl summary as the reference's text artifact
+    (/root/reference/Douban2/pipelines.py:397-405: crawl time, total rows,
+    rank range, participating nodes, per-node counts). One aggregate job +
+    one tiny grouped collect; the report itself is driver-side."""
+    s = crawl_summary(m).collect()[0]
+    node_counts = sorted(
+        (r["node_id"], r["n"])
+        for r in m.groupBy("node_id").agg(F.count("*").alias("n")).collect()
+    )
+    lines = [
+        f"采集时间: {timestamp}",
+        f"总数据量: {s['total']}",
+        f"排名范围: {s['min_rank']} - {s['max_rank']}",
+        f"参与节点: {', '.join(n for n, _ in node_counts)}",
+        "",
+        "节点数据统计:",
+    ]
+    lines += [f"{n}: {c}条" for n, c in node_counts]
+    with open(path, "w", encoding="utf-8") as f:
+        f.write("\n".join(lines) + "\n")
+    return path
+
+
 # ---------------------------------------------------------------------------
 # corpus with DuckDB oracles (tests/test_sql_corpus.py replays all of these)
 # ---------------------------------------------------------------------------

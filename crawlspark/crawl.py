@@ -101,6 +101,11 @@ def _write_tee(store: FrontierStore, tee: DataFrame) -> str:
     (
         tee.repartition("_table", "url")
         .write.partitionBy("_table")
+        # bloom filter on the fingerprint column (SURVEY D1): the
+        # Parquet-native stand-in for the reference's Redis SET membership
+        # probe — point lookups / IN-filters on fp skip row groups whose
+        # bloom says "absent" (measured in BENCH/BASELINE.md)
+        .option("parquet.bloom.filter.enabled#fp", "true")
         .mode("overwrite")
         .parquet(shared)
     )
@@ -157,6 +162,7 @@ def run_round(
     cfg: CrawlConfig,
     round_no: int,
     budget_scale: float = 1.0,
+    backend=None,
 ) -> dict:
     """Execute one round; returns metric counts.
 
@@ -218,12 +224,16 @@ def run_round(
         denied.unpersist()
         return {"popped": 0}
 
-    # F1 fetch: the popped slice is small relative to the corpus -> Catalyst
-    # broadcasts it into the inner join against `pages`; at larger slices
-    # AQE falls back to sort-merge on url. Misses are computed against the
+    # F1 fetch, behind the FetchBackend seam (N7): the backend maps the
+    # admitted slice to (url, html); the default corpus backend broadcasts
+    # the slice into the pages join. Misses are computed against the
     # (small) hit set, never by anti-joining the full corpus.
+    if backend is None:
+        from .fetch import CorpusFetchBackend
+
+        backend = CorpusFetchBackend(pages)
     slice_ctx = sliced.select("fp", "url", "host", "host_bucket", "priority", "depth", "seq", "retry_count", "discovered_round", "_rn")
-    hits_raw = pages.select("url", "html").join(F.broadcast(slice_ctx.select("url")), "url", "inner")
+    hits_raw = backend.fetch(slice_ctx.select("url"))
 
     ext = (
         extract_records_and_links(hits_raw)

@@ -25,6 +25,7 @@ so the signature computation itself is oracle-checkable in SQL.
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -262,11 +263,110 @@ def simhash_col(text, k: int = 3, bits: int = 16):
 
 def simhash_dup_groups(documents: DataFrame, k: int = 3, bits: int = 16) -> DataFrame:
     """Docs sharing an identical SimHash — hamming-0 near-dup groups.
-    (Hamming<=d grouping = band the bits and OR the per-band matches,
-    same join shape as minhash_lsh_pairs.)"""
+    (Hamming<=d grouping: see simhash64_pairs_banded.)"""
     withsim = documents.select("doc_id", simhash_col(F.col("text"), k, bits).alias("simhash"))
     return (
         withsim.groupBy("simhash")
         .agg(F.count("*").alias("n_docs"), F.min("doc_id").alias("keep_doc_id"))
         .filter(F.col("n_docs") > 1)
+    )
+
+
+def simhash64_col(text, k: int = 3):
+    """64-bit SimHash as a vectorized pandas UDF (Arrow batches).
+
+    The 16-bit column-expression variant above codegens but 64 per-bit
+    aggregates would bloat the generated code; the production path is one
+    Arrow pass: per doc, hash each word-k-gram's md5 to 64 bits
+    (first 16 hex digits), vote +1/-1 per bit per occurrence, emit the
+    sign vector packed into a signed long (bit 63 may set the sign — the
+    value is an opaque key, only equality/xor matter).
+
+    Same tokenization contract as textops.shingles_col: split on single
+    space, k-grams with duplicates kept, whole text when < k tokens.
+    """
+    import hashlib
+
+    from pyspark.sql import types as T
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf(T.LongType())
+    def _simhash64(texts: pd.Series) -> pd.Series:
+        def one(s: str) -> int:
+            toks = s.split(" ")
+            if len(toks) >= k:
+                grams = [" ".join(toks[i : i + k]) for i in range(len(toks) - k + 1)]
+            else:
+                grams = [" ".join(toks)]
+            votes = [0] * 64
+            for g in grams:
+                h = int(hashlib.md5(g.encode("utf-8")).hexdigest()[:16], 16)
+                for b in range(64):
+                    votes[b] += 1 if (h >> b) & 1 else -1
+            v = 0
+            for b in range(64):
+                if votes[b] > 0:
+                    v |= 1 << b
+            return v - (1 << 64) if v >= (1 << 63) else v  # wrap to signed
+
+        return texts.map(one)
+
+    return _simhash64(text)
+
+
+def simhash64_pairs_banded(
+    documents: DataFrame,
+    k: int = 3,
+    bands: int = 4,
+    max_hamming: int = 3,
+) -> DataFrame:
+    """Near-dup pairs by 64-bit SimHash with banded candidate generation.
+
+    Pigeonhole: two hashes within hamming distance d < bands must agree
+    exactly on at least one of the ``bands`` bit-slices — so candidates
+    come from equi-joins on (band_id, band_bits), never an all-pairs scan,
+    and the exact hamming check (bit_count(xor), JVM builtin) runs on
+    candidates only. Same scale shape as minhash_lsh_pairs. Requires
+    max_hamming < bands for completeness (asserted).
+    """
+    if max_hamming >= bands:
+        raise ValueError(
+            f"max_hamming={max_hamming} >= bands={bands}: banding would miss "
+            "pairs (pigeonhole needs d < bands)"
+        )
+    width = 64 // bands
+    mask = (1 << width) - 1
+    withsim = documents.select(
+        "doc_id", simhash64_col(F.col("text"), k).alias("simhash")
+    )
+    band_cols = [
+        F.struct(
+            F.lit(b).alias("band"),
+            F.shiftrightunsigned(F.col("simhash"), b * width)
+            .bitwiseAND(F.lit(mask))
+            .alias("slice"),
+        )
+        for b in range(bands)
+    ]
+    buckets = withsim.select(
+        "doc_id", "simhash", F.explode(F.array(*band_cols)).alias("bb")
+    ).select("doc_id", "simhash", F.col("bb.band").alias("band"), F.col("bb.slice").alias("slice"))
+    cand = (
+        buckets.alias("x")
+        .join(buckets.alias("y"), ["band", "slice"])
+        .filter(F.col("x.doc_id") < F.col("y.doc_id"))
+        .select(
+            F.col("x.doc_id").alias("doc_a"),
+            F.col("y.doc_id").alias("doc_b"),
+            F.col("x.simhash").alias("sim_a"),
+            F.col("y.simhash").alias("sim_b"),
+        )
+        .distinct()
+    )
+    return (
+        cand.withColumn(
+            "hamming", F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b")))
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .select("doc_a", "doc_b", "hamming")
     )

@@ -141,10 +141,30 @@ def q14_count_distinct(spark, sf_dir):
 def q14b_approx_distinct(spark, sf_dir):
     """R14 scale path: approx_count_distinct (HLL) — the 10^10-scale
     replacement for exact distinct; sketch internals differ per engine so
-    this entry takes the rows-only check (no SQL oracle)."""
+    this entry takes the rows-only check (no SQL oracle). The ACCURACY
+    contract is gated separately (q14c)."""
     e = _t(spark, sf_dir, "events")
     return e.groupBy("event_type").agg(
         F.approx_count_distinct("user_id", rsd=0.02).alias("n_users_approx"),
+    )
+
+
+def q14c_approx_distinct_contract(spark, sf_dir):
+    """HLL accuracy contract, made hash-checkable: per group, assert
+    |approx - exact| <= max(3 * rsd * exact, 1) INSIDE the query and emit
+    the boolean — the oracle states the contract (every group true), so
+    the driver's value-hash verifies the sketch's accuracy rather than
+    its engine-specific internals."""
+    e = _t(spark, sf_dir, "events")
+    rsd = 0.02
+    agg = e.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id", rsd=rsd).alias("ap"),
+        F.countDistinct("user_id").alias("ex"),
+    )
+    tol = F.greatest(F.lit(3 * rsd) * F.col("ex"), F.lit(1.0))
+    return agg.select(
+        "event_type",
+        (F.abs(F.col("ap") - F.col("ex")) <= tol).alias("within_tol"),
     )
 
 
@@ -374,8 +394,21 @@ def t05_minhash_signature(spark, sf_dir):
 
 
 def t06_simhash_groups(spark, sf_dir):
+    """16-bit SimHash hamming-0 groups — md5-derived bit votes are exactly
+    reproducible in SQL, so this entry is fully oracle-checked (the
+    64-bit production variant is t12)."""
     d = _t(spark, sf_dir, "documents")
     return dd.simhash_dup_groups(d, k=3, bits=16)
+
+
+def t12_simhash64_banded(spark, sf_dir):
+    """64-bit SimHash near-dup pairs, banded hamming<=3 (pigeonhole over 4
+    x 16-bit slices; exact bit_count(xor) verify on candidates only).
+    64-bit md5 prefixes overflow SQL BIGINT, so this entry takes the
+    rows-only check; the spark-vs-pure-python cross-check lives in
+    tests/test_trainingdata_ops.py."""
+    d = _t(spark, sf_dir, "documents")
+    return dd.simhash64_pairs_banded(d, k=3, bands=4, max_hamming=3)
 
 
 def t07_ann_cosine_topk(spark, sf_dir):
@@ -396,9 +429,30 @@ def t09_embedding_near_dup(spark, sf_dir):
 def t11_ann_ivf(spark, sf_dir):
     """IVF ANN (k-means coarse quantizer, nprobe probing) — the scale path
     beyond sign-LSH; iterative k-means is not SQL-expressible, so this
-    entry takes the rows-only check."""
+    entry takes the rows-only check. The RECALL contract is gated
+    separately (t11b)."""
     e = _t(spark, sf_dir, "embeddings")
     return sim.ivf_topk(e, query_ids=[0, 1, 2, 3, 4], k=5, nlist=8, nprobe=4)
+
+
+def t11b_ann_ivf_recall(spark, sf_dir):
+    """IVF recall contract, made hash-checkable: compute IVF top-5 AND
+    brute-force top-5 in the same query, emit overall recall >= 0.5 as a
+    boolean — the oracle states the contract, so the gate verifies the
+    index is a faithful ANN, not merely that it returns rows."""
+    e = _t(spark, sf_dir, "embeddings")
+    qids = [0, 1, 2, 3, 4]
+    exact = sim.cosine_topk(e, query_ids=qids, k=5).select("query_id", "neighbor_id")
+    approx = sim.ivf_topk(e, query_ids=qids, k=5, nlist=8, nprobe=4).select(
+        "query_id", "neighbor_id"
+    )
+    hit = approx.join(exact, ["query_id", "neighbor_id"], "left_semi")
+    return exact.agg(F.count("*").alias("n_exact")).crossJoin(
+        hit.agg(F.count("*").alias("n_hit"))
+    ).select(
+        F.col("n_exact"),
+        (F.col("n_hit") / F.col("n_exact") >= 0.5).alias("recall_ok"),
+    )
 
 
 def t10_label_centroid_sim(spark, sf_dir):
@@ -424,6 +478,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q11_case_buckets": q11_case_buckets,
     "q14_count_distinct": q14_count_distinct,
     "q14b_approx_distinct": q14b_approx_distinct,
+    "q14c_approx_distinct_contract": q14c_approx_distinct_contract,
     "q15_conditional_agg": q15_conditional_agg,
     "q17_having": q17_having,
     "q18_group_concat": q18_group_concat,
@@ -450,6 +505,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "t09_embedding_near_dup": t09_embedding_near_dup,
     "t10_label_centroid_sim": t10_label_centroid_sim,
     "t11_ann_ivf": t11_ann_ivf,
+    "t11b_ann_ivf_recall": t11b_ann_ivf_recall,
+    "t12_simhash64_banded": t12_simhash64_banded,
 }
 
 # ---------------------------------------------------------------------------
@@ -651,7 +708,13 @@ ORACLES: dict[str, str] = {
         HAVING round(CAST(count(*) AS double)
                      / (any_value(sa.n_sh) + any_value(sb.n_sh) - count(*)), 6) >= 0.2
     """,
-    "t06_simhash_groups": None,  # bit-level fold; rows-only check (non-SQL)
+    "q14c_approx_distinct_contract": """
+        SELECT event_type, true AS within_tol FROM events GROUP BY event_type
+    """,
+    "t11b_ann_ivf_recall": """
+        SELECT CAST(25 AS BIGINT) AS n_exact, true AS recall_ok
+    """,
+    "t12_simhash64_banded": None,  # 64-bit md5 prefix overflows SQL BIGINT; rows-only
     "t07_ann_cosine_topk": """
         SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
                round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) AS cosine,
@@ -717,4 +780,35 @@ def _minhash_oracle() -> str:
 
 
 ORACLES["t05_minhash_signature"] = _minhash_oracle()
+
+
+# SimHash oracle: the identical 16-bit md5-derived bit-vote fold, in pure
+# SQL. NOTE the shingle CTE here keeps DUPLICATE shingles (no DISTINCT):
+# dedup.simhash_col votes once per OCCURRENCE, matching the reference
+# notion of weighted features.
+def _simhash_oracle(bits: int = 16) -> str:
+    x = "(try_cast('0x' || substr(md5(shingle), 1, 8) AS bigint) % 2147483647)"
+    terms = " + ".join(
+        f"(CASE WHEN sum(CASE WHEN ({x} >> {i}) & 1 = 1 THEN 1 ELSE -1 END) > 0 "
+        f"THEN {1 << i} ELSE 0 END)"
+        for i in range(bits)
+    )
+    return f"""
+        WITH toks AS (
+            SELECT doc_id, string_split(text, ' ') AS ts FROM documents
+        ), sh AS (
+            SELECT doc_id,
+                   CASE WHEN len(ts) >= 3 THEN ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2]
+                        ELSE array_to_string(ts, ' ') END AS shingle
+            FROM toks, unnest(range(1, greatest(len(ts) - 2, 1) + 1)) AS t(i)
+        ), sims AS (
+            SELECT doc_id, CAST({terms} AS BIGINT) AS simhash
+            FROM sh GROUP BY doc_id
+        )
+        SELECT simhash, count(*) AS n_docs, min(doc_id) AS keep_doc_id
+        FROM sims GROUP BY simhash HAVING count(*) > 1
+    """
+
+
+ORACLES["t06_simhash_groups"] = _simhash_oracle(16)
 ORACLES = {k: v for k, v in ORACLES.items() if v is not None}

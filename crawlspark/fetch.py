@@ -1,0 +1,68 @@
+"""FetchBackend — the seam between the scheduler and the page source (N7).
+
+The reference routes every request through a middleware chain that can
+rewrite the transport: proxy pool rotation
+(/root/reference/utils/proxy_pool.py:42-132), UA/cookie middleware and
+retry-aware downloading (/root/reference/Douban2/middlewares.py:161-279).
+This engine's batch equivalent is a two-method interface that maps the
+round's popped URL slice to (url, html) rows; everything downstream
+(extraction, link discovery, marks) is backend-agnostic.
+
+Default backend: the corpus join — "fetch" = lookup into the
+Common-Crawl-style pages table, per BASELINE.json input_hint. A real
+deployment slots an HTTP backend here without touching the scheduler:
+politeness is already enforced UPSTREAM by admission control (the slice
+handed to fetch() is exactly the set of URLs the budgets allow this
+round), so the backend only does transport.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+class FetchBackend:
+    """Maps a DataFrame of (url) to (url, html). Missing rows = fetch
+    failures; the engine requeues them with retry/backoff (P4/N9)."""
+
+    def fetch(self, urls: DataFrame) -> DataFrame:
+        raise NotImplementedError
+
+    def describe(self) -> str:
+        return type(self).__name__
+
+
+class CorpusFetchBackend(FetchBackend):
+    """Fetch = inner equi-join against a pages corpus (F1).
+
+    The popped slice is small relative to the corpus, so it is broadcast
+    into the join; at larger slices AQE falls back to sort-merge on url.
+    Misses (dead links) simply produce no row — the engine derives them
+    against the hit set, never by anti-joining the full corpus.
+    """
+
+    def __init__(self, pages: DataFrame):
+        self.pages = pages
+
+    def fetch(self, urls: DataFrame) -> DataFrame:
+        return self.pages.select("url", "html").join(F.broadcast(urls), "url", "inner")
+
+
+class HttpFetchBackend(FetchBackend):
+    """Shape of a real HTTP backend (documentation stub — this sandbox has
+    no network). A production implementation would ``mapInPandas`` over
+    url batches, issuing pooled HTTP GETs per Arrow batch and yielding
+    (url, html); failures yield no row so the engine's retry path engages.
+    Proxy rotation / UA policy (the reference's middleware plane) live
+    entirely inside this class."""
+
+    def __init__(self, timeout_s: float = 30.0):
+        self.timeout_s = timeout_s
+
+    def fetch(self, urls: DataFrame) -> DataFrame:
+        raise NotImplementedError(
+            "HTTP fetching is not available in this sandbox; use "
+            "CorpusFetchBackend or implement fetch() with a mapInPandas "
+            "HTTP pool as described in the class docstring"
+        )

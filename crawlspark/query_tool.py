@@ -123,13 +123,87 @@ class MovieQueryTool:
         return self.spark.sql(query)
 
     def export(self, df: DataFrame, path: str, fmt: str = "csv") -> str:
-        """Driver-side export of a (small) result — csv/json/xlsx analog of
-        query_movies.py:315-332. Large results should df.write instead."""
+        """Driver-side export of a (small) result — csv/json/xlsx parity
+        with query_movies.py:315-332 and the pipeline's Excel summary
+        (/root/reference/Douban2/pipelines.py:367-368). Large results
+        should df.write instead."""
         pdf = df.toPandas()
         if fmt == "csv":
             pdf.to_csv(path, index=False, encoding="utf-8-sig")
         elif fmt == "json":
             pdf.to_json(path, orient="records", force_ascii=False)
+        elif fmt == "xlsx":
+            try:  # pandas engine if an Excel lib is installed
+                pdf.to_excel(path, index=False)
+            except (ImportError, ModuleNotFoundError):
+                _write_minimal_xlsx(pdf, path)
         else:
             raise ValueError(f"unsupported export format: {fmt}")
         return path
+
+
+def _write_minimal_xlsx(pdf, path: str) -> None:
+    """Dependency-free XLSX writer (stdlib zipfile + XML): one sheet,
+    header row + data rows, numbers typed, strings inline. XLSX is a zip
+    of OOXML parts — this emits the minimal valid set ([Content_Types],
+    package rels, workbook, workbook rels, sheet1), openable by Excel /
+    LibreOffice / openpyxl. Used when no Excel engine is installed (this
+    sandbox), keeping S7 export parity real instead of stubbed."""
+    import zipfile
+    from xml.sax.saxutils import escape
+
+    def cell(v) -> str:
+        if v is None or (isinstance(v, float) and v != v):
+            return '<c t="inlineStr"><is><t></t></is></c>'
+        if isinstance(v, bool):
+            return f'<c t="b"><v>{int(v)}</v></c>'
+        if isinstance(v, (int, float)):
+            return f'<c t="n"><v>{v}</v></c>'
+        return f'<c t="inlineStr"><is><t>{escape(str(v))}</t></is></c>'
+
+    rows = ["<row>" + "".join(cell(str(c)) for c in pdf.columns) + "</row>"]
+    for rec in pdf.itertuples(index=False):
+        rows.append("<row>" + "".join(cell(v) for v in rec) + "</row>")
+    sheet = (
+        '<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'
+        '<worksheet xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main">'
+        f"<sheetData>{''.join(rows)}</sheetData></worksheet>"
+    )
+    workbook = (
+        '<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'
+        '<workbook xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main" '
+        'xmlns:r="http://schemas.openxmlformats.org/officeDocument/2006/relationships">'
+        '<sheets><sheet name="Sheet1" sheetId="1" r:id="rId1"/></sheets></workbook>'
+    )
+    wb_rels = (
+        '<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'
+        '<Relationships xmlns="http://schemas.openxmlformats.org/package/2006/relationships">'
+        '<Relationship Id="rId1" '
+        'Type="http://schemas.openxmlformats.org/officeDocument/2006/relationships/worksheet" '
+        'Target="worksheets/sheet1.xml"/></Relationships>'
+    )
+    pkg_rels = (
+        '<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'
+        '<Relationships xmlns="http://schemas.openxmlformats.org/package/2006/relationships">'
+        '<Relationship Id="rId1" '
+        'Type="http://schemas.openxmlformats.org/officeDocument/2006/relationships/officeDocument" '
+        'Target="xl/workbook.xml"/></Relationships>'
+    )
+    content_types = (
+        '<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'
+        '<Types xmlns="http://schemas.openxmlformats.org/package/2006/content-types">'
+        '<Default Extension="rels" '
+        'ContentType="application/vnd.openxmlformats-package.relationships+xml"/>'
+        '<Default Extension="xml" ContentType="application/xml"/>'
+        '<Override PartName="/xl/workbook.xml" ContentType='
+        '"application/vnd.openxmlformats-officedocument.spreadsheetml.sheet.main+xml"/>'
+        '<Override PartName="/xl/worksheets/sheet1.xml" ContentType='
+        '"application/vnd.openxmlformats-officedocument.spreadsheetml.worksheet+xml"/>'
+        "</Types>"
+    )
+    with zipfile.ZipFile(path, "w", zipfile.ZIP_DEFLATED) as z:
+        z.writestr("[Content_Types].xml", content_types)
+        z.writestr("_rels/.rels", pkg_rels)
+        z.writestr("xl/workbook.xml", workbook)
+        z.writestr("xl/_rels/workbook.xml.rels", wb_rels)
+        z.writestr("xl/worksheets/sheet1.xml", sheet)

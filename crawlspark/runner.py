@@ -61,9 +61,11 @@ class CrawlRunner:
         max_rounds: int = 1000,
         max_items: int | None = None,
         stop_after_round: int | None = None,
+        backend=None,
     ) -> RunResult:
         """Run rounds until drained. ``stop_after_round`` simulates a kill
-        for resume tests."""
+        for resume tests. ``backend`` (fetch.FetchBackend) overrides the
+        default corpus-join fetch (N7 seam)."""
         start = self.resume_round()
         counts: list[dict] = []
         r = start
@@ -76,7 +78,7 @@ class CrawlRunner:
         queued = self.queued_count()
         while r < start + max_rounds and queued > 0:
             c = run_round(self.spark, self.store, pages, robots, self.cfg, r,
-                          budget_scale=budget_scale)
+                          budget_scale=budget_scale, backend=backend)
             counts.append(c)
             # AUTOTHROTTLE feedback (N3): adjust next round's budgets from
             # this round's observed failure ratio

@@ -34,7 +34,13 @@ class CrawlConfig:
     round_wall: float = 60.0       # seconds of wall-clock one round stands for
     default_delay: float = 1.0     # robots default crawl_delay (utils/robots_parser.py:108-109)
     per_host_cap: int = 30         # 30-per-minute analog (Douban2/middlewares.py:399-409)
-    max_retries: int = 3           # RETRY_TIMES=3 (Douban2/settings.py:36-38)
+    # DELIBERATE DEVIATION from Scrapy's RETRY_TIMES: here max_retries =
+    # TOTAL attempts (max_retries=3 -> 1 initial + 2 retries), whereas
+    # Scrapy's RETRY_TIMES=3 allows 3 retries AFTER the first attempt (4
+    # total). The engine and the pure-Python order-parity simulator
+    # implement the same contract; tests pin it. Set max_retries=4 to
+    # reproduce Scrapy's 4-total-attempts behavior exactly.
+    max_retries: int = 3           # total attempts (RETRY_TIMES=3 analog, see above)
     max_depth: int = 1             # request_depth_max: 1 (logs/spider_douban1.log:561)
     n_buckets: int = 64
     priority_t1: int = 100         # rank<=100 -> priority 1 (douban2.py:160-166)

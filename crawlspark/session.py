@@ -51,8 +51,11 @@ def get_spark(
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         # bound Arrow batch memory for binary-heavy rows: 10k rows/batch
         # (the default) of 50-100 KB pages is a 0.5-1 GB batch per python
-        # worker; 2048 keeps extraction batches in the tens of MB
-        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "2048")
+        # worker. Measured on this VM (BENCH/kernel_scaling.json): big
+        # batches × many workers drive allocation churn that shows up as
+        # 80-99% SYSTEM time (page-fault/TLB storms) and serialize the
+        # whole box; 512 keeps a 100 KB-row batch ~50 MB.
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "512")
         .config("spark.sql.parquet.compression.codec", "snappy")
         # bloom filters on fingerprint columns: the Parquet-native stand-in
         # for the reference's Redis SET membership probe (SURVEY.md §2.2 D1)

@@ -131,7 +131,10 @@ class SnapshotStore:
             # whole compute; an exchange keeps upstream wide and only the
             # tiny write narrow.
             df = df.repartition(max(1, min(32, rows // 250_000 + 1)))
-        df.write.mode("overwrite").parquet(full)
+        w = df.write.mode("overwrite")
+        if "fp" in df.columns:  # D1: bloom-filter the fingerprint column
+            w = w.option("parquet.bloom.filter.enabled#fp", "true")
+        w.parquet(full)
         if rows is None:
             rows = self.spark.read.parquet(full).count()
         prev = self.manifest()
@@ -142,7 +145,10 @@ class SnapshotStore:
         """Replace table contents (compaction / base rewrite)."""
         rel = f"data/{uuid.uuid4().hex}"
         full = f"{self.path}/{rel}"
-        df.write.mode("overwrite").parquet(full)
+        w = df.write.mode("overwrite")
+        if "fp" in df.columns:
+            w = w.option("parquet.bloom.filter.enabled#fp", "true")
+        w.parquet(full)
         rows = self.spark.read.parquet(full).count()
         return self._commit([{"path": rel, "rows": rows}], round_no, meta)
 

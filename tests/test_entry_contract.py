@@ -53,7 +53,7 @@ def test_entry_smoke(spark):
 def test_every_query_has_oracle_or_reason(spark):
     qs, os_ = entry_mod.queries(), entry_mod.oracle_sql()
     missing = set(qs) - set(os_)
-    assert missing <= {"t06_simhash_groups", "q14b_approx_distinct", "t11_ann_ivf"}, f"unexplained missing oracles: {missing}"
+    assert missing <= {"q14b_approx_distinct", "t11_ann_ivf", "t12_simhash64_banded"}, f"unexplained missing oracles: {missing}"
 
 
 @pytest.mark.parametrize("name", sorted(entry_mod.queries().keys()))

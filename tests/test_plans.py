@@ -57,3 +57,24 @@ def test_pop_window_single_shuffle(spark):
 def test_anti_join_no_python(spark):
     df = QUERIES["j02_anti_join"](spark, SF_DIR)
     assert not plans.has_python_udf(df)
+
+
+def test_global_cap_pop_avoids_single_partition_window(spark):
+    """With max_urls_per_round set, the global top-k must plan as
+    TakeOrdered (per-partition top-k + k-row merge), never a
+    row_number() window over Exchange SinglePartition (round-1 weakness:
+    every admitted row funneled through one task)."""
+    from crawlspark.schema import FRONTIER, ROBOTS
+    from crawlspark.scheduler import CrawlConfig, pop_slice
+
+    fr = spark.createDataFrame(
+        [(f"f{i}", f"http://h{i % 3}.com/item/{i}", f"h{i % 3}.com", i % 3,
+          1, 0, i, "queued", 0, 0, 1) for i in range(50)],
+        schema=FRONTIER,
+    )
+    rob = spark.createDataFrame([], schema=ROBOTS)
+    sliced, _ = pop_slice(fr, rob, CrawlConfig(max_urls_per_round=5), 1.0)
+    plan = sliced._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrdered" in plan, plan
+    assert "Exchange SinglePartition" not in plan, plan
+    assert sliced.count() == 5

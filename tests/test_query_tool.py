@@ -66,3 +66,43 @@ def test_sql_passthrough_and_export(tool, tmp_path):
     assert [d["rank"] for d in data] == [1, 2, 3]
     p2 = tool.export(df, str(tmp_path / "out.csv"), fmt="csv")
     assert open(p2, encoding="utf-8-sig").readline().strip() == "rank,name"
+
+
+def test_xlsx_export_roundtrip(tool, tmp_path):
+    """S7 xlsx parity (reference query_movies.py:324-325 / pipelines.py:
+    367-368): the dependency-free writer must produce a valid OOXML zip
+    whose sheet carries header + typed values."""
+    import zipfile
+    import xml.etree.ElementTree as ET
+
+    df = tool.sql("SELECT rank, name FROM movies_all WHERE rank <= 3 ORDER BY rank")
+    p = tool.export(df, str(tmp_path / "out.xlsx"), fmt="xlsx")
+    with zipfile.ZipFile(p) as z:
+        names = set(z.namelist())
+        assert {"[Content_Types].xml", "_rels/.rels", "xl/workbook.xml",
+                "xl/worksheets/sheet1.xml"} <= names
+        sheet = z.read("xl/worksheets/sheet1.xml").decode("utf-8")
+    ns = {"m": "http://schemas.openxmlformats.org/spreadsheetml/2006/main"}
+    rows = ET.fromstring(sheet).findall(".//m:row", ns)
+    assert len(rows) == 4  # header + 3 data rows
+    header = [t.text for t in rows[0].findall(".//m:t", ns)]
+    assert header == ["rank", "name"]
+    first_rank = rows[1].find(".//m:v", ns).text
+    assert first_rank == "1"
+
+
+def test_crawl_summary_artifact(tool, tmp_path):
+    """S8: the crawl_summary.txt text report (pipelines.py:397-405 shape)."""
+    from crawlspark.analytics import write_crawl_summary
+
+    p = write_crawl_summary(tool.movies, str(tmp_path / "crawl_summary.txt"),
+                            timestamp="20250305_220816")
+    text = open(p, encoding="utf-8").read()
+    assert "采集时间: 20250305_220816" in text
+    assert "总数据量: 250" in text
+    assert "排名范围: 1 - 250" in text
+    assert "节点数据统计:" in text
+    # per-node lines sum to the total
+    counts = [int(line.rsplit(": ", 1)[1][:-1]) for line in text.splitlines()
+              if line.endswith("条")]
+    assert sum(counts) == 250

@@ -169,3 +169,57 @@ def test_ivf_topk_recall_vs_brute_force(spark):
         for r in similarity.ivf_topk(emb, query_ids=qids, k=5, nlist=8, nprobe=8).collect()
     }
     assert full == exact  # probing every cell == brute force
+
+
+def test_simhash64_spark_matches_pure_python(spark):
+    """The 64-bit pandas-UDF SimHash must equal an independent pure-Python
+    fold of the same contract (k-gram md5 16-hex bit votes)."""
+    import hashlib
+
+    def pure(s: str, k: int = 3) -> int:
+        toks = s.split(" ")
+        grams = ([" ".join(toks[i:i + k]) for i in range(len(toks) - k + 1)]
+                 if len(toks) >= k else [" ".join(toks)])
+        votes = [0] * 64
+        for g in grams:
+            h = int(hashlib.md5(g.encode()).hexdigest()[:16], 16)
+            for b in range(64):
+                votes[b] += 1 if (h >> b) & 1 else -1
+        v = sum(1 << b for b in range(64) if votes[b] > 0)
+        return v - (1 << 64) if v >= (1 << 63) else v
+
+    d = spark.read.parquet(f"{SF_DIR}/documents.parquet").limit(20)
+    got = {r["doc_id"]: r["sh"] for r in
+           d.select("doc_id", dedup.simhash64_col(F.col("text")).alias("sh")).collect()}
+    want = {r["doc_id"]: pure(r["text"]) for r in d.collect()}
+    assert got == want
+
+
+def test_simhash64_banded_pairs(spark):
+    """Banding must find exact dups (hamming 0) and near-identical texts,
+    and must never emit a pair whose true hamming exceeds the bound."""
+    rows = [
+        (0, "the quick brown fox jumps over the lazy dog again and again ok"),
+        (1, "the quick brown fox jumps over the lazy dog again and again ok"),
+        (2, "completely different content about spark shuffle partitions x y"),
+        (3, "the quick brown fox jumps over the lazy dog again and again no"),
+    ]
+    d = spark.createDataFrame(rows, ["doc_id", "text"])
+    pairs = {(r["doc_a"], r["doc_b"]): r["hamming"]
+             for r in dedup.simhash64_pairs_banded(d, k=3, bands=4, max_hamming=3).collect()}
+    assert pairs.get((0, 1)) == 0          # exact dup
+    assert all(h <= 3 for h in pairs.values())
+    assert (0, 2) not in pairs and (1, 2) not in pairs
+
+    with pytest.raises(ValueError):        # pigeonhole guard
+        dedup.simhash64_pairs_banded(d, bands=4, max_hamming=4)
+
+
+def test_minhash_lsh_verify_is_candidate_only(spark):
+    """The verify join must be bounded by LSH candidates: its plan
+    restricts the shingle index with a semi-join on candidate docs (round
+    1 recomputed all-pairs Jaccard corpus-wide, defeating LSH)."""
+    d = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    pairs = dedup.minhash_lsh_pairs(d, n_hashes=16, bands=4, threshold=0.2, max_df=100)
+    plan = pairs._jdf.queryExecution().executedPlan().toString()
+    assert "LeftSemi" in plan
