@@ -97,7 +97,10 @@ def bench_crawl(spark, n_pages_target: int) -> dict:
 
         pad_words = int(os.environ.get("SPARK_GRAFT_PAD_WORDS", "2000"))
         base = spark.createDataFrame(site["pages"], schema=PAGES)
-        inflate_pages(base, pad_words).write.mode("overwrite").parquet(root + "/pages")
+        # 64 files so the fetch/extract stage's parallelism is set by the
+        # LEVEL under test, not by however many partitions createDataFrame
+        # happened to use (each file = 1 row group = min read unit)
+        inflate_pages(base, pad_words).repartition(64).write.mode("overwrite").parquet(root + "/pages")
         pages = spark.read.parquet(root + "/pages")
         seeds = spark.createDataFrame(site["seeds"], schema=SEEDS)
         robots = spark.createDataFrame(site["robots"], schema=ROBOTS)

@@ -49,21 +49,41 @@ def main() -> None:
         ).parquet(f"{root}/with_bloom")
         base.write.mode("overwrite").parquet(f"{root}/no_bloom")
 
-        # membership probes: fps that EXIST (worst case: bloom can't skip
-        # the owning group) and fps that DON'T (best case: every group
-        # skipped). The seen anti-join's per-round reality is mostly-absent.
-        present = [r["fp"] for r in base.limit(n_probes).collect()]
-        absent = [f"{i:040x}" for i in range(n_probes)]
+        # membership probes as INDIVIDUAL point lookups (fp = X), the
+        # predicate shape parquet evaluates against blooms per row group
+        # (large IN-lists become InSet and stop pushing down — measured).
+        # present fps live in exactly 1 of 16 files: bloom skips the
+        # other 15. absent fps: bloom skips all 16. Random-hex fps mean
+        # min/max stats prune ~nothing, so the delta is the bloom's.
+        import hashlib
 
-        def probe(path: str, fps: list[str]) -> float:
-            df = spark.read.parquet(path)
+        present = [r["fp"] for r in base.limit(n_probes).collect()]
+        # absent fps must LOOK like real sha1s (mid-range hex) — all-zero
+        # probes sit below every row group's min and min/max stats prune
+        # them with no bloom at all
+        absent = [hashlib.sha1(f"absent-{i}".encode()).hexdigest()
+                  for i in range(n_probes)]
+
+        df_bloom = spark.read.parquet(f"{root}/with_bloom")
+        df_plain = spark.read.parquet(f"{root}/no_bloom")
+
+        def one(df, fp: str) -> float:
             t0 = time.perf_counter()
-            df.filter(F.col("fp").isin(fps)).count()
-            return round(time.perf_counter() - t0, 3)
+            df.filter(F.col("fp") == fp).count()
+            return time.perf_counter() - t0
+
+        def probe_pair(fps: list[str]) -> tuple[float, float]:
+            """Interleave bloom/no-bloom per lookup so the VM's
+            time-correlated noise windows hit both conditions equally."""
+            tb = tp = 0.0
+            for fp in fps:
+                tb += one(df_bloom, fp)
+                tp += one(df_plain, fp)
+            return round(tb, 3), round(tp, 3)
 
         # warm the page cache with one pass each so IO isn't the variable
-        probe(f"{root}/with_bloom", absent[:1])
-        probe(f"{root}/no_bloom", absent[:1])
+        one(df_bloom, absent[0])
+        one(df_plain, absent[0])
 
         def du(path: str) -> int:
             return sum(
@@ -71,13 +91,15 @@ def main() -> None:
                 for dp, _, fs in os.walk(path) for f in fs
             )
 
+        ab_b, ab_p = probe_pair(absent)
+        pr_b, pr_p = probe_pair(present)
         out = {
             "n_rows": n_rows,
             "n_probes": n_probes,
-            "absent_with_bloom_s": probe(f"{root}/with_bloom", absent),
-            "absent_no_bloom_s": probe(f"{root}/no_bloom", absent),
-            "present_with_bloom_s": probe(f"{root}/with_bloom", present),
-            "present_no_bloom_s": probe(f"{root}/no_bloom", present),
+            "absent_with_bloom_s": ab_b,
+            "absent_no_bloom_s": ab_p,
+            "present_with_bloom_s": pr_b,
+            "present_no_bloom_s": pr_p,
             "bytes_with_bloom": du(f"{root}/with_bloom"),
             "bytes_no_bloom": du(f"{root}/no_bloom"),
         }

@@ -19,11 +19,11 @@ from __future__ import annotations
 
 import json
 import os
-import shutil
+
 import subprocess
 import sys
-import tempfile
-import time
+
+
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
@@ -56,13 +56,20 @@ def main() -> None:
     n_pages = int(sys.argv[1]) if len(sys.argv) > 1 else 24000
     pad = int(sys.argv[2]) if len(sys.argv) > 2 else 8000
     levels = [int(x) for x in (sys.argv[3] if len(sys.argv) > 3 else "2,8,32").split(",")]
+    reps = int(sys.argv[4]) if len(sys.argv) > 4 else 1
 
     from crawlspark.schema import PAGES
     from crawlspark.session import get_spark
     from crawlspark.synth import SiteSpec, generate_site, inflate_pages
 
-    root = tempfile.mkdtemp(prefix="kernscale_")
-    try:
+    # persistent corpus, reused across invocations (identical input is the
+    # point of the protocol; regeneration is deterministic anyway).
+    # 64 files: the input layout must never cap a level's parallelism —
+    # an 8-file corpus silently limits the extract stage to 8 tasks at
+    # EVERY level (each file is one parquet row group, the minimum read
+    # unit), which masquerades as "doesn't scale".
+    corpus = f"/tmp/kernscale_corpus_{n_pages}_{pad}_v2"
+    if not os.path.exists(corpus + "/_SUCCESS"):
         spark = get_spark("kernel-corpus", master="local[8]", shuffle_partitions=8)
         n_hosts = max(8, n_pages // 800)
         site = generate_site(SiteSpec(
@@ -71,27 +78,41 @@ def main() -> None:
             per_list=25, dead_links_per_host=0, seed=42,
         ))
         base = spark.createDataFrame(site["pages"], schema=PAGES)
-        inflate_pages(base, pad).write.mode("overwrite").parquet(root + "/pages")
-        n_rows = spark.read.parquet(root + "/pages").count()
+        inflate_pages(base, pad).repartition(64).write.mode("overwrite").parquet(corpus)
         spark.stop()
 
-        # interleave reps across levels (VM noise is time-correlated)
-        times: dict[int, list[float]] = {lv: [] for lv in levels}
-        for _ in range(2):
-            for lv in levels:
-                times[lv].append(run_level(lv, root + "/pages"))
-        best = {lv: min(ts) for lv, ts in times.items()}
-        out = {"n_pages": n_rows, "pad_words": pad,
+    # interleave reps across levels (VM noise is time-correlated) and
+    # ACCUMULATE across invocations, saving after EVERY child run — this
+    # VM has multi-minute windows of 5x degradation, so best-of-many is
+    # the only stable statistic and partial progress must survive.
+    out_path = os.path.join(REPO, "BENCH", "kernel_scaling.json")
+    times: dict[int, list[float]] = {lv: [] for lv in levels}
+    if os.path.exists(out_path):
+        with open(out_path) as f:
+            prev = json.load(f)
+        if prev.get("pad_words") == pad:
+            for k, v in prev.get("all_runs", {}).items():
+                times.setdefault(int(k), []).extend(v)
+
+    def save() -> dict:
+        best = {lv: min(ts) for lv, ts in times.items() if ts}
+        out = {"n_pages": n_pages, "pad_words": pad,
                "kernel_seconds_best": best, "all_runs": times}
         for lo, hi in ((2, 8), (8, 32)):
             if lo in best and hi in best:
                 out[f"speedup_{lo}to{hi}"] = round(best[lo] / best[hi], 2)
                 out[f"efficiency_{lo}to{hi}"] = round(best[lo] / best[hi] / 4, 3)
-        print(json.dumps(out))
-        with open(os.path.join(REPO, "BENCH", "kernel_scaling.json"), "w") as f:
+        with open(out_path, "w") as f:
             json.dump(out, f, indent=1)
-    finally:
-        shutil.rmtree(root, ignore_errors=True)
+        return out
+
+    for _ in range(reps):
+        for lv in levels:
+            t = run_level(lv, corpus)
+            times.setdefault(lv, []).append(t)
+            print(json.dumps({"level": lv, "seconds": t}), flush=True)
+            save()
+    print(json.dumps(save()))
 
 
 if __name__ == "__main__":

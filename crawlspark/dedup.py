@@ -90,21 +90,58 @@ def ngram_jaccard_pairs(
 ) -> DataFrame:
     """Near-dup pairs by exact word-k-gram Jaccard.
 
-    Plan: inverted-index self-join on shingle (equi-join, shuffle on the
-    shingle key), count intersections per pair, then |A∪B| from per-doc
-    shingle counts. Emits (doc_a < doc_b, jaccard >= threshold).
-    """
-    idx = shingle_index(documents, k, max_df)
-    sizes = idx.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    Two physical strategies, same semantics:
 
-    a = idx.select(F.col("doc_id").alias("doc_a"), "shingle")
-    b = idx.select(F.col("doc_id").alias("doc_b"), "shingle")
-    inter = (
-        a.join(b, "shingle")
-        .filter(F.col("doc_a") < F.col("doc_b"))
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count("*").alias("n_inter"))
-    )
+    * ``max_df`` set (the at-scale configuration): build each shingle's
+      POSTING LIST once (sorted doc array, capped at max_df rows), emit
+      doc pairs per posting via array combinatorics (JVM higher-order
+      functions) — the index subtree is computed ONCE and no self-join
+      runs at all. Arrays are bounded by max_df, so no per-row blowup.
+    * ``max_df`` None: classic inverted-index self-join on shingle —
+      posting arrays would be unbounded on boilerplate, the shuffle join
+      handles arbitrary df (but is quadratic on hot shingles; always set
+      max_df at corpus scale).
+
+    Emits (doc_a < doc_b, n_inter, jaccard >= threshold).
+    """
+    if max_df is not None:
+        posting = (
+            shingle_index(documents, k, max_df=None)
+            .groupBy("shingle")
+            .agg(F.sort_array(F.collect_list("doc_id")).alias("docs"))
+            .filter(F.size("docs") <= max_df)  # stop-shingle cap
+        )
+        sizes = (
+            posting.select(F.explode("docs").alias("doc_id"))
+            .groupBy("doc_id")
+            .agg(F.count("*").alias("n_sh"))
+        )
+        pair_structs = F.flatten(
+            F.transform(
+                F.col("docs"),
+                lambda x, i: F.transform(
+                    F.slice(F.col("docs"), i + F.lit(2), F.size(F.col("docs"))),
+                    lambda y: F.struct(x.alias("doc_a"), y.alias("doc_b")),
+                ),
+            )
+        )
+        inter = (
+            posting.select(F.explode(pair_structs).alias("p"))
+            .select("p.doc_a", "p.doc_b")
+            .groupBy("doc_a", "doc_b")
+            .agg(F.count("*").alias("n_inter"))
+        )
+    else:
+        idx = shingle_index(documents, k, None)
+        sizes = idx.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+        a = idx.select(F.col("doc_id").alias("doc_a"), "shingle")
+        b = idx.select(F.col("doc_id").alias("doc_b"), "shingle")
+        inter = (
+            a.join(b, "shingle")
+            .filter(F.col("doc_a") < F.col("doc_b"))
+            .groupBy("doc_a", "doc_b")
+            .agg(F.count("*").alias("n_inter"))
+        )
     # plain shuffle joins on purpose: `sizes` is one row PER DOCUMENT —
     # broadcasting it would OOM the driver at 10^9 docs. The pair set is
     # the big side; AQE picks broadcast automatically when sizes IS small.

@@ -212,18 +212,19 @@ def extract_records_and_links(df, url_field: str = "url", html_field: str = "htm
     """K4: mapInPandas batch extractor — one Arrow pass computes record
     fields, text, and discovered links for every fetched page."""
 
+    _out_cols = ("url", "kind", "rank", "name", "rate", "num",
+                 "genres", "text", "links")
+
     def _run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            rows = [
-                extract_page(u, h if isinstance(h, (bytes, bytearray)) else bytes(h))
-                for u, h in zip(pdf[url_field], pdf[html_field])
-            ]
-            yield pd.DataFrame(
-                rows,
-                columns=[
-                    "url", "kind", "rank", "name", "rate", "num",
-                    "genres", "text", "links",
-                ],
-            )
+            # column-wise assembly: pd.DataFrame from a dict of lists is
+            # several times faster than from a list of per-row dicts
+            # (measured; this kernel is the crawl round's hot loop)
+            cols: dict[str, list] = {c: [] for c in _out_cols}
+            for u, h in zip(pdf[url_field], pdf[html_field]):
+                rec = extract_page(u, h if isinstance(h, (bytes, bytearray)) else bytes(h))
+                for c in _out_cols:
+                    cols[c].append(rec[c])
+            yield pd.DataFrame(cols)
 
     return df.mapInPandas(_run, schema=_EXTRACT_SCHEMA)
