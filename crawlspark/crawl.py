@@ -154,6 +154,65 @@ def seed_frontier(spark: SparkSession, store: FrontierStore, seeds: DataFrame, c
     )
 
 
+def ingest_urls(
+    spark: SparkSession,
+    store: FrontierStore,
+    urls: DataFrame,
+    cfg: CrawlConfig,
+    round_no: int = 0,
+) -> dict:
+    """Mid-crawl URL injection (Q5-Q7 analog: the reference's Kafka
+    url_manager consuming discovered/seed URLs continuously,
+    /root/reference/url_manager/kafka_url_manager.py). Canonicalize ->
+    fingerprint -> anti-join the seen set -> one tee write committing
+    frontier + seen. Idempotent: re-ingesting the same URLs is a no-op.
+
+    ``urls`` needs (url, priority, seq); rows are queued at depth 0 with
+    op_seq = 1 (an insert — any later mark beats it).
+    """
+    from pyspark.sql import Observation
+
+    canon = urls.withColumn("url", canonicalize_urls(F.col("url")))
+    rows = (
+        canon.withColumn("fp", fingerprint_col(F.col("url"), already_canonical=True))
+        .withColumn("host", host_col(F.col("url")))
+        .withColumn("host_bucket", host_bucket_col(F.col("host"), cfg.n_buckets))
+        .withColumn("depth", F.lit(0))
+        .withColumn("status", F.lit(STATUS_QUEUED))
+        .withColumn("retry_count", F.lit(0))
+        .withColumn("discovered_round", F.lit(round_no))
+        .withColumn("op_seq", F.lit(1).cast("long"))
+    )
+    w = Window.partitionBy("fp").orderBy(F.asc("seq"))
+    rows = rows.withColumn("_rn", F.row_number().over(w)).filter(F.col("_rn") == 1).drop("_rn")
+    rows = rows.select(*_FRONTIER_COLS)
+    seen = store.seen_state()
+    if seen is not None:
+        rows = rows.join(seen.select("fp"), "fp", "left_anti")
+    seen_rows = rows.select(
+        "fp", "url", "host_bucket", F.lit(round_no).alias("first_round")
+    )
+    tee = _pad(rows, "frontier").unionByName(_pad(seen_rows, "seen"))
+    obs = Observation()
+    tee = tee.observe(
+        obs,
+        F.sum(F.when(F.col("_table") == "frontier", 1).otherwise(0)).alias("frontier"),
+        F.sum(F.when(F.col("_table") == "seen", 1).otherwise(0)).alias("seen"),
+    )
+    shared, has_data = _write_tee(store, tee)
+    if not has_data:
+        return {"ingested": 0}
+    vals = obs.get
+    n = int(vals["frontier"] or 0)
+    store.commit_round(
+        shared,
+        {"frontier": n, "seen": int(vals["seen"] or 0)},
+        round_no,
+        meta={"phase": "ingest"},
+    )
+    return {"ingested": n}
+
+
 def run_round(
     spark: SparkSession,
     store: FrontierStore,

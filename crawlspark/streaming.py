@@ -181,3 +181,65 @@ def stream_metrics(spark: SparkSession, metrics_data_dir: str) -> DataFrame:
     return stream.groupBy("metric").agg(
         F.sum("value").alias("total"), F.max("round").alias("last_round")
     )
+
+
+URL_STREAM_SCHEMA = T.StructType(
+    [
+        T.StructField("url", T.StringType(), False),
+        T.StructField("priority", T.IntegerType(), False),
+        T.StructField("seq", T.LongType(), False),
+    ]
+)
+
+
+def stream_url_ingest(
+    spark: SparkSession,
+    store,
+    input_dir: str,
+    checkpoint: str,
+    cfg=None,
+    round_no: int = 0,
+    max_files: int = 8,
+):
+    """Continuous URL ingest — the reference's Kafka url-consume loop
+    (/root/reference/url_manager/kafka_url_manager.py: consumer poll ->
+    dedup -> Redis ZADD) as Structured Streaming:
+
+        file stream of (url, priority, seq)
+          -> streaming dropDuplicates("url")     [state-store RFPDupeFilter
+                                                  for in-flight dupes]
+          -> foreachBatch: crawl.ingest_urls     [canonicalize, fingerprint,
+                                                  anti-join the PERSISTENT
+                                                  seen set, tee-commit
+                                                  frontier + seen]
+
+    Two dedup layers on purpose: the streaming state handles duplicates
+    across micro-batches of the stream itself; the seen-set anti-join
+    inside ingest_urls makes the sink idempotent against everything ever
+    crawled (and against stream restarts, since it runs per batch on the
+    store's committed state). Drive with trigger(availableNow=True) for
+    deterministic tests; in production this runs continuously alongside
+    the round loop.
+
+    Returns the started StreamingQuery.
+    """
+    from .crawl import ingest_urls
+    from .scheduler import CrawlConfig
+
+    cfg = cfg or CrawlConfig()
+    urls = (
+        spark.readStream.schema(URL_STREAM_SCHEMA)
+        .option("maxFilesPerTrigger", max_files)
+        .parquet(input_dir)
+        .dropDuplicates(["url"])
+    )
+
+    def _sink(batch_df, batch_id):  # noqa: ANN001
+        ingest_urls(spark, store, batch_df, cfg, round_no=round_no)
+
+    return (
+        urls.writeStream.foreachBatch(_sink)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -105,3 +105,59 @@ def test_stream_metrics_over_store(spark, tmp_path):
     q.awaitTermination()
     rows = {r["metric"]: (r["total"], r["last_round"]) for r in spark.sql("select * from m").collect()}
     assert rows["fetched"] == (60, 2)
+
+
+def test_stream_url_ingest_dedup_and_resume(spark, tmp_path):
+    """Streaming URL ingest (Q5-Q7 Kafka-consume analog): duplicates across
+    stream files land once; already-seen URLs are ignored; a second
+    trigger with new files appends only the new; ingested URLs are then
+    crawlable."""
+    from crawlspark.crawl import ingest_urls
+    from crawlspark.runner import CrawlRunner
+    from crawlspark.scheduler import CrawlConfig
+    from crawlspark.schema import PAGES, ROBOTS, SEEDS
+    from crawlspark.streaming import URL_STREAM_SCHEMA, stream_url_ingest
+    from crawlspark.synth import SiteSpec, generate_site
+
+    site = generate_site(SiteSpec(n_hosts=2, lists_per_host=1, per_list=4, seed=11))
+    pages = spark.createDataFrame(site["pages"], schema=PAGES)
+    robots = spark.createDataFrame(site["robots"], schema=ROBOTS)
+    cfg = CrawlConfig(round_wall=1e9, per_host_cap=1000, max_depth=1)
+    runner = CrawlRunner(spark, str(tmp_path / "store"), cfg)
+    runner.init(spark.createDataFrame(site["seeds"], schema=SEEDS))
+    seeded = runner.queued_count()
+
+    # stream input: 2 files; a cross-file duplicate AND an already-seeded url
+    page_urls = [p["url"] for p in site["pages"]]
+    seed_url = site["seeds"][0]["url"]
+    extra = [u for u in page_urls if u != seed_url][:3]
+    in_dir, cp = str(tmp_path / "in"), str(tmp_path / "cp")
+    spark.createDataFrame(
+        [(extra[0], 1, 10), (extra[1], 0, 11), (seed_url, 1, 12)], schema=URL_STREAM_SCHEMA
+    ).write.mode("append").parquet(in_dir)
+    spark.createDataFrame(
+        [(extra[0], 1, 13), (extra[2], 0, 14)], schema=URL_STREAM_SCHEMA
+    ).write.mode("append").parquet(in_dir)
+
+    q = stream_url_ingest(spark, runner.store, in_dir, cp, cfg)
+    q.awaitTermination()
+    assert runner.queued_count() == seeded + 3  # dupe + seen url dropped
+
+    # restart with one genuinely new file: checkpoint skips the old ones
+    spark.createDataFrame([(extra[0], 1, 15)], schema=URL_STREAM_SCHEMA).write.mode(
+        "append"
+    ).parquet(in_dir)  # already ingested -> seen anti-join drops it
+    q2 = stream_url_ingest(spark, runner.store, in_dir, cp, cfg)
+    q2.awaitTermination()
+    assert runner.queued_count() == seeded + 3
+
+    # the ingested URLs crawl normally
+    res = runner.run(pages, robots)
+    assert res.total_fetched > 0
+
+    # batch-side idempotence of the underlying merge
+    out = ingest_urls(
+        spark, runner.store,
+        spark.createDataFrame([(extra[0], 1, 99)], schema=URL_STREAM_SCHEMA), cfg,
+    )
+    assert out["ingested"] == 0
