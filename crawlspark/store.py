@@ -45,10 +45,20 @@ class SnapshotStore:
     happens at the scan (unread columns cost nothing).
     """
 
-    def __init__(self, spark: SparkSession, path: str, columns: list[str] | None = None):
+    def __init__(
+        self,
+        spark: SparkSession,
+        path: str,
+        columns: list[str] | None = None,
+        sort_cols: list[str] | None = None,
+    ):
         self.spark = spark
         self.path = path.rstrip("/")
         self.columns = columns
+        # Z-order-lite: compaction clusters rows by these columns
+        # (repartition on the leading key + sortWithinPartitions), so
+        # row-group min/max stats prune scans that filter on them
+        self.sort_cols = sort_cols
         os.makedirs(f"{self.path}/manifests", exist_ok=True)
         os.makedirs(f"{self.path}/data", exist_ok=True)
 
@@ -142,9 +152,17 @@ class SnapshotStore:
         return self._commit(files, round_no, meta)
 
     def overwrite(self, df: DataFrame, round_no: int, meta: dict | None = None) -> int:
-        """Replace table contents (compaction / base rewrite)."""
+        """Replace table contents (compaction / base rewrite). When
+        ``sort_cols`` is declared, the rewritten base is clustered:
+        repartition on the leading key (co-locates a key's rows in one
+        file) + sortWithinPartitions (monotone row groups -> min/max
+        pruning for scans filtering on those columns)."""
         rel = f"data/{uuid.uuid4().hex}"
         full = f"{self.path}/{rel}"
+        if self.sort_cols and all(c in df.columns for c in self.sort_cols):
+            df = df.repartition(F.col(self.sort_cols[0])).sortWithinPartitions(
+                *self.sort_cols
+            )
         w = df.write.mode("overwrite")
         if "fp" in df.columns:
             w = w.option("parquet.bloom.filter.enabled#fp", "true")
@@ -267,7 +285,10 @@ class FrontierStore:
     def __init__(self, spark: SparkSession, root: str):
         self.spark = spark
         self.root = root.rstrip("/")
-        self.frontier = SnapshotStore(spark, f"{self.root}/frontier", self.FRONTIER_COLS)
+        self.frontier = SnapshotStore(
+            spark, f"{self.root}/frontier", self.FRONTIER_COLS,
+            sort_cols=["host_bucket", "priority", "seq"],
+        )
         self.seen = SnapshotStore(spark, f"{self.root}/seen", self.SEEN_COLS)
         self.results = SnapshotStore(spark, f"{self.root}/results", self.RESULTS_COLS)
         self.metrics = SnapshotStore(spark, f"{self.root}/metrics")

@@ -114,3 +114,35 @@ def test_results_upsert_last_writer_wins(spark, tmp_store_root):
     fs.upsert_results(spark.createDataFrame(r2, schema=RESULTS), 1)
     rows = fs.results_state().collect()
     assert len(rows) == 1 and rows[0]["name"] == "b"
+
+
+def test_compaction_clusters_by_sort_cols(spark, tmp_store_root):
+    """Z-order-lite: the compacted frontier base must be clustered by
+    (host_bucket, priority, seq) within each file, so row-group min/max
+    stats prune scans on those keys."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    fs = FrontierStore(spark, tmp_store_root)
+    rows = []
+    for i in range(40):
+        r = _frontier_row(f"f{i}", f"u{i}", i % 3, 1000 - i, op_seq=i + 1)
+        r["host_bucket"] = i % 4
+        rows.append(r)
+    for i in range(FrontierStore.COMPACT_EVERY + 1):
+        batch = rows[i * 3:(i + 1) * 3] or rows[:1]
+        fs.merge_frontier(spark.createDataFrame(batch, schema=FRONTIER), round_no=i)
+    assert fs.frontier.n_delta_files() <= 2
+    m = fs.frontier.manifest()
+    base = [f for f in m["files"] if not f.get("wide")][-1]
+    files = glob.glob(f"{tmp_store_root}/frontier/{base['path']}/*.parquet")
+    assert files
+    for f in files:
+        t = pq.read_table(f, columns=["host_bucket", "priority", "seq"])
+        keys = list(zip(
+            t["host_bucket"].to_pylist(),
+            t["priority"].to_pylist(),
+            [s for s in t["seq"].to_pylist()],
+        ))
+        assert keys == sorted(keys), f"file {f} not clustered"
