@@ -289,8 +289,14 @@ class FrontierStore:
             spark, f"{self.root}/frontier", self.FRONTIER_COLS,
             sort_cols=["host_bucket", "priority", "seq"],
         )
-        self.seen = SnapshotStore(spark, f"{self.root}/seen", self.SEEN_COLS)
-        self.results = SnapshotStore(spark, f"{self.root}/results", self.RESULTS_COLS)
+        self.seen = SnapshotStore(
+            spark, f"{self.root}/seen", self.SEEN_COLS,
+            sort_cols=["host_bucket", "fp"],  # fp point probes prune via min/max + bloom
+        )
+        self.results = SnapshotStore(
+            spark, f"{self.root}/results", self.RESULTS_COLS,
+            sort_cols=["rank"],  # R29 key lookups prune by rank row groups
+        )
         self.metrics = SnapshotStore(spark, f"{self.root}/metrics")
         # crawl-order evidence: one row per fetched URL per round — the
         # columnar analog of the reference's scrapy crawl log, and the
@@ -420,7 +426,17 @@ class FrontierStore:
         sid = self.frontier.commit_external(
             f"{shared_dir}/_table=frontier", table_rows.get("frontier", 0), round_no, meta
         )
+        # compaction for EVERY table (a delta file per round forever would
+        # make the per-round read O(files)): frontier/results rewrite their
+        # RESOLVED state, seen/fetch_log/metrics are append-only so their
+        # compaction is a plain coalescing rewrite. Each runs only when the
+        # table crosses COMPACT_EVERY delta files — amortized cost per
+        # round is well under one job.
         self._maybe_compact(self.frontier, self.frontier_state, round_no)
+        self._maybe_compact(self.seen, self.seen_state, round_no)
+        self._maybe_compact(self.results, self.results_state, round_no)
+        self._maybe_compact(self.fetch_log, self.fetch_log_state, round_no)
+        self._maybe_compact(self.metrics, self.metrics_state, round_no)
         return sid
 
     # -- maintenance --------------------------------------------------------------
