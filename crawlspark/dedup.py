@@ -271,6 +271,57 @@ def verify_jaccard_pairs(
     )
 
 
+def dup_clusters(pairs: DataFrame, max_iters: int = 25) -> DataFrame:
+    """Duplicate CLUSTERS from near-dup pairs: connected components by
+    iterative min-label propagation (the alternating large-star/small-star
+    family, simplified). Each iteration is one equi-join + one hash agg —
+    two shuffles — and converges in O(component diameter) iterations; dup
+    clusters in practice are shallow (diameter 2-4), so this terminates in
+    a handful of rounds even at 10^9 docs. Raises if ``max_iters`` passes
+    without convergence (loud, not silent truncation).
+
+    Input: (doc_a, doc_b) pairs. Output: (doc_id, cluster_id) where
+    cluster_id = min doc id reachable — only for docs in >= 1 pair.
+    """
+    edges = (
+        pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+        .unionByName(
+            pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst"))
+        )
+        .distinct()
+    )
+    labels = edges.select(F.col("src").alias("doc_id")).distinct().withColumn(
+        "cluster_id", F.col("doc_id")
+    )
+    spark = pairs.sparkSession
+    for _ in range(max_iters):
+        labels = labels.localCheckpoint(eager=True)  # truncate lineage per iter
+        # candidate label per node: min of own label and neighbors' labels
+        nbr = (
+            edges.join(labels.withColumnRenamed("doc_id", "src"), "src")
+            .select(F.col("dst").alias("doc_id"), "cluster_id")
+        )
+        new_labels = (
+            labels.unionByName(nbr)
+            .groupBy("doc_id")
+            .agg(F.min("cluster_id").alias("cluster_id"))
+        ).localCheckpoint(eager=True)
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "doc_id")
+            .filter(F.col("n.cluster_id") != F.col("o.cluster_id"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            return labels
+    raise RuntimeError(
+        f"dup_clusters did not converge in {max_iters} iterations — "
+        "component diameter exceeds the bound; raise max_iters"
+    )
+
+
 def simhash_col(text, k: int = 3, bits: int = 16):
     """SimHash over word-k-gram shingles: per bit, sign of the sum of
     (+1/-1) votes from each shingle's md5-derived hash. Pure column

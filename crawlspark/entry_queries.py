@@ -455,6 +455,28 @@ def t11b_ann_ivf_recall(spark, sf_dir):
     )
 
 
+def t13_dup_clusters(spark, sf_dir):
+    """Near-dup CLUSTERS: connected components over the Jaccard pair graph
+    (iterative min-label propagation). The oracle computes the identical
+    components with a recursive CTE — full hash verification of a
+    distributed iterative algorithm."""
+    d = _t(spark, sf_dir, "documents")
+    pairs = dd.ngram_jaccard_pairs(d, k=3, threshold=0.2, max_df=100)
+    return dd.dup_clusters(pairs)
+
+
+def t14_corpus_prep(spark, sf_dir):
+    """The composed training-corpus prep pipeline (lang filter -> quality
+    filter -> exact dedup -> near-dup cluster removal), end-to-end
+    hash-verified against one SQL statement."""
+    from . import pipeline
+
+    d = _t(spark, sf_dir, "documents")
+    return pipeline.corpus_prep(
+        d, lang="en", min_quality=0.5, jaccard_threshold=0.5, k=3, max_df=100
+    )
+
+
 def t10_label_centroid_sim(spark, sf_dir):
     """Per-label mean cosine vs label-0 centroid — aggregate over vector
     column via element-wise avg (posexplode-free: aggregate on arrays)."""
@@ -507,6 +529,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "t11_ann_ivf": t11_ann_ivf,
     "t11b_ann_ivf_recall": t11b_ann_ivf_recall,
     "t12_simhash64_banded": t12_simhash64_banded,
+    "t13_dup_clusters": t13_dup_clusters,
+    "t14_corpus_prep": t14_corpus_prep,
 }
 
 # ---------------------------------------------------------------------------
@@ -811,4 +835,91 @@ def _simhash_oracle(bits: int = 16) -> str:
 
 
 ORACLES["t06_simhash_groups"] = _simhash_oracle(16)
+
+
+# Connected components as a recursive CTE — the exact twin of
+# dedup.dup_clusters' min-label propagation (transitive closure, then
+# min reachable id per node). `pairs_sql` must select (doc_a, doc_b).
+def _closure_sql(pairs_sql: str) -> str:
+    return f"""
+        , cc_pairs AS ({pairs_sql})
+        , cc_edges AS (
+            SELECT doc_a AS src, doc_b AS dst FROM cc_pairs
+            UNION
+            SELECT doc_b AS src, doc_a AS dst FROM cc_pairs
+        )
+        , cc_reach(src, dst) AS (
+            SELECT src, dst FROM cc_edges
+            UNION
+            SELECT r.src, e.dst FROM cc_reach r JOIN cc_edges e ON r.dst = e.src
+        )
+        , cc_labels AS (
+            SELECT src AS doc_id, least(src, min(dst)) AS cluster_id
+            FROM cc_reach GROUP BY src
+        )
+    """
+
+
+_T04_PAIRS_BODY = """
+        , shc AS (
+            SELECT * FROM sh WHERE shingle NOT IN (
+                SELECT shingle FROM sh GROUP BY shingle HAVING count(*) > 100)
+        )
+        , sizes AS (SELECT doc_id, count(*) AS n_sh FROM shc GROUP BY doc_id)
+        , jac AS (
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                   round(CAST(count(*) AS double)
+                         / (any_value(sa.n_sh) + any_value(sb.n_sh) - count(*)), 6) AS jaccard
+            FROM shc a JOIN shc b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+            JOIN sizes sa ON sa.doc_id = a.doc_id
+            JOIN sizes sb ON sb.doc_id = b.doc_id
+            GROUP BY a.doc_id, b.doc_id
+        )
+"""
+
+ORACLES["t13_dup_clusters"] = (
+    "WITH RECURSIVE "
+    + _SHINGLES.strip().removeprefix("WITH")
+    + _T04_PAIRS_BODY
+    + _closure_sql("SELECT doc_a, doc_b FROM jac WHERE jaccard >= 0.2")
+    + "SELECT doc_id, cluster_id FROM cc_labels"
+)
+
+ORACLES["t14_corpus_prep"] = (
+    f"""
+    WITH RECURSIVE q AS (
+        SELECT doc_id, text,
+               CAST(len(list_filter(string_split(lower(text), ' '),
+                                    x -> x IN ({_STOP_IN}))) AS double)
+                   / len(string_split(lower(text), ' ')) AS swr,
+               round(least(CAST(len(string_split(text, ' ')) AS double) / 100.0, 1.0) * 0.6
+                     + (1.0 - least(CAST(length(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS double)
+                                    / length(text) * 10.0, 1.0)) * 0.4, 4) AS quality
+        FROM documents
+    ), base AS (
+        SELECT doc_id, text FROM q WHERE swr >= 0.05 AND quality >= 0.5
+    ), keep_exact AS (
+        SELECT min(doc_id) AS doc_id FROM (
+            SELECT md5(lower(regexp_replace(text, '\\s+', ' ', 'g'))) AS fp, doc_id
+            FROM base
+        ) GROUP BY fp
+    ), surv AS (
+        SELECT b.doc_id, b.text FROM base b JOIN keep_exact k ON b.doc_id = k.doc_id
+    ), toks AS (
+        SELECT doc_id, string_split(text, ' ') AS ts FROM surv
+    ), sh AS (
+        SELECT DISTINCT doc_id,
+               CASE WHEN len(ts) >= 3 THEN ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2]
+                    ELSE array_to_string(ts, ' ') END AS shingle
+        FROM toks, unnest(range(1, greatest(len(ts) - 2, 1) + 1)) AS t(i)
+    )
+    """
+    + _T04_PAIRS_BODY
+    + _closure_sql("SELECT doc_a, doc_b FROM jac WHERE jaccard >= 0.5")
+    + """
+    SELECT doc_id FROM surv
+    WHERE doc_id NOT IN (SELECT doc_id FROM cc_labels WHERE doc_id != cluster_id)
+    """
+)
+
 ORACLES = {k: v for k, v in ORACLES.items() if v is not None}

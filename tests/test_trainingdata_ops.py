@@ -223,3 +223,38 @@ def test_minhash_lsh_verify_is_candidate_only(spark):
     pairs = dedup.minhash_lsh_pairs(d, n_hashes=16, bands=4, threshold=0.2, max_df=100)
     plan = pairs._jdf.queryExecution().executedPlan().toString()
     assert "LeftSemi" in plan
+
+
+def test_dup_clusters_hand_computed(spark):
+    """Components: {1,2,3} chained (1-2, 2-3), {7,9}, isolated pairs only —
+    min-label propagation must find min reachable id, incl. transitivity."""
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (7, 9), (4, 8), (3, 5)], ["doc_a", "doc_b"]
+    )
+    got = {r["doc_id"]: r["cluster_id"] for r in dedup.dup_clusters(pairs).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 5: 1, 7: 7, 9: 7, 4: 4, 8: 4}
+
+    with pytest.raises(RuntimeError):  # loud non-convergence
+        # a 40-long chain with max_iters=2 cannot converge
+        chain = spark.createDataFrame([(i, i + 1) for i in range(40)], ["doc_a", "doc_b"])
+        dedup.dup_clusters(chain, max_iters=2)
+
+
+def test_corpus_prep_drops_dups_keeps_canonicals(spark):
+    from crawlspark.pipeline import corpus_prep
+
+    en = ("the cat and the dog went to the market for a fish and it is good "
+          "that the day is long and the road is dry for all of it")
+    rows = [
+        (0, en),                      # canonical
+        (1, en),                      # exact dup of 0 -> dropped
+        (2, en + " extra tail here"), # near dup of 0 -> clustered, dropped
+        (3, "zzz qqq rrr sss ttt uuu vvv www"),  # no stopwords -> lang filter
+        (4, en.replace("cat", "owl").replace("dog", "hen")
+             .replace("fish", "loaf").replace("market", "harbor")
+             .replace("road", "trail")),  # english, distinct enough -> kept
+    ]
+    d = spark.createDataFrame(rows, ["doc_id", "text"])
+    kept = {r["doc_id"] for r in corpus_prep(d, jaccard_threshold=0.5).collect()}
+    assert 0 in kept and 4 in kept
+    assert 1 not in kept and 2 not in kept and 3 not in kept
