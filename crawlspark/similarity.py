@@ -134,6 +134,7 @@ def ivf_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     seed: int = 42,
+    train_fraction: float | None = None,
 ) -> DataFrame:
     """IVF (inverted-file) ANN: a k-means coarse quantizer partitions the
     corpus into ``nlist`` cells; a query scans only its ``nprobe`` nearest
@@ -141,6 +142,12 @@ def ivf_topk(
     Spark-native: centroids broadcast, cell assignment is one pass, the
     search is an equi-join on cell id — same join geometry as the
     frontier's host_bucket placement.
+
+    ``train_fraction``: fit the quantizer on a deterministic sample
+    instead of the full corpus — at 10^9+ vectors the iterative k-means
+    over everything is the scale bottleneck, and centroids from a few
+    hundred-k sample are statistically equivalent (FAISS trains on
+    samples for the same reason). Assignment still covers every vector.
 
     Deterministic given ``seed``. Recall < 1 by design; tests assert
     recall vs cosine_topk.
@@ -153,7 +160,12 @@ def ivf_topk(
         F.col(vec_col).alias("arr"),
         array_to_vector(F.col(vec_col)).alias("features"),
     )
-    model = KMeans(k=nlist, seed=seed, maxIter=20).fit(with_vec)
+    train = (
+        with_vec.sample(fraction=train_fraction, seed=seed)
+        if train_fraction is not None
+        else with_vec
+    )
+    model = KMeans(k=nlist, seed=seed, maxIter=20).fit(train)
     assigned = model.transform(with_vec).select(
         "nid", "arr", F.col("prediction").alias("cell")
     )

@@ -258,3 +258,16 @@ def test_corpus_prep_drops_dups_keeps_canonicals(spark):
     kept = {r["doc_id"] for r in corpus_prep(d, jaccard_threshold=0.5).collect()}
     assert 0 in kept and 4 in kept
     assert 1 not in kept and 2 not in kept and 3 not in kept
+
+
+def test_ivf_sampled_training_still_recalls(spark):
+    """Scale path: the coarse quantizer trained on a sample (not the full
+    corpus) must keep usable recall — assignment still covers everything."""
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    qids = [0, 1, 2]
+    exact = {(r["query_id"], r["neighbor_id"])
+             for r in similarity.cosine_topk(emb, query_ids=qids, k=5).collect()}
+    sampled = {(r["query_id"], r["neighbor_id"])
+               for r in similarity.ivf_topk(emb, query_ids=qids, k=5, nlist=8,
+                                            nprobe=4, train_fraction=0.5).collect()}
+    assert len(exact & sampled) / len(exact) >= 0.4
