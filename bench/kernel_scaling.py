@@ -98,7 +98,7 @@ def main() -> None:
         best = {lv: min(ts) for lv, ts in times.items() if ts}
         out = {"n_pages": n_pages, "pad_words": pad,
                "kernel_seconds_best": best, "all_runs": times}
-        for lo, hi in ((2, 8), (8, 32)):
+        for lo, hi in ((1, 4), (2, 8), (8, 32)):
             if lo in best and hi in best:
                 out[f"speedup_{lo}to{hi}"] = round(best[lo] / best[hi], 2)
                 out[f"efficiency_{lo}to{hi}"] = round(best[lo] / best[hi] / 4, 3)
