@@ -35,7 +35,7 @@ LEVELS = (8, 32)
 # N->4N pairs to report: (2,8) stays under the single-JVM oversubscription
 # knee (each UDF task = JVM thread + python worker, so local[32] double-books
 # a 32-vCPU box); (8,32) is the stress pair.
-PAIRS = ((2, 8), (8, 32))
+PAIRS = ((1, 4), (2, 8), (8, 32))
 
 
 def run_bench(cpus: int, pages: int, sf_dir: str, *, crawl: bool, suite: bool,
@@ -182,11 +182,14 @@ Protocol (BASELINE.md): identical crawl job + input at multiple local[N]
 parallelism levels (N vs 4N cores standing in for N vs 4N executors).
 Throughput = URLs fetched+extracted/sec, unthrottled engine mode, ~14 KB
 (Common-Crawl sized) synthetic pages, corpus written to parquet before
-timing. Runs are interleaved across levels and best-per-level is compared
+timing (levels 1/4 ran Common-Crawl-sized ~50 KB pages — pad 8000 — to
+make compute dominate; 2/8/32 ran ~14 KB pages; efficiency is only ever
+computed within a pair that shared a workload). Runs are interleaved
+across levels and best-per-level is compared
 because this sandbox VM shows ~2x time-correlated noise (vmstat records
 bursts of 80% system time with nonzero steal while benches run).
 
-Two N->4N pairs are reported: **(2,8)** sits under the single-JVM
+N->4N pairs reported: **(1,4)** and **(2,8)** sit under the single-JVM
 oversubscription knee (every pandas-UDF task is a JVM thread + a Python
 worker process, so local[32] runs ~64 compute contexts on a 32-vCPU box —
 a real cluster provisions executors per node and never double-books);
