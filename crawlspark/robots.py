@@ -1,0 +1,112 @@
+"""robots.txt parsing — derive the broadcast ROBOTS table from the corpus.
+
+The reference fetches and parses robots.txt per domain with stdlib
+``urllib.robotparser`` and default-allows on failure
+(/root/reference/utils/robots_parser.py:43-109, default crawl delay 1 s
+at :108-109). This module is the batch analog: the Common-Crawl-style
+corpus already CONTAINS each host's ``/robots.txt`` page, so one
+distributed Arrow pass parses them — with the SAME stdlib parser — into
+the tiny (host, deny_prefixes, crawl_delay) table the scheduler
+broadcasts (scheduler.with_robots).
+
+Supported subset, loudly enforced: the admission filter is prefix-deny
+(Disallow lines for the configured agent). Allow-overrides and wildcard
+patterns are NOT modeled; a robots.txt using them raises by default so
+the engine never silently mis-enforces politeness (pass
+``strict=False`` to keep such hosts with their plain Disallow prefixes).
+"""
+
+from __future__ import annotations
+
+import urllib.robotparser
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from .kernels import host_col
+
+_ROBOTS_OUT = T.StructType(
+    [
+        T.StructField("host", T.StringType(), False),
+        T.StructField("deny_prefixes", T.ArrayType(T.StringType()), True),
+        T.StructField("crawl_delay", T.DoubleType(), True),
+    ]
+)
+
+
+def parse_robots_txt(
+    content: str, user_agent: str = "*", strict: bool = True
+) -> tuple[list[str], float | None]:
+    """(deny_prefixes, crawl_delay) for one robots.txt body — pure Python,
+    shared by the Spark kernel and tests. Uses stdlib urllib.robotparser
+    (the reference's parser), then extracts the raw Disallow prefixes of
+    the entry that applies to ``user_agent``."""
+    rp = urllib.robotparser.RobotFileParser()
+    rp.parse(content.splitlines())
+    entry = None
+    for e in rp.entries:
+        if any(a == user_agent or a == "*" for a in e.useragents):
+            entry = e
+            break
+    if entry is None:
+        entry = rp.default_entry
+    from urllib.parse import unquote
+
+    prefixes: list[str] = []
+    if entry is not None:
+        for line in entry.rulelines:
+            # stdlib percent-encodes rule paths ('*' -> '%2A'); compare and
+            # emit in unquoted form, matching the scheduler's parse_url PATH
+            path = unquote(getattr(line, "path", ""))
+            if line.allowance and path not in ("", "/*", "*"):
+                # an Allow override narrows a Disallow — outside the
+                # prefix-deny subset the scheduler enforces
+                if strict:
+                    raise ValueError(
+                        f"robots.txt uses Allow override ({path!r}) — outside "
+                        "the prefix-deny subset; pass strict=False to ignore"
+                    )
+                continue
+            if not line.allowance:
+                if ("*" in path or "$" in path) and strict:
+                    raise ValueError(
+                        f"robots.txt uses wildcard pattern ({path!r}) — outside "
+                        "the prefix-deny subset; pass strict=False to ignore"
+                    )
+                if path:
+                    prefixes.append(path.split("*", 1)[0] if "*" in path else path)
+    delay = rp.crawl_delay(user_agent)
+    return prefixes, (float(delay) if delay is not None else None)
+
+
+def robots_from_pages(
+    pages: DataFrame, user_agent: str = "*", strict: bool = True
+) -> DataFrame:
+    """Distributed derivation of the ROBOTS table from the corpus's own
+    ``/robots.txt`` pages: one Arrow pass over the (tiny, one-per-host)
+    robots subset. Hosts with an unfetchable/absent robots.txt simply
+    have no row — the scheduler default-allows them (with_robots left
+    join), matching the reference's default-allow on fetch failure."""
+    rpages = pages.filter(
+        F.parse_url(F.col("url"), F.lit("PATH")) == "/robots.txt"
+    ).select(host_col(F.col("url")).alias("host"), "html")
+
+    def _run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            hosts, denies, delays = [], [], []
+            for h, raw in zip(pdf["host"], pdf["html"]):
+                body = (
+                    raw if isinstance(raw, (bytes, bytearray)) else bytes(raw)
+                ).decode("utf-8", errors="replace")
+                prefixes, delay = parse_robots_txt(body, user_agent, strict)
+                hosts.append(h)
+                denies.append(prefixes)
+                delays.append(delay)
+            yield pd.DataFrame(
+                {"host": hosts, "deny_prefixes": denies, "crawl_delay": delays}
+            )
+
+    return rpages.mapInPandas(_run, schema=_ROBOTS_OUT)

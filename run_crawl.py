@@ -73,11 +73,21 @@ def main() -> int:
         seeds = spark.createDataFrame(site["seeds"], schema=SEEDS)
         robots = spark.createDataFrame(site["robots"], schema=ROBOTS)
     else:
-        if not (args.pages and args.seeds and args.robots):
-            ap.error("--pages/--seeds/--robots required unless --synthetic")
+        if not (args.pages and args.seeds):
+            ap.error("--pages/--seeds required unless --synthetic "
+                     "(--robots optional: derived from the corpus's "
+                     "/robots.txt pages when omitted)")
         pages = spark.read.parquet(args.pages)
         seeds = spark.read.parquet(args.seeds)
-        robots = spark.read.parquet(args.robots)
+        if args.robots:
+            robots = spark.read.parquet(args.robots)
+        else:
+            # derive the politeness table from the corpus's own
+            # /robots.txt pages (reference: per-domain fetch+parse with
+            # urllib.robotparser, default-allow on absence)
+            from crawlspark.robots import robots_from_pages
+
+            robots = robots_from_pages(pages, strict=False)
 
     runner = CrawlRunner(spark, args.store, cfg)
     already_seeded = runner.store.last_committed_round() is not None
