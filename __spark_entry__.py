@@ -33,7 +33,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 def oracle_sql() -> dict[str, str]:
     """DuckDB-runnable ANSI SQL twin per query. Rows-only (no oracle):
     q14b (HLL internals are engine-specific — its ACCURACY is gated by
-    q14c), t11 (iterative k-means — its RECALL is gated by t11b), and
-    t12 (64-bit md5 prefixes overflow SQL BIGINT; cross-checked against
-    an independent pure-Python fold in pytest)."""
+    q14c) and t11 (iterative k-means — its RECALL is gated by t11b).
+    t12 gained a hash-exact oracle in round 3: DuckDB HUGEINT carries the
+    unsigned 64-bit SimHash (entry_queries._simhash64_oracle)."""
     return dict(ORACLES)

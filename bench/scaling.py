@@ -250,11 +250,18 @@ with cores here:
    broadcast; hot hosts salt two-phase (semantics proven equal in
    tests); bloom-filtered fp membership; no collect() in any round path.
 
-## Politeness-parity mode
+## Politeness-parity mode (calibrated round 3)
 
-Reference-like budgets (round_wall=60 s, crawl_delay 1-3 s, 30/min cap);
-throughput in SIMULATED time (the engine enforces the schedule by
-admission control, not sleeping): {json.dumps(parity)}
+Apples-to-apples vs the reference's measured 0.60 URL/s aggregate: three
+host lanes replay the reference's own work split (101/100/156 requests =
+its three crawler nodes); every lane's delay is floored at the
+AUTOTHROTTLE gap the reference actually ran (3.886 s = 1387.18 s of node
+wall / 357 requests, logs/spider_douban*.log — its AUTOTHROTTLE
+oscillates 3-10 s around this, settings.py:29-33, and ROBOTSTXT_OBEY is
+False so robots delay never paced it); simulated time charges each round
+what the admission schedule actually implies, max over hosts of
+(popped x effective delay), with per-(round,host) pops read back from the
+engine's own fetch_log: {json.dumps(parity)}
 
 Reference baseline (tooth-lab/Scrapy-redis 2025-03-05 logs, BASELINE.md):
 0.60 URL/s aggregate, politeness-bound. Parity-mode simulated throughput

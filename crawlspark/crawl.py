@@ -159,7 +159,7 @@ def ingest_urls(
     store: FrontierStore,
     urls: DataFrame,
     cfg: CrawlConfig,
-    round_no: int = 0,
+    round_no: int | None = None,
 ) -> dict:
     """Mid-crawl URL injection (Q5-Q7 analog: the reference's Kafka
     url_manager consuming discovered/seed URLs continuously,
@@ -169,8 +169,27 @@ def ingest_urls(
 
     ``urls`` needs (url, priority, seq); rows are queued at depth 0 with
     op_seq = 1 (an insert — any later mark beats it).
+
+    ``round_no`` defaults to the store's LAST COMMITTED round: an ingest
+    commit must never move the frontier's round backwards, or the next
+    resume_round() would roll every sibling table back to it and discard
+    later rounds' snapshots (and restart marks would lose to higher
+    insert op_seqs — rows stuck 'queued' forever). Committing at the
+    current round keeps resume at last+1 with all snapshots intact.
+    Passing an explicit round_no below the current round raises.
     """
     from pyspark.sql import Observation
+
+    last = store.last_committed_round()
+    if round_no is None:
+        round_no = last if last is not None else -1
+    elif last is not None and round_no < last:
+        raise ValueError(
+            f"ingest_urls round_no={round_no} < last committed round {last}: "
+            "committing behind the frontier would make resume roll sibling "
+            "tables back and discard later snapshots; omit round_no to use "
+            "the current round"
+        )
 
     canon = urls.withColumn("url", canonicalize_urls(F.col("url")))
     rows = (
@@ -180,7 +199,7 @@ def ingest_urls(
         .withColumn("depth", F.lit(0))
         .withColumn("status", F.lit(STATUS_QUEUED))
         .withColumn("retry_count", F.lit(0))
-        .withColumn("discovered_round", F.lit(round_no))
+        .withColumn("discovered_round", F.lit(max(round_no, 0)))
         .withColumn("op_seq", F.lit(1).cast("long"))
     )
     w = Window.partitionBy("fp").orderBy(F.asc("seq"))
@@ -190,7 +209,7 @@ def ingest_urls(
     if seen is not None:
         rows = rows.join(seen.select("fp"), "fp", "left_anti")
     seen_rows = rows.select(
-        "fp", "url", "host_bucket", F.lit(round_no).alias("first_round")
+        "fp", "url", "host_bucket", F.lit(max(round_no, 0)).alias("first_round")
     )
     tee = _pad(rows, "frontier").unionByName(_pad(seen_rows, "seen"))
     obs = Observation()
@@ -283,20 +302,32 @@ def run_round(
         denied.unpersist()
         return {"popped": 0}
 
-    # F1 fetch, behind the FetchBackend seam (N7): the backend maps the
-    # admitted slice to (url, html); the default corpus backend broadcasts
-    # the slice into the pages join. Misses are computed against the
-    # (small) hit set, never by anti-joining the full corpus.
+    # F1 fetch, behind the FetchBackend seam (N7). Broadcast gating: the
+    # popped count is already known (job 1), so the slice joins broadcast
+    # only when the round is provably small (cfg.broadcast_slice_max_rows);
+    # a 10^7-row round at the 10^10-URL design point instead takes plain
+    # equi-joins on url (sort-merge / AQE — pages bucketed by url make it
+    # cheap), because a broadcast HINT is honored regardless of size and
+    # would OOM the driver. Misses are computed against the (slice-sized)
+    # hit set, never by anti-joining the full corpus.
+    small_slice = n_popped_pre <= cfg.broadcast_slice_max_rows
+    _bcast = F.broadcast if small_slice else (lambda df: df)
     if backend is None:
         from .fetch import CorpusFetchBackend
 
-        backend = CorpusFetchBackend(pages)
+        backend = CorpusFetchBackend(pages, broadcast_slice=small_slice)
     slice_ctx = sliced.select("fp", "url", "host", "host_bucket", "priority", "depth", "seq", "retry_count", "discovered_round", "_rn")
-    hits_raw = backend.fetch(slice_ctx.select("url"))
+    # a backend MUST return at most one row per url (FetchBackend contract);
+    # enforce it here anyway — every downstream count (fetched/items, the
+    # runner's arithmetic queued tracking, fetch_log lineage) assumes it,
+    # and a custom HTTP backend with retries can easily emit duplicates.
+    # dropDuplicates is a hash-agg on the slice-sized hit set (bounded by
+    # the round's admission budgets, never corpus-sized).
+    hits_raw = backend.fetch(slice_ctx.select("url")).dropDuplicates(["url"])
 
     ext = (
         extract_records_and_links(hits_raw)
-        .join(F.broadcast(slice_ctx), "url", "inner")
+        .join(_bcast(slice_ctx), "url", "inner")
         .cache()
     )
     # job 2 of 3: materialize the extract kernel ONCE (pages are unique by
@@ -382,11 +413,11 @@ def run_round(
     mark_op = F.lit(round_no * 4 + 2).cast("long")
     fetched_urls = ext.select("url").distinct()
     done = (
-        sliced.join(F.broadcast(fetched_urls), "url", "left_semi")
+        sliced.join(_bcast(fetched_urls), "url", "left_semi")
         .withColumn("status", F.lit(STATUS_DONE))
         .withColumn("op_seq", mark_op)
     )
-    missed = sliced.join(F.broadcast(fetched_urls), "url", "left_anti")
+    missed = sliced.join(_bcast(fetched_urls), "url", "left_anti")
     # P4/N9: failed fetch -> requeue at max priority with retry_count+1,
     # give up after max_retries (RETRY_TIMES=3 analog)
     retried = (
@@ -417,7 +448,7 @@ def run_round(
     seen_rows = new_rows.select(
         "fp", "url", "host_bucket", F.lit(round_no).alias("first_round")
     )
-    fetch_rows = sliced.join(F.broadcast(fetched_urls), "url", "left_semi").select(
+    fetch_rows = sliced.join(_bcast(fetched_urls), "url", "left_semi").select(
         F.lit(round_no).alias("round"), "host", "url", "priority", "seq",
         F.col("_rn").alias("rn"),
     )

@@ -24,7 +24,14 @@ from pyspark.sql import functions as F
 
 class FetchBackend:
     """Maps a DataFrame of (url) to (url, html). Missing rows = fetch
-    failures; the engine requeues them with retry/backoff (P4/N9)."""
+    failures; the engine requeues them with retry/backoff (P4/N9).
+
+    CONTRACT: at most ONE row per url. The engine's round accounting
+    (fetched/items counts, fetch_log lineage, the runner's arithmetic
+    queued tracking) assumes url-uniqueness; run_round defensively
+    dropDuplicates(["url"]) on the returned frame, keeping an arbitrary
+    row per url — a backend that can fetch a url twice (HTTP retries,
+    mirrored hosts) should pick its own winner to stay deterministic."""
 
     def fetch(self, urls: DataFrame) -> DataFrame:
         raise NotImplementedError
@@ -36,17 +43,24 @@ class FetchBackend:
 class CorpusFetchBackend(FetchBackend):
     """Fetch = inner equi-join against a pages corpus (F1).
 
-    The popped slice is small relative to the corpus, so it is broadcast
-    into the join; at larger slices AQE falls back to sort-merge on url.
+    ``broadcast_slice`` gates the join strategy: a broadcast HINT is
+    honored by Spark unconditionally (AQE never demotes it), so the
+    caller — who knows the round's actual popped count — decides.
+    run_round passes True only when the slice is at or under
+    CrawlConfig.broadcast_slice_max_rows; a 10^7-row round at the
+    10^10-URL design point takes the plain equi-join (sort-merge; with
+    pages bucketed by url, bucket-local) instead of OOMing the driver.
     Misses (dead links) simply produce no row — the engine derives them
     against the hit set, never by anti-joining the full corpus.
     """
 
-    def __init__(self, pages: DataFrame):
+    def __init__(self, pages: DataFrame, broadcast_slice: bool = True):
         self.pages = pages
+        self.broadcast_slice = broadcast_slice
 
     def fetch(self, urls: DataFrame) -> DataFrame:
-        return self.pages.select("url", "html").join(F.broadcast(urls), "url", "inner")
+        slice_df = F.broadcast(urls) if self.broadcast_slice else urls
+        return self.pages.select("url", "html").join(slice_df, "url", "inner")
 
 
 class HttpFetchBackend(FetchBackend):

@@ -46,11 +46,13 @@ def parse_robots_txt(
     the entry that applies to ``user_agent``."""
     rp = urllib.robotparser.RobotFileParser()
     rp.parse(content.splitlines())
-    entry = None
-    for e in rp.entries:
-        if any(a == user_agent or a == "*" for a in e.useragents):
-            entry = e
-            break
+    # Entry selection MUST use the stdlib's own matching rule
+    # (Entry.applies_to: lowercase + product-token substring) — exact
+    # string equality would let a versioned agent ('Bot/1.0') take deny
+    # prefixes from the '*' entry while rp.crawl_delay() reads its
+    # specific entry, mis-enforcing politeness. Both prefixes and delay
+    # are read from the SAME entry below.
+    entry = next((e for e in rp.entries if e.applies_to(user_agent)), None)
     if entry is None:
         entry = rp.default_entry
     from urllib.parse import unquote
@@ -78,7 +80,11 @@ def parse_robots_txt(
                     )
                 if path:
                     prefixes.append(path.split("*", 1)[0] if "*" in path else path)
-    delay = rp.crawl_delay(user_agent)
+    # read the delay from the SELECTED entry, not via rp.crawl_delay():
+    # identical by construction (crawl_delay applies the same applies_to
+    # scan), but keeps prefixes and delay from one entry even if the
+    # stdlib's matching rule ever drifts
+    delay = entry.delay if entry is not None else None
     return prefixes, (float(delay) if delay is not None else None)
 
 

@@ -105,6 +105,10 @@ class CrawlRunner:
                 break
             if stop_after_round is not None and r >= stop_after_round:
                 break
+            # storage GC (S9 housekeeping): expire old snapshots + delete
+            # unreferenced tee dirs so long crawls stay O(state) on disk
+            if self.cfg.vacuum_every and (r + 1) % self.cfg.vacuum_every == 0:
+                self.store.vacuum()
             r += 1
         # executed-rounds count derives from the counts list, not the loop
         # variable (the max_rounds exit path leaves r one past the last

@@ -238,6 +238,24 @@ class SnapshotStore:
         m = self.manifest()
         return len(m["files"]) if m else 0
 
+    def expire_snapshots(self, keep_from_round: int) -> int:
+        """Iceberg ``expire_snapshots`` analog: drop manifests whose round
+        is below ``keep_from_round`` — plus orphans left ahead of CURRENT
+        by a rollback (unreachable: resume only ever rolls back). CURRENT
+        is always kept. Time travel to an expired snapshot stops working —
+        the same trade Iceberg makes; data files stay on disk until
+        ``FrontierStore.vacuum`` deletes the unreferenced ones."""
+        cur = self._current_id()
+        removed = 0
+        for m in self.snapshots():
+            sid = m["snapshot_id"]
+            if sid == cur:
+                continue
+            if m["round"] < keep_from_round or (cur is not None and sid > cur):
+                os.remove(f"{self.path}/manifests/{sid:08d}.json")
+                removed += 1
+        return removed
+
     def rollback_to_round(self, round_no: int) -> None:
         """Move CURRENT to the newest snapshot with round <= round_no.
 
@@ -450,3 +468,58 @@ class FrontierStore:
     def last_committed_round(self) -> int | None:
         m = self.frontier.manifest()
         return None if m is None else m["round"]
+
+    def vacuum(self, keep_from_round: int | None = None) -> dict:
+        """Garbage-collect storage (ADVICE r2: wide tee dirs under
+        {root}/shared/ were referenced by absolute path and never deleted,
+        so a long crawl grew O(rounds) even after compaction dropped the
+        references).
+
+        Two steps, Iceberg's expire_snapshots + remove_orphan_files:
+
+        1. expire old manifests on every table (round < keep_from_round;
+           default keeps the last TWO committed rounds — the resume
+           contract only ever rolls siblings back to the frontier's last
+           round, so anything older is unreachable except via time travel,
+           which this deliberately gives up, exactly like Iceberg);
+        2. delete any shared/ tee dir and any per-table data/ dir not
+           referenced by a surviving manifest. Wide files keep old shared
+           dirs live as long as ANY table's current file list includes
+           them (file lists are cumulative until compaction), so this
+           never deletes readable data.
+        """
+        import shutil
+
+        last = self.last_committed_round()
+        if last is None:
+            return {"removed_dirs": 0, "expired_manifests": 0}
+        if keep_from_round is None:
+            keep_from_round = last - 1
+        keep_from_round = min(keep_from_round, last)  # never expire past HEAD
+        stores = [self.frontier, self.seen, self.results, self.metrics, self.fetch_log]
+        expired = sum(s.expire_snapshots(keep_from_round) for s in stores)
+        live: set[str] = set()
+        for s in stores:
+            for m in s.snapshots():
+                for f in m["files"]:
+                    live.add(os.path.realpath(s._full_path(f["path"])))
+        removed = 0
+
+        def _dead(d: str) -> bool:
+            return d not in live and not any(lp.startswith(d + "/") for lp in live)
+
+        shared_root = f"{self.root}/shared"
+        if os.path.isdir(shared_root):
+            for name in os.listdir(shared_root):
+                d = os.path.realpath(f"{shared_root}/{name}")
+                if _dead(d):
+                    shutil.rmtree(d, ignore_errors=True)
+                    removed += 1
+        for s in stores:
+            droot = f"{s.path}/data"
+            for name in os.listdir(droot):
+                d = os.path.realpath(f"{droot}/{name}")
+                if _dead(d):
+                    shutil.rmtree(d, ignore_errors=True)
+                    removed += 1
+        return {"removed_dirs": removed, "expired_manifests": expired}

@@ -198,7 +198,7 @@ def stream_url_ingest(
     input_dir: str,
     checkpoint: str,
     cfg=None,
-    round_no: int = 0,
+    round_no: int | None = None,
     max_files: int = 8,
 ):
     """Continuous URL ingest — the reference's Kafka url-consume loop
@@ -235,6 +235,9 @@ def stream_url_ingest(
     )
 
     def _sink(batch_df, batch_id):  # noqa: ANN001
+        # round_no=None resolves to the store's CURRENT round at batch
+        # time (crawl rounds advance while the stream runs) — committing
+        # behind the frontier would make resume discard later snapshots
         ingest_urls(spark, store, batch_df, cfg, round_no=round_no)
 
     return (
@@ -243,3 +246,75 @@ def stream_url_ingest(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def stream_crawl_rounds(
+    spark: SparkSession,
+    root: str,
+    pages: DataFrame,
+    robots: DataFrame,
+    cfg=None,
+    checkpoint: str | None = None,
+    max_rounds: int = 1000,
+    backend=None,
+) -> dict:
+    """Streaming crawl mode (SURVEY §3.1's round loop as triggers): the
+    frontier's OWN COMMIT LOG is the stream. Every committed round lands
+    new parquet files under ``{root}/shared/*/_table=frontier``; a file
+    stream over that glob emits one micro-batch per committed round, and
+    the ``foreachBatch`` handler runs the NEXT scheduler round — which
+    writes the files that trigger the following batch. Self-feeding:
+
+        seed files -> batch 0 -> run_round(0) -> round-0 files
+                   -> batch 1 -> run_round(1) -> ...
+
+    Each ``availableNow`` pass processes exactly one round; the loop stops
+    when a pass pops nothing (drain) or fires no batch (no new commits).
+    The streaming checkpoint gives exactly-once file accounting, so a
+    killed streaming crawl RESUMES from the same checkpoint dir: already-
+    processed commits never re-fire, and the store's own resume contract
+    (rollback siblings, continue at last+1) supplies the state — an e2e
+    test pins byte-parity with the batch runner.
+
+    Returns {"rounds": n, "counts": [...]} like CrawlRunner.run.
+    """
+    from .crawl import _TEE_TYPES, run_round
+    from .runner import CrawlRunner
+    from .scheduler import CrawlConfig
+
+    cfg = cfg or CrawlConfig()
+    checkpoint = checkpoint or f"{root}/stream_checkpoint"
+    runner = CrawlRunner(spark, root, cfg)  # reuse rollback/resume logic
+    store = runner.store
+    tee_ddl = ", ".join(f"{c} {t}" for c, t in _TEE_TYPES.items())
+
+    counts: list[dict] = []
+    budget_scale = 1.0
+    for _ in range(max_rounds):
+        next_round = runner.resume_round()
+        fired = {"popped": None}
+
+        def _on_batch(batch_df, batch_id, _r=next_round, _bs=budget_scale):  # noqa: ANN001
+            # the batch content is the trigger; the round re-reads the
+            # store's committed state (batch_df rows = that state's log)
+            c = run_round(spark, store, pages, robots, cfg, _r,
+                          budget_scale=_bs, backend=backend)
+            fired["popped"] = c
+
+        q = (
+            spark.readStream.schema(tee_ddl)
+            .parquet(f"{root}/shared/*/_table=frontier")
+            .writeStream.foreachBatch(_on_batch)
+            .option("checkpointLocation", checkpoint)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        c = fired["popped"]
+        if c is None or c.get("popped", 0) == 0:
+            break  # no new commits to process, or frontier drained
+        counts.append(c)
+        budget_scale = cfg.next_budget_scale(
+            budget_scale, c.get("popped", 0), c.get("missed", 0)
+        )
+    return {"rounds": len(counts), "counts": counts}

@@ -67,3 +67,73 @@ def test_custom_backend_drives_misses(spark, site, tmp_path):
     res = runner.run(site["pages"], site["robots"], backend=EmptyBackend(site["pages"]))
     assert res.total_fetched == 0
     assert sum(c.get("exhausted", 0) for c in res.counts) > 0
+
+
+def test_duplicate_emitting_backend_counts_stay_sane(spark, site, tmp_path):
+    """ADVICE r2 (medium): a backend that returns the same url TWICE (easy
+    with HTTP retries) must not inflate fetched/items or drive 'missed'
+    negative — run_round enforces url-uniqueness on the backend output."""
+
+    class DoubleBackend(FetchBackend):
+        def __init__(self, pages):
+            self.pages = pages
+
+        def fetch(self, urls):
+            hit = self.pages.select("url", "html").join(urls, "url", "inner")
+            return hit.unionByName(hit)  # every url twice
+
+    cfg = CrawlConfig(round_wall=1e9, per_host_cap=1000, max_depth=1)
+    ref = CrawlRunner(spark, str(tmp_path / "ref"), cfg)
+    ref.init(site["seeds"])
+    ref_res = ref.run(site["pages"], site["robots"])
+
+    dup = CrawlRunner(spark, str(tmp_path / "dup"), cfg)
+    dup.init(site["seeds"])
+    dup_res = dup.run(site["pages"], site["robots"],
+                      backend=DoubleBackend(site["pages"]))
+
+    assert dup_res.counts == ref_res.counts  # identical per-round counts
+    for c in dup_res.counts:
+        assert c.get("missed", 0) >= 0
+    assert dup.fetch_sequence() == ref.fetch_sequence()
+
+
+def test_corpus_backend_broadcast_gate_plan_shapes(spark, site):
+    """VERDICT r2 #1: the slice join broadcasts ONLY when the caller says the
+    slice is small; otherwise it must stay a shuffle join (a broadcast HINT
+    is honored regardless of size — at the 10^10-URL design point that's a
+    driver OOM)."""
+    from crawlspark import plans
+
+    urls = site["pages"].select("url").limit(3)
+    bc = CorpusFetchBackend(site["pages"], broadcast_slice=True).fetch(urls)
+    assert plans.uses_broadcast_join(bc), plans.explain_str(bc)
+
+    # with the auto-broadcast threshold off, the gated-off path must NOT
+    # contain any broadcast join — the hint is gone, not merely demoted
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        nb = CorpusFetchBackend(site["pages"], broadcast_slice=False).fetch(urls)
+        assert not plans.uses_broadcast_join(nb), plans.explain_str(nb)
+        assert "SortMergeJoin" in plans.explain_str(nb, "simple")
+    finally:
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+
+
+def test_big_slice_path_crawls_identically(spark, site, tmp_path):
+    """Forcing every round down the non-broadcast (sort-merge) path must
+    produce byte-identical crawl results + order — the gate changes the
+    physical plan only."""
+    cfg = CrawlConfig(round_wall=1e9, per_host_cap=1000, max_depth=1)
+    ref = CrawlRunner(spark, str(tmp_path / "ref2"), cfg)
+    ref.init(site["seeds"])
+    ref.run(site["pages"], site["robots"])
+
+    cfg_nb = CrawlConfig(round_wall=1e9, per_host_cap=1000, max_depth=1,
+                         broadcast_slice_max_rows=0)
+    nb = CrawlRunner(spark, str(tmp_path / "nb"), cfg_nb)
+    nb.init(site["seeds"])
+    nb.run(site["pages"], site["robots"])
+
+    assert nb.fetch_sequence() == ref.fetch_sequence()
+    assert nb.seen_urls() == ref.seen_urls()

@@ -78,3 +78,32 @@ def test_global_cap_pop_avoids_single_partition_window(spark):
     assert "TakeOrdered" in plan, plan
     assert "Exchange SinglePartition" not in plan, plan
     assert sliced.count() == 5
+
+
+def test_no_row_at_a_time_python_in_any_gate_query(spark):
+    """VERDICT r2 #5: no BatchEvalPython (row-at-a-time Python UDF) may
+    appear in ANY gate query's plan — Python is allowed only as
+    Arrow-batched kernels (ArrowEvalPython / mapInPandas)."""
+    for name, fn in QUERIES.items():
+        df = fn(spark, SF_DIR)
+        es = plans.explain_str(df)
+        assert "BatchEvalPython" not in es, f"{name} uses row-at-a-time Python"
+
+
+def test_fetch_join_sort_merges_when_gate_is_off(spark):
+    """The crawl round's F1 join must not carry a broadcast hint when the
+    popped slice exceeds the gate (see scheduler.broadcast_slice_max_rows);
+    with auto-broadcast off the plan must contain no broadcast join."""
+    from crawlspark.fetch import CorpusFetchBackend
+    from crawlspark.schema import PAGES
+    from crawlspark.synth import SiteSpec, generate_site
+
+    site = generate_site(SiteSpec(n_hosts=1, lists_per_host=1, per_list=4, seed=2))
+    pages = spark.createDataFrame(site["pages"], schema=PAGES)
+    urls = pages.select("url").limit(2)
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        nb = CorpusFetchBackend(pages, broadcast_slice=False).fetch(urls)
+        assert not plans.uses_broadcast_join(nb), plans.explain_str(nb)
+    finally:
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")

@@ -73,3 +73,65 @@ def test_resume_rolls_back_sibling_tables(spark, tmp_path):
     assert r2.resume_round() == 1
     m = r2.store.metrics_state()
     assert m.filter(F.col("round") == 1).count() == 0  # rolled back
+
+
+def test_mid_crawl_ingest_preserves_round_chain(spark, tmp_path):
+    """ADVICE r2 (high): an ingest AFTER several crawl rounds must commit at
+    the store's CURRENT round — not round 0 — or the next resume rolls every
+    sibling table back to 0, discarding later rounds' snapshots and leaving
+    re-queued rows stuck 'queued' (their marks' op_seq loses to the higher
+    insert op_seqs of later rounds)."""
+    import pytest
+
+    from crawlspark.crawl import ingest_urls
+    from crawlspark.schema import SEEDS
+
+    site = generate_site(SiteSpec(n_hosts=2, lists_per_host=3, per_list=5, seed=23))
+    pages, seeds, robots = _dfs(spark, site)
+    root = str(tmp_path / "mid")
+    runner = CrawlRunner(spark, root, CFG)
+    runner.init(seeds)
+    runner.run(pages, robots)  # run to drain (several rounds)
+
+    last = runner.store.last_committed_round()
+    assert last is not None and last >= 1
+    results_before = {
+        r["rank"]: r["url"] for r in runner.store.results_state().collect()
+    }
+    seen_before = runner.seen_urls()
+    assert results_before and seen_before
+
+    # mid-crawl ingest of a NOT-yet-seen URL, default round_no
+    host = site["pages"][0]["url"].split("/")[2]
+    new_url = f"https://{host}/brand-new-page"  # canonical form == itself
+    out = ingest_urls(
+        spark, runner.store,
+        spark.createDataFrame([(new_url, 1, 10**9)], schema=SEEDS), CFG,
+    )
+    assert out["ingested"] == 1
+    # the ingest commit must NOT regress the frontier's round
+    assert runner.store.last_committed_round() == last
+
+    # explicit backwards round_no is refused loudly
+    with pytest.raises(ValueError, match="last committed round"):
+        ingest_urls(
+            spark, runner.store,
+            spark.createDataFrame([("http://x.test/a", 1, 1)], schema=SEEDS),
+            CFG, round_no=0,
+        )
+
+    # fresh handle = resume: nothing may be rolled back or re-crawled
+    resumed = CrawlRunner(spark, root, CFG)
+    assert resumed.resume_round() == last + 1
+    assert resumed.seen_urls() == seen_before | {new_url}
+    assert {
+        r["rank"]: r["url"] for r in resumed.store.results_state().collect()
+    } == results_before
+    # continuing the crawl pops ONLY the ingested URL (a dead link here ->
+    # it retries then exhausts); nothing previously done is re-crawled
+    res = resumed.run(pages, robots)
+    assert res.total_fetched == 0  # not in the corpus -> miss
+    assert sum(c.get("popped", 0) for c in res.counts) <= CFG.max_retries
+    assert {
+        r["rank"]: r["url"] for r in resumed.store.results_state().collect()
+    } == results_before

@@ -146,3 +146,47 @@ def test_compaction_clusters_by_sort_cols(spark, tmp_store_root):
             [s for s in t["seq"].to_pylist()],
         ))
         assert keys == sorted(keys), f"file {f} not clustered"
+
+
+def test_long_crawl_bounded_storage_and_flat_reads(spark, tmp_path):
+    """VERDICT r2 #8 + ADVICE: a >=50-round crawl must keep (a) every
+    table's delta-file count bounded (compaction), (b) the shared tee-dir
+    and manifest counts bounded (vacuum GC), and (c) resume working after
+    GC. Budget 1 URL/host/round forces one pop per round -> ~52 rounds."""
+    import os
+
+    from crawlspark.runner import CrawlRunner
+    from crawlspark.scheduler import CrawlConfig
+    from crawlspark.schema import PAGES, ROBOTS, SEEDS
+    from crawlspark.synth import SiteSpec, generate_site
+
+    site = generate_site(SiteSpec(n_hosts=1, lists_per_host=2, per_list=25, seed=31))
+    pages = spark.createDataFrame(site["pages"], schema=PAGES)
+    seeds = spark.createDataFrame(site["seeds"], schema=SEEDS)
+    robots = spark.createDataFrame(site["robots"], schema=ROBOTS)
+
+    cfg = CrawlConfig(round_wall=1.0, default_delay=1.0, per_host_cap=1,
+                      max_depth=1, vacuum_every=10)
+    root = str(tmp_path / "long")
+    runner = CrawlRunner(spark, root, cfg)
+    runner.init(seeds)
+    res = runner.run(pages, robots)
+    assert res.rounds >= 50, res.rounds
+
+    store = runner.store
+    for s in (store.frontier, store.seen, store.results, store.fetch_log,
+              store.metrics):
+        # compaction bound: COMPACT_EVERY deltas + the compacted base +
+        # at most a round of slack before the next rewrite triggers
+        assert s.n_delta_files() <= store.COMPACT_EVERY + 2, s.path
+        # vacuum bound: manifests don't accumulate O(rounds)
+        assert len(s.snapshots()) <= 25, (s.path, len(s.snapshots()))
+    # tee dirs are GC'd: without vacuum there'd be one per round (>=50)
+    n_shared = len(os.listdir(f"{root}/shared"))
+    assert n_shared <= 30, n_shared
+
+    # resume after GC: fresh handle sees the full final state
+    resumed = CrawlRunner(spark, root, cfg)
+    assert resumed.resume_round() == store.last_committed_round() + 1
+    n_details = sum(1 for p in site["pages"] if "/item/" in p["url"])
+    assert resumed.store.results_state().count() == n_details
