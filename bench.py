@@ -122,6 +122,7 @@ def bench_crawl(spark, n_pages_target: int) -> dict:
         fetched = res.total_fetched
         return {
             "pages": len(site["pages"]),
+            "pad_words": pad_words,
             "urls_fetched": fetched,
             "rounds": res.rounds,
             "wall_s": round(wall, 2),

@@ -63,8 +63,8 @@ def _save(name: str, obj) -> None:
         json.dump(obj, f, indent=1)
 
 
-def cmd_crawl(pages: int, sf_dir: str, reps: int, levels=LEVELS) -> None:
-    path = os.path.join(BENCH_DIR, "crawl_runs.json")
+def cmd_crawl(pages: int, sf_dir: str, reps: int, levels=LEVELS, tag: str = "") -> None:
+    path = os.path.join(BENCH_DIR, f"crawl_runs{('_' + tag) if tag else ''}.json")
     runs: dict[int, list] = {lv: [] for lv in levels}
     if os.path.exists(path):  # accumulate across invocations
         with open(path) as f:
@@ -75,7 +75,7 @@ def cmd_crawl(pages: int, sf_dir: str, reps: int, levels=LEVELS) -> None:
         for lv in levels:  # interleave so temporal drift hits both levels
             r = run_bench(lv, pages, sf_dir, crawl=True, suite=False)
             runs[lv].append(r["crawl"])
-            _save("crawl_runs.json", runs)  # save after every run
+            _save(os.path.basename(path), runs)  # save after every run
             print(json.dumps({"rep": i, "level": lv, "crawl": r["crawl"]}), flush=True)
 
 
@@ -143,6 +143,65 @@ def _bloom_md() -> str:
     )
 
 
+
+def _xl_md() -> str:
+    """Compute-dominant (1,4) e2e pair from crawl_runs_xl.json (big corpus,
+    Common-Crawl-sized pages): the workload where the fixed per-round costs
+    amortize the way they do at the 10^10-URL design point."""
+    try:
+        with open(os.path.join(BENCH_DIR, "crawl_runs_xl.json")) as f:
+            runs = {int(k): v for k, v in json.load(f).items() if v}
+    except FileNotFoundError:
+        return ""
+    if not (1 in runs and 4 in runs):
+        return ""
+    b1 = max(runs[1], key=lambda r: r["urls_per_sec"])
+    b4 = max(runs[4], key=lambda r: r["urls_per_sec"])
+    e = round(b4["urls_per_sec"] / (4 * b1["urls_per_sec"]), 3)
+    return (
+        "## Compute-dominant e2e pair (XL corpus)\n\n"
+        f"{b1['pages']} pages x ~{b1.get('pad_words', '?')} pad words "
+        "(Common-Crawl-sized), same interleaved best-of protocol:\n\n"
+        f"- local[1]: best {b1['urls_per_sec']} URL/s ({b1['wall_s']} s), "
+        f"all {[r['urls_per_sec'] for r in runs[1]]}\n"
+        f"- local[4]: best {b4['urls_per_sec']} URL/s ({b4['wall_s']} s), "
+        f"all {[r['urls_per_sec'] for r in runs[4]]}\n"
+        f"- **e2e N->4N efficiency = {e}**\n"
+    )
+
+
+def _fixed_cost_md() -> str:
+    """Per-term round breakdown from fixed_cost.json: which terms scale
+    with cores, which are round-constants that amortize at design scale."""
+    try:
+        with open(os.path.join(BENCH_DIR, "fixed_cost.json")) as f:
+            d = json.load(f)
+    except FileNotFoundError:
+        return ""
+    best = d.get("best") or {}
+    if not best:
+        return ""
+    levels = sorted(best, key=int)
+    keys = sorted({k for lv in levels for k in best[lv] if k != "total_wall"})
+    rows = []
+    for k in keys:
+        vals = " | ".join(str(best[lv].get(k, "-")) for lv in levels)
+        rows.append(f"| {k} | {vals} |")
+    totals = " | ".join(str(best[lv].get("total_wall", "-")) for lv in levels)
+    hdr = " | ".join(f"local[{lv}] best s" for lv in levels)
+    return (
+        "## Fixed-cost breakdown per round (bench/fixed_cost.py)\n\n"
+        f"{d['pages']} pages x {d['pad_words']} pad words; best-of per "
+        "(level, phase) across interleaved runs. job2 (the extract kernel + "
+        "link merge) is the only per-URL term — it must scale; job1 (pop "
+        "counts), job3 (tee write latency floor) and the seed are "
+        "round-constants that amortize when a round carries 10^7+ URLs:\n\n"
+        f"| phase | {hdr} |\n|---|{'---|' * len(levels)}\n"
+        + "\n".join(rows)
+        + f"\n| **total wall** | {totals} |\n"
+    )
+
+
 def cmd_merge() -> None:
     with open(os.path.join(BENCH_DIR, "crawl_runs.json")) as f:
         runs = {int(k): v for k, v in json.load(f).items()}
@@ -206,6 +265,8 @@ Query suite s (sf0.1): local[8] {q8} / local[32] {q32} = {round(q8 / q32, 2)}x.
 {eff_md}
 
 {_kernel_md()}
+{_xl_md()}
+{_fixed_cost_md()}
 {_bloom_md()}
 
 ## Honest analysis of the sandbox gap (round 2 — with controls)
@@ -292,10 +353,17 @@ def main() -> None:
     ap.add_argument("--sf-dir", default="/root/testdata/sf0.1")
     ap.add_argument("--levels", default="8,32",
                     help="comma-separated local[N] levels to interleave")
+    ap.add_argument("--tag", default="",
+                    help="accumulate into crawl_runs_<tag>.json (separate workload)")
+    ap.add_argument("--pad", type=int, default=None,
+                    help="SPARK_GRAFT_PAD_WORDS for the crawl corpus")
     args = ap.parse_args()
+    if args.pad is not None:
+        os.environ["SPARK_GRAFT_PAD_WORDS"] = str(args.pad)
     if args.crawl:
         cmd_crawl(args.pages, args.sf_dir, args.reps,
-                  levels=tuple(int(x) for x in args.levels.split(",")))
+                  levels=tuple(int(x) for x in args.levels.split(",")),
+                  tag=args.tag)
     if args.suite:
         cmd_suite(args.pages, args.sf_dir)
     if args.parity:

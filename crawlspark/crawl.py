@@ -146,11 +146,14 @@ def seed_frontier(spark: SparkSession, store: FrontierStore, seeds: DataFrame, c
     if not has_data:
         raise ValueError("seed_frontier: empty seed set")
     vals = obs.get
+    n_frontier = int(vals["frontier"] or 0)
     return store.commit_round(
         shared,
-        {"frontier": int(vals["frontier"] or 0), "seen": int(vals["seen"] or 0)},
+        {"frontier": n_frontier, "seen": int(vals["seen"] or 0)},
         round_no=-1,
-        meta={"phase": "seed"},
+        # queued_after: running queued count carried in the manifest so
+        # resume never pays a state-resolve count job (store.queued_after_hint)
+        meta={"phase": "seed", "queued_after": n_frontier},
     )
 
 
@@ -223,11 +226,15 @@ def ingest_urls(
         return {"ingested": 0}
     vals = obs.get
     n = int(vals["frontier"] or 0)
+    meta = {"phase": "ingest"}
+    prior = store.queued_after_hint()
+    if prior is not None:
+        meta["queued_after"] = prior + n
     store.commit_round(
         shared,
         {"frontier": n, "seen": int(vals["seen"] or 0)},
         round_no,
-        meta={"phase": "ingest"},
+        meta=meta,
     )
     return {"ingested": n}
 
@@ -241,6 +248,7 @@ def run_round(
     round_no: int,
     budget_scale: float = 1.0,
     backend=None,
+    queued_before: int | None = None,
 ) -> dict:
     """Execute one round; returns metric counts.
 
@@ -506,12 +514,22 @@ def run_round(
         # without paying a drain round (see CrawlRunner.run)
         "exhausted": n_exhausted,
     }
+    meta = {"counts": counts}
+    if queued_before is not None:
+        # running queued count, persisted with the round's atomic commit so
+        # a resumed run starts zero-job (store.queued_after_hint)
+        counts["queued_after"] = (
+            queued_before - counts["fetched"] - counts["exhausted"]
+            - counts["denied"] + counts["new_links"]
+        )
+        meta["queued_after"] = counts["queued_after"]
     store.commit_round(
         shared,
         {"frontier": n_popped_pre + n_denied_pre + n_new, "seen": n_new,
          "results": n_items, "fetch_log": n_fetched},
         round_no,
-        meta={"counts": counts},
-        metrics_rows=[(round_no, k, int(v)) for k, v in counts.items()],
+        meta=meta,
+        metrics_rows=[(round_no, k, int(v)) for k, v in counts.items()
+                      if k != "queued_after"],
     )
     return counts

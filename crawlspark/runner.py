@@ -66,6 +66,9 @@ class CrawlRunner:
         """Run rounds until drained. ``stop_after_round`` simulates a kill
         for resume tests. ``backend`` (fetch.FetchBackend) overrides the
         default corpus-join fetch (N7 seam)."""
+        import os as _os
+        import time as _time
+
         start = self.resume_round()
         counts: list[dict] = []
         r = start
@@ -75,10 +78,20 @@ class CrawlRunner:
         # counts (queued' = queued - done - exhausted - denied + new_links;
         # retried rows stay queued) — one state count at start, then the
         # drain is detected without paying a no-op round at the end.
-        queued = self.queued_count()
+        _t0 = _time.perf_counter()
+        # zero-job resume: the frontier manifest carries the running queued
+        # count (seed/ingest/round commits all write queued_after); the
+        # state-resolve count job runs only on pre-hint stores
+        hint = self.store.queued_after_hint()
+        queued = hint if hint is not None else self.queued_count()
+        if _os.environ.get("CRAWLSPARK_TIMING") == "1":
+            print(f"  [round {start - 1}] initial queued "
+                  f"({'manifest hint' if hint is not None else 'count job'}): "
+                  f"{_time.perf_counter() - _t0:.2f}s", flush=True)
         while r < start + max_rounds and queued > 0:
             c = run_round(self.spark, self.store, pages, robots, self.cfg, r,
-                          budget_scale=budget_scale, backend=backend)
+                          budget_scale=budget_scale, backend=backend,
+                          queued_before=queued)
             counts.append(c)
             # AUTOTHROTTLE feedback (N3): adjust next round's budgets from
             # this round's observed failure ratio
@@ -87,13 +100,10 @@ class CrawlRunner:
             )
             if c.get("popped", 0) == 0:
                 break
-            queued = (
-                queued
-                - c.get("fetched", 0)
-                - c.get("exhausted", 0)
-                - c.get("denied", 0)
-                + c.get("new_links", 0)
-            )
+            # single source of truth: run_round computed and PERSISTED the
+            # same arithmetic (queued - fetched - exhausted - denied +
+            # new_links) with the round's atomic commit
+            queued = c["queued_after"]
             # max_items: maintained from per-round item deltas (already
             # known from the round's own aggregate) — no extra
             # results_state() resolve+count job per round. Emitted items

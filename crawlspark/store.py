@@ -463,11 +463,31 @@ class FrontierStore:
         if store.n_delta_files() >= self.COMPACT_EVERY:
             resolved = resolver()
             if resolved is not None:
-                store.overwrite(resolved, round_no, {"compaction": True})
+                meta: dict = {"compaction": True}
+                if store is self.frontier:
+                    # carry the running queued count across the rewrite so
+                    # resume stays zero-job (see queued_after_hint)
+                    prev = store.manifest()
+                    q = (prev or {}).get("meta", {}).get("queued_after")
+                    if q is not None:
+                        meta["queued_after"] = q
+                store.overwrite(resolved, round_no, meta)
 
     def last_committed_round(self) -> int | None:
         m = self.frontier.manifest()
         return None if m is None else m["round"]
+
+    def queued_after_hint(self) -> int | None:
+        """Running queued-row count carried in the frontier manifest meta
+        (written by seed/ingest/round commits, carried forward across
+        compactions): lets resume start WITHOUT a full state-resolve count
+        job. None on stores written before this field existed — callers
+        fall back to the count job."""
+        m = self.frontier.manifest()
+        if m is None:
+            return None
+        q = m.get("meta", {}).get("queued_after")
+        return int(q) if q is not None else None
 
     def vacuum(self, keep_from_round: int | None = None) -> dict:
         """Garbage-collect storage (ADVICE r2: wide tee dirs under

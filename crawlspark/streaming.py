@@ -296,9 +296,13 @@ def stream_crawl_rounds(
 
         def _on_batch(batch_df, batch_id, _r=next_round, _bs=budget_scale):  # noqa: ANN001
             # the batch content is the trigger; the round re-reads the
-            # store's committed state (batch_df rows = that state's log)
+            # store's committed state (batch_df rows = that state's log).
+            # queued_before comes from the previous commit's manifest hint
+            # (seed and every round persist queued_after) — same arithmetic
+            # tracking as the batch runner, zero extra jobs.
             c = run_round(spark, store, pages, robots, cfg, _r,
-                          budget_scale=_bs, backend=backend)
+                          budget_scale=_bs, backend=backend,
+                          queued_before=store.queued_after_hint())
             fired["popped"] = c
 
         q = (
