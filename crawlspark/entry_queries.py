@@ -479,6 +479,38 @@ def t14_corpus_prep(spark, sf_dir):
     )
 
 
+def t15_pii_audit(spark, sf_dir):
+    """Per-doc PII audit + scrubbed-text md5 (the C4/Dolma release scrub):
+    email/phone counts via regexp_extract_all, redaction via
+    regexp_replace — patterns chosen to behave identically in Java regex
+    and DuckDB's RE2, so the scrub is byte-verified by the oracle."""
+    d = _t(spark, sf_dir, "documents")
+    out = tx.pii_audit(d)
+    return out.select(
+        "doc_id",
+        F.col("n_emails").cast("long").alias("n_emails"),
+        F.col("n_phones").cast("long").alias("n_phones"),
+        "scrubbed_md5",
+    )
+
+
+def t16_paragraph_dedup(spark, sf_dir):
+    """Cross-doc duplicated paragraphs (RefinedWeb/Dolma paragraph dedup
+    unit): explode on newline, hash, one hash-agg shuffle."""
+    d = _t(spark, sf_dir, "documents")
+    return tx.paragraph_dedup_groups(d, min_chars=40)
+
+
+def t17_contamination(spark, sf_dir):
+    """Benchmark-contamination check: docs sharing >= 2 distinct
+    word-3-gram shingles with a probe set (doc_id % 20 == 0 stands in for
+    the benchmark). Equi-join on shingle with the (small) probe side
+    broadcast — never doc x probe pairs."""
+    d = _t(spark, sf_dir, "documents")
+    probe = d.filter(F.col("doc_id") % 20 == 0)
+    return tx.contamination_check(d, probe, k=3, min_shared=2)
+
+
 def t10_label_centroid_sim(spark, sf_dir):
     """Per-label mean cosine vs label-0 centroid — aggregate over vector
     column via element-wise avg (posexplode-free: aggregate on arrays)."""
@@ -533,6 +565,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "t12_simhash64_banded": t12_simhash64_banded,
     "t13_dup_clusters": t13_dup_clusters,
     "t14_corpus_prep": t14_corpus_prep,
+    "t15_pii_audit": t15_pii_audit,
+    "t16_paragraph_dedup": t16_paragraph_dedup,
+    "t17_contamination": t17_contamination,
 }
 
 # ---------------------------------------------------------------------------
@@ -980,5 +1015,39 @@ ORACLES["t14_corpus_prep"] = (
     WHERE doc_id NOT IN (SELECT doc_id FROM cc_labels WHERE doc_id != cluster_id)
     """
 )
+
+# round-3 LLM-pipeline gates: PII scrub, paragraph dedup, contamination
+from .textops import EMAIL_RE as _EMAIL_RE
+from .textops import PHONE_RE as _PHONE_RE
+
+ORACLES["t15_pii_audit"] = f"""
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(text, '{_EMAIL_RE}')) AS BIGINT) AS n_emails,
+           CAST(len(regexp_extract_all(text, '{_PHONE_RE}')) AS BIGINT) AS n_phones,
+           md5(regexp_replace(regexp_replace(text, '{_EMAIL_RE}', '<EMAIL>', 'g'),
+                              '{_PHONE_RE}', '<PHONE>', 'g')) AS scrubbed_md5
+    FROM documents
+"""
+
+ORACLES["t16_paragraph_dedup"] = """
+    WITH paras AS (
+        SELECT doc_id, trim(p) AS para
+        FROM documents, unnest(string_split(text, chr(10))) AS t(p)
+        WHERE len(trim(p)) >= 40
+    )
+    SELECT md5(para) AS para_hash,
+           count(*) AS n_occurrences,
+           count(DISTINCT doc_id) AS n_docs,
+           min(doc_id) AS keep_doc_id
+    FROM paras GROUP BY 1 HAVING count(DISTINCT doc_id) > 1
+"""
+
+ORACLES["t17_contamination"] = _SHINGLES + """
+    , probe AS (SELECT DISTINCT shingle FROM sh WHERE doc_id % 20 = 0)
+    SELECT s.doc_id, count(*) AS n_shared_shingles
+    FROM sh s JOIN probe p USING (shingle)
+    WHERE s.doc_id % 20 != 0
+    GROUP BY s.doc_id HAVING count(*) >= 2
+"""
 
 ORACLES = {k: v for k, v in ORACLES.items() if v is not None}

@@ -97,3 +97,99 @@ def profile(documents: DataFrame) -> DataFrame:
         lang_id(F.col("text")).alias("lang_pred"),
         doc_fingerprint(F.col("text")).alias("fingerprint"),
     )
+
+
+# -- PII scrubbing (round 3) ---------------------------------------------------
+
+# Conservative patterns chosen to behave IDENTICALLY in Java regex (Spark)
+# and RE2 (DuckDB): no lookarounds, no backrefs.
+EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PHONE_RE = r"\b\d{3}[-.]\d{3}[-.]\d{4}\b"
+
+
+def pii_counts(text: Column) -> tuple[Column, Column]:
+    """(n_emails, n_phones) found in the text — audit counters a corpus
+    release pipeline reports before/after scrubbing."""
+    return (
+        F.size(F.regexp_extract_all(text, F.lit(EMAIL_RE), F.lit(0))),
+        F.size(F.regexp_extract_all(text, F.lit(PHONE_RE), F.lit(0))),
+    )
+
+
+def scrub_pii(text: Column) -> Column:
+    """Redact emails/phones with fixed placeholder tokens (the C4/Dolma
+    prep step before training). Pure regexp_replace — codegen, no UDF;
+    deterministic, so the scrubbed corpus is reproducible byte-for-byte."""
+    out = F.regexp_replace(text, EMAIL_RE, "<EMAIL>")
+    return F.regexp_replace(out, PHONE_RE, "<PHONE>")
+
+
+def pii_audit(documents: DataFrame) -> DataFrame:
+    """Per-doc PII audit + scrubbed-text fingerprint (md5 so the oracle
+    can verify the scrub byte-exactly without shipping the text)."""
+    n_email, n_phone = pii_counts(F.col("text"))
+    return documents.select(
+        "doc_id",
+        n_email.alias("n_emails"),
+        n_phone.alias("n_phones"),
+        F.md5(scrub_pii(F.col("text"))).alias("scrubbed_md5"),
+    )
+
+
+# -- paragraph-level dedup (round 3) ------------------------------------------
+
+
+def paragraph_dedup_groups(documents: DataFrame, min_chars: int = 40) -> DataFrame:
+    """Cross-doc duplicated PARAGRAPHS (the Dolma/RefinedWeb paragraph
+    dedup unit): split on newline, keep substantial paragraphs, hash,
+    group. One explode + one hash-agg shuffle — same scale shape as exact
+    doc dedup (t03) but at sub-document granularity, which is where most
+    boilerplate duplication lives in web text.
+
+    Output: (para_hash, n_occurrences, n_docs, keep_doc_id) for
+    paragraphs appearing in more than one document."""
+    paras = documents.select(
+        "doc_id",
+        F.explode(F.split(F.col("text"), "\n")).alias("para"),
+    ).filter(F.length(F.trim(F.col("para"))) >= min_chars)
+    return (
+        paras.select("doc_id", F.md5(F.trim(F.col("para"))).alias("para_hash"))
+        .groupBy("para_hash")
+        .agg(
+            F.count("*").alias("n_occurrences"),
+            F.countDistinct("doc_id").alias("n_docs"),
+            F.min("doc_id").alias("keep_doc_id"),
+        )
+        .filter(F.col("n_docs") > 1)
+    )
+
+
+# -- benchmark-contamination check (round 3) ----------------------------------
+
+
+def contamination_check(
+    documents: DataFrame, probe: DataFrame, k: int = 3, min_shared: int = 2
+) -> DataFrame:
+    """Training-set contamination: docs sharing >= min_shared distinct
+    word-k-gram shingles with a benchmark PROBE set (the standard n-gram
+    decontamination pass run before training). Implementation is an
+    equi-join on shingle — never doc x probe pairs:
+
+        probe shingles (distinct, usually tiny) are broadcast;
+        corpus shingles semi-join them, then one hash-agg per doc.
+
+    Output: (doc_id, n_shared_shingles) for non-probe docs over the bar."""
+    probe_sh = (
+        probe.select(F.explode(F.array_distinct(shingles_col(F.col("text"), k))).alias("shingle"))
+        .distinct()
+    )
+    probe_ids = probe.select("doc_id")
+    doc_sh = documents.join(probe_ids, "doc_id", "left_anti").select(
+        "doc_id", F.explode(F.array_distinct(shingles_col(F.col("text"), k))).alias("shingle")
+    )
+    return (
+        doc_sh.join(F.broadcast(probe_sh), "shingle", "inner")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_shared_shingles"))
+        .filter(F.col("n_shared_shingles") >= min_shared)
+    )

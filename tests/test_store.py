@@ -190,3 +190,53 @@ def test_long_crawl_bounded_storage_and_flat_reads(spark, tmp_path):
     assert resumed.resume_round() == store.last_committed_round() + 1
     n_details = sum(1 for p in site["pages"] if "/item/" in p["url"])
     assert resumed.store.results_state().count() == n_details
+
+
+def test_queued_after_hint_matches_state(spark, tmp_path):
+    """Zero-job resume: the frontier manifest's queued_after hint must
+    equal the actual resolved queued count at every commit point — after
+    seed, after a drained run, after a mid-crawl ingest, and across a
+    compaction rewrite."""
+    from crawlspark.crawl import ingest_urls
+    from crawlspark.runner import CrawlRunner
+    from crawlspark.scheduler import CrawlConfig
+    from crawlspark.schema import PAGES, ROBOTS, SEEDS
+    from crawlspark.synth import SiteSpec, generate_site
+
+    site = generate_site(SiteSpec(n_hosts=2, lists_per_host=2, per_list=5, seed=13))
+    pages = spark.createDataFrame(site["pages"], schema=PAGES)
+    seeds = spark.createDataFrame(site["seeds"], schema=SEEDS)
+    robots = spark.createDataFrame(site["robots"], schema=ROBOTS)
+    cfg = CrawlConfig(round_wall=1e9, per_host_cap=100, max_depth=1)
+    runner = CrawlRunner(spark, str(tmp_path / "h"), cfg)
+    runner.init(seeds)
+    assert runner.store.queued_after_hint() == runner.queued_count()
+
+    runner.run(pages, robots)
+    assert runner.store.queued_after_hint() == runner.queued_count() == 0
+
+    out = ingest_urls(
+        spark, runner.store,
+        spark.createDataFrame(
+            [("https://h000.example.com/hint-test", 1, 999)], schema=SEEDS),
+        cfg,
+    )
+    assert out["ingested"] == 1
+    assert runner.store.queued_after_hint() == runner.queued_count() == 1
+
+    # the engine-path compaction (_maybe_compact) carries the hint forward
+    # across the base rewrite (the ingest commit above left a hint-bearing
+    # manifest as CURRENT)
+    runner.store.COMPACT_EVERY = 1
+    runner.store._maybe_compact(
+        runner.store.frontier, runner.store.frontier_state,
+        runner.store.last_committed_round(),
+    )
+    assert runner.store.frontier.manifest()["meta"].get("compaction")
+    assert runner.store.queued_after_hint() == 1
+
+    # a fresh handle resumes from the hint and crawls ONLY the new url
+    resumed = CrawlRunner(spark, str(tmp_path / "h"), cfg)
+    res = resumed.run(pages, robots)
+    assert sum(c.get("popped", 0) for c in res.counts) <= cfg.max_retries
+    assert resumed.store.queued_after_hint() == resumed.queued_count() == 0

@@ -1,0 +1,127 @@
+"""Round-3 surface: WARC source (Common-Crawl's native format) and the
+new LLM-pipeline ops (PII scrub, paragraph dedup, contamination)."""
+
+from __future__ import annotations
+
+import gzip
+
+import pyspark.sql.functions as F
+import pytest
+
+from crawlspark import textops as tx
+from crawlspark.warc import parse_warc_bytes, read_warc, warc_to_pages
+
+
+def _warc_record(url: str, ts: str, html: bytes, status: int = 200,
+                 rtype: str = "response") -> bytes:
+    http = (f"HTTP/1.1 {status} OK\r\nContent-Type: text/html\r\n\r\n"
+            ).encode() + html
+    head = (
+        f"WARC/1.0\r\n"
+        f"WARC-Type: {rtype}\r\n"
+        f"WARC-Target-URI: {url}\r\n"
+        f"WARC-Date: {ts}\r\n"
+        f"Content-Length: {len(http)}\r\n\r\n"
+    ).encode()
+    return head + http + b"\r\n\r\n"
+
+
+def _sample_warc() -> bytes:
+    return (
+        _warc_record("https://a.test/1", "2025-03-05T12:00:00Z",
+                     b"<html><body>hello world</body></html>")
+        + _warc_record("https://a.test/miss", "2025-03-05T12:00:01Z",
+                       b"gone", status=404)
+        + _warc_record("https://a.test/req", "2025-03-05T12:00:02Z",
+                       b"GET / HTTP/1.1", rtype="request")  # skipped
+        + _warc_record("https://a.test/2", "2025-03-05T12:00:03Z",
+                       b"<html><body>second page</body></html>")
+    )
+
+
+def test_parse_warc_bytes_pure():
+    rows = parse_warc_bytes(_sample_warc())
+    assert [r["url"] for r in rows] == [
+        "https://a.test/1", "https://a.test/miss", "https://a.test/2"]
+    assert rows[0]["html"] == b"<html><body>hello world</body></html>"
+    assert rows[0]["http_status"] == 200
+    assert rows[1]["http_status"] == 404
+    assert rows[0]["warc_ts"].year == 2025
+    # gzipped (multi-member) parses identically
+    gz = gzip.compress(_sample_warc()[:200]) + gzip.compress(_sample_warc()[200:])
+    assert parse_warc_bytes(gz) == rows
+
+
+def test_chunked_payload_raises():
+    http = b"HTTP/1.1 200 OK\r\nTransfer-Encoding: chunked\r\n\r\nxx"
+    rec = (
+        b"WARC/1.0\r\nWARC-Type: response\r\n"
+        b"WARC-Target-URI: https://a.test/c\r\n"
+        b"WARC-Date: 2025-03-05T12:00:00Z\r\n"
+        + f"Content-Length: {len(http)}\r\n\r\n".encode() + http
+    )
+    with pytest.raises(ValueError, match="Transfer-Encoding"):
+        parse_warc_bytes(rec)
+
+
+def test_read_warc_distributed(spark, tmp_path):
+    """binaryFile -> mapInPandas WARC kernel: rows + byte-identical
+    payloads; warc_to_pages filters to 200s and derives text/lang with the
+    byte-identity extract kernel."""
+    (tmp_path / "seg1.warc").write_bytes(_sample_warc())
+    (tmp_path / "seg2.warc.gz").write_bytes(gzip.compress(_warc_record(
+        "https://b.test/3", "2025-03-05T13:00:00Z",
+        b"<html><body>gzipped segment</body></html>")))
+    df = read_warc(spark, str(tmp_path))
+    rows = {r["url"]: r for r in df.collect()}
+    assert len(rows) == 4
+    assert bytes(rows["https://b.test/3"]["html"]) == b"<html><body>gzipped segment</body></html>"
+
+    pages = warc_to_pages(spark, str(tmp_path))
+    prows = {r["url"]: r for r in pages.collect()}
+    assert set(prows) == {"https://a.test/1", "https://a.test/2", "https://b.test/3"}
+    assert prows["https://a.test/1"]["text"] == "hello world"
+    assert set(pages.columns) == {"url", "warc_ts", "html", "text", "lang"}
+
+
+def test_pii_scrub_counts_and_redaction(spark):
+    df = spark.createDataFrame(
+        [(1, "contact me at bob@example.com or 555-123-4567 thanks"),
+         (2, "no pii here at all, promise"),
+         (3, "two mails: a@b.co x@y.org and 111.222.3333")],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in tx.pii_audit(df).collect()}
+    assert (out[1]["n_emails"], out[1]["n_phones"]) == (1, 1)
+    assert (out[2]["n_emails"], out[2]["n_phones"]) == (0, 0)
+    assert (out[3]["n_emails"], out[3]["n_phones"]) == (2, 1)
+    scrubbed = df.select(tx.scrub_pii(F.col("text")).alias("t")).collect()
+    assert scrubbed[0]["t"] == "contact me at <EMAIL> or <PHONE> thanks"
+    assert scrubbed[2]["t"] == "two mails: <EMAIL> <EMAIL> and <PHONE>"
+
+
+def test_paragraph_dedup_groups(spark):
+    boiler = "this exact boilerplate paragraph appears on every page here"
+    df = spark.createDataFrame(
+        [(1, f"{boiler}\nunique one about apples and orchards in autumn"),
+         (2, f"{boiler}\nanother unique paragraph mentioning rivers today"),
+         (3, "short\ntiny")],
+        "doc_id long, text string",
+    )
+    out = tx.paragraph_dedup_groups(df, min_chars=40).collect()
+    assert len(out) == 1
+    assert out[0]["n_docs"] == 2 and out[0]["keep_doc_id"] == 1
+
+
+def test_contamination_check(spark):
+    bench = "the quick brown fox jumps over the lazy dog"
+    df = spark.createDataFrame(
+        [(0, bench),                                   # probe (benchmark)
+         (1, f"prefix words then {bench} suffix words"),  # contaminated
+         (2, "completely unrelated text about gardening and soil quality")],
+        "doc_id long, text string",
+    )
+    probe = df.filter(F.col("doc_id") == 0)
+    out = tx.contamination_check(df, probe, k=3, min_shared=2).collect()
+    assert [r["doc_id"] for r in out] == [1]
+    assert out[0]["n_shared_shingles"] >= 2
