@@ -271,19 +271,25 @@ Query suite s (sf0.1): local[8] {q8} / local[32] {q32} = {round(q8 / q32, 2)}x.
 
 ## Honest analysis of the sandbox gap (round 2 — with controls)
 
-**Headline: the data-plane kernel — the term that dominates a round at
-10^10-URL scale — measures >= 0.8 N->4N efficiency at local[1]->local[4]
-(best-of 3.22x speedup, 0.805), the only pair on this box where 4N
-compute contexts (JVM threads + Arrow Python workers) still fit the
-machine the way per-node executors fit a real cluster.** Larger
-single-JVM levels degrade for measurable environmental reasons below,
-not engine reasons. The end-to-end crawl at sandbox scale does NOT reach
-0.8 at any pair because its wall is fixed-cost bound. Round 2
-cut the engine's per-round driver serialization from ~9 Spark actions to
-3-4 (single tee write + Observation counts, pyarrow metrics, no drain
-round, hash-agg frontier resolve) — best-level throughput rose ~3x over
-round 1 — and then instrumented WHY wall time still refuses to scale
-with cores here:
+**Headline (round 3, more honest as reps accumulate): the data-plane
+kernel — the term that dominates a round at 10^10-URL scale — measures
+its (1,4) efficiency in the kernel table above; the estimate moves as
+interleaved best-of reps converge on both levels' clean windows (r2's
+0.805 at n=3 revised toward ~0.77 at n=4 as local[1]'s best improved),
+and (1,4) remains the only pair on this box where 4N compute contexts
+(JVM threads + Arrow Python workers) fit the machine the way per-node
+executors fit a real cluster.** Larger single-JVM levels degrade for
+measurable environmental reasons below, not engine reasons. End-to-end,
+the XL compute-dominant pair (section below) plus the per-phase
+fixed-cost table decompose the crawl wall into (a) the extract term,
+which scales exactly like the kernel, and (b) ~20-25 s/run of
+round-constants (seed, pop counts, tee-write latency floors) that are
+LEVEL-INDEPENDENT in the table — the terms that amortize to noise when
+a round carries 10^7+ URLs per executor instead of this sandbox's 10^5.
+Round 2 cut the engine's per-round driver serialization from ~9 Spark
+actions to 3-4; round 3 removed the resume-time state count entirely
+(manifest-carried queued_after, 1.25 s -> 0.0 s in the table).
+Instrumented reasons wall time refuses to scale with cores HERE:
 
 1. **Raw CPU scales**: 32 concurrent Python processes each complete a
    fixed ALU workload in ~the single-process time (near-perfect 32-way).
@@ -339,7 +345,7 @@ Raw best-run JSON per level:
 """
     with open(os.path.join(BENCH_DIR, "BASELINE.md"), "w") as f:
         f.write(md)
-    print(json.dumps({"t8": t8, "t32": t32, "efficiency": eff}))
+    print(json.dumps({"t8": t8, "t32": t32, "pair_efficiencies": {f"{lo}to{hi}": e for lo, hi, _, _, e in eff_rows}}))
 
 
 def main() -> None:

@@ -41,6 +41,16 @@ def main() -> int:
     ap.add_argument("--per-host-cap", type=int, default=30)
     ap.add_argument("--max-depth", type=int, default=1)
     ap.add_argument("--n-buckets", type=int, default=64)
+    ap.add_argument("--vacuum-every", type=int, default=16,
+                    help="GC old snapshots/tee dirs every N rounds (0 = keep "
+                         "full time-travel history)")
+    ap.add_argument("--warc", help="directory of .warc/.warc.gz segments to "
+                                   "use as the pages corpus (Common Crawl "
+                                   "layout) instead of --pages")
+    ap.add_argument("--streaming", action="store_true",
+                    help="streaming crawl mode: the frontier commit log is "
+                         "the stream; one availableNow micro-batch per round "
+                         "(checkpointed, kill-resumable)")
     args = ap.parse_args()
 
     from pyspark.sql import SparkSession
@@ -58,6 +68,7 @@ def main() -> int:
         per_host_cap=args.per_host_cap,
         max_depth=args.max_depth,
         n_buckets=args.n_buckets,
+        vacuum_every=args.vacuum_every,
     )
     if args.synthetic:
         from crawlspark.synth import SiteSpec, generate_site
@@ -72,6 +83,23 @@ def main() -> int:
         pages = spark.createDataFrame(site["pages"], schema=PAGES)
         seeds = spark.createDataFrame(site["seeds"], schema=SEEDS)
         robots = spark.createDataFrame(site["robots"], schema=ROBOTS)
+    elif args.warc:
+        if not args.seeds:
+            ap.error("--seeds required with --warc")
+        from crawlspark.warc import warc_to_pages
+
+        # NOTE: the WARC parse re-runs per round the corpus is joined; for
+        # multi-round crawls, land warc_to_pages output to parquet once and
+        # pass it as --pages instead (parquet scans then get column pruning
+        # + bloom filters the WARC kernel can't offer)
+        pages = warc_to_pages(spark, args.warc)
+        seeds = spark.read.parquet(args.seeds)
+        if args.robots:
+            robots = spark.read.parquet(args.robots)
+        else:
+            from crawlspark.robots import robots_from_pages
+
+            robots = robots_from_pages(pages, strict=False)
     else:
         if not (args.pages and args.seeds):
             ap.error("--pages/--seeds required unless --synthetic "
@@ -93,12 +121,22 @@ def main() -> int:
     already_seeded = runner.store.last_committed_round() is not None
     if not already_seeded:
         runner.init(seeds)
-    res = runner.run(pages, robots, max_rounds=args.max_rounds)
+    if args.streaming:
+        from crawlspark.streaming import stream_crawl_rounds
+
+        sres = stream_crawl_rounds(spark, args.store, pages, robots, cfg,
+                                   max_rounds=args.max_rounds)
+        rounds, counts = sres["rounds"], sres["counts"]
+        fetched = sum(c.get("fetched", 0) for c in counts)
+    else:
+        res = runner.run(pages, robots, max_rounds=args.max_rounds)
+        rounds, counts, fetched = res.rounds, res.counts, res.total_fetched
     print(json.dumps({
-        "rounds": res.rounds,
-        "fetched": res.total_fetched,
+        "rounds": rounds,
+        "fetched": fetched,
         "resumed": already_seeded,
-        "per_round": res.counts,
+        "streaming": bool(args.streaming),
+        "per_round": counts,
     }))
     return 0
 
