@@ -495,10 +495,13 @@ def t15_pii_audit(spark, sf_dir):
 
 
 def t16_paragraph_dedup(spark, sf_dir):
-    """Cross-doc duplicated paragraphs (RefinedWeb/Dolma paragraph dedup
-    unit): explode on newline, hash, one hash-agg shuffle."""
+    """Cross-doc duplicated sub-document units (RefinedWeb/Dolma paragraph
+    dedup): explode, hash, one hash-agg shuffle. The gate splits on
+    sentence boundaries ('. ') because the synthetic documents are
+    single-line — same operator, delimiter parameterized; production
+    web text uses the newline default."""
     d = _t(spark, sf_dir, "documents")
-    return tx.paragraph_dedup_groups(d, min_chars=40)
+    return tx.paragraph_dedup_groups(d, min_chars=30, delimiter=r"\. ")
 
 
 def t17_contamination(spark, sf_dir):
@@ -509,6 +512,15 @@ def t17_contamination(spark, sf_dir):
     d = _t(spark, sf_dir, "documents")
     probe = d.filter(F.col("doc_id") % 20 == 0)
     return tx.contamination_check(d, probe, k=3, min_shared=2)
+
+
+def t18_repetition_signals(spark, sf_dir):
+    """Gopher-style repetition quality signals (dup-line fraction,
+    dup-line char fraction, top-2-gram char coverage, flag). Sentence
+    delimiter for the gate (synthetic docs are single-line); newline in
+    production. Two explode+hash-agg pipelines joined on doc_id."""
+    d = _t(spark, sf_dir, "documents")
+    return tx.repetition_signals(d, line_delimiter=r"\. ")
 
 
 def t10_label_centroid_sim(spark, sf_dir):
@@ -568,6 +580,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "t15_pii_audit": t15_pii_audit,
     "t16_paragraph_dedup": t16_paragraph_dedup,
     "t17_contamination": t17_contamination,
+    "t18_repetition_signals": t18_repetition_signals,
 }
 
 # ---------------------------------------------------------------------------
@@ -1032,8 +1045,8 @@ ORACLES["t15_pii_audit"] = f"""
 ORACLES["t16_paragraph_dedup"] = """
     WITH paras AS (
         SELECT doc_id, trim(p) AS para
-        FROM documents, unnest(string_split(text, chr(10))) AS t(p)
-        WHERE len(trim(p)) >= 40
+        FROM documents, unnest(string_split(text, '. ')) AS t(p)
+        WHERE len(trim(p)) >= 30
     )
     SELECT md5(para) AS para_hash,
            count(*) AS n_occurrences,
@@ -1048,6 +1061,41 @@ ORACLES["t17_contamination"] = _SHINGLES + """
     FROM sh s JOIN probe p USING (shingle)
     WHERE s.doc_id % 20 != 0
     GROUP BY s.doc_id HAVING count(*) >= 2
+"""
+
+ORACLES["t18_repetition_signals"] = """
+    WITH lines AS (
+        SELECT doc_id, p AS line
+        FROM documents, unnest(string_split(text, '. ')) AS t(p)
+    ), per_line AS (
+        SELECT doc_id, line, count(*) AS cnt FROM lines GROUP BY 1, 2
+    ), line_sig AS (
+        SELECT doc_id,
+               round(sum(cnt - 1) / sum(cnt), 6) AS dup_line_frac,
+               round(sum((cnt - 1) * length(line))
+                     / sum(cnt * length(line)), 6) AS dup_line_char_frac
+        FROM per_line GROUP BY doc_id
+    ), toks AS (
+        SELECT doc_id, length(text) AS n_chars, string_split(text, ' ') AS ts
+        FROM documents
+    ), sh2 AS (
+        SELECT doc_id, n_chars,
+               CASE WHEN len(ts) >= 2 THEN ts[i] || ' ' || ts[i+1]
+                    ELSE array_to_string(ts, ' ') END AS gram
+        FROM toks, unnest(range(1, greatest(len(ts) - 1, 1) + 1)) AS t(i)
+    ), per_gram AS (
+        SELECT doc_id, n_chars, gram, count(*) AS cnt FROM sh2 GROUP BY 1, 2, 3
+    ), top AS (
+        SELECT doc_id,
+               round(cnt * length(gram) / n_chars, 6) AS top_2gram_char_frac,
+               row_number() OVER (PARTITION BY doc_id
+                                  ORDER BY cnt DESC, gram ASC) AS rn
+        FROM per_gram QUALIFY rn = 1
+    )
+    SELECT l.doc_id, l.dup_line_frac, l.dup_line_char_frac,
+           t.top_2gram_char_frac,
+           (l.dup_line_frac > 0.3 OR t.top_2gram_char_frac > 0.2) AS flagged
+    FROM line_sig l JOIN top t USING (doc_id)
 """
 
 ORACLES = {k: v for k, v in ORACLES.items() if v is not None}

@@ -13,7 +13,7 @@ DuckDB on the same parquet.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 # tiny stopword sets for the n-gram/stopword language heuristic
@@ -139,18 +139,22 @@ def pii_audit(documents: DataFrame) -> DataFrame:
 # -- paragraph-level dedup (round 3) ------------------------------------------
 
 
-def paragraph_dedup_groups(documents: DataFrame, min_chars: int = 40) -> DataFrame:
+def paragraph_dedup_groups(
+    documents: DataFrame, min_chars: int = 40, delimiter: str = "\n"
+) -> DataFrame:
     """Cross-doc duplicated PARAGRAPHS (the Dolma/RefinedWeb paragraph
-    dedup unit): split on newline, keep substantial paragraphs, hash,
-    group. One explode + one hash-agg shuffle — same scale shape as exact
-    doc dedup (t03) but at sub-document granularity, which is where most
-    boilerplate duplication lives in web text.
+    dedup unit): split on ``delimiter`` (a Java regex — escape literals;
+    newline for web-text paragraphs, '\\\\. ' for sentence-level dedup),
+    keep substantial units, hash, group. One explode + one hash-agg
+    shuffle — same scale shape as exact doc dedup (t03) but at
+    sub-document granularity, which is where most boilerplate duplication
+    lives in web text.
 
     Output: (para_hash, n_occurrences, n_docs, keep_doc_id) for
     paragraphs appearing in more than one document."""
     paras = documents.select(
         "doc_id",
-        F.explode(F.split(F.col("text"), "\n")).alias("para"),
+        F.explode(F.split(F.col("text"), delimiter)).alias("para"),
     ).filter(F.length(F.trim(F.col("para"))) >= min_chars)
     return (
         paras.select("doc_id", F.md5(F.trim(F.col("para"))).alias("para_hash"))
@@ -192,4 +196,66 @@ def contamination_check(
         .groupBy("doc_id")
         .agg(F.count("*").alias("n_shared_shingles"))
         .filter(F.col("n_shared_shingles") >= min_shared)
+    )
+
+
+# -- Gopher-style repetition signals (round 3) --------------------------------
+
+
+def repetition_signals(
+    documents: DataFrame,
+    max_dup_line_frac: float = 0.3,
+    max_top_2gram_frac: float = 0.2,
+    line_delimiter: str = "\n",
+) -> DataFrame:
+    """Per-doc repetition quality signals in the style of the Gopher rules
+    (Rae et al. 2021, table A1): the fraction of line occurrences that are
+    duplicates of an earlier line, the fraction of line characters inside
+    those duplicate occurrences, and the fraction of text characters
+    covered by the single most frequent word-2-gram. Docs breaching either
+    threshold get flagged (the standard web-text repetition filter).
+
+    Two explode+hash-agg pipelines (lines, 2-grams) joined on doc_id —
+    shuffle keys are (doc_id, line/gram), so heavy repetition inside one
+    doc stays one group and the plan scales like exact dedup. Tiebreak
+    for the top 2-gram is (count DESC, gram ASC), deterministic."""
+    lines = documents.select(
+        "doc_id", F.explode(F.split(F.col("text"), line_delimiter)).alias("line")
+    )
+    per_line = lines.groupBy("doc_id", "line").agg(F.count("*").alias("cnt"))
+    line_sig = per_line.groupBy("doc_id").agg(
+        F.round(
+            F.sum(F.col("cnt") - 1) / F.sum("cnt"), 6
+        ).alias("dup_line_frac"),
+        F.round(
+            F.sum((F.col("cnt") - 1) * F.length("line"))
+            / F.sum(F.col("cnt") * F.length("line")), 6
+        ).alias("dup_line_char_frac"),
+    )
+
+    grams = documents.select(
+        "doc_id",
+        F.length("text").alias("n_chars"),
+        F.explode(shingles_col(F.col("text"), 2)).alias("gram"),
+    )
+    per_gram = grams.groupBy("doc_id", "n_chars", "gram").agg(
+        F.count("*").alias("cnt")
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("cnt"), F.asc("gram"))
+    top = (
+        per_gram.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select(
+            "doc_id",
+            F.round(
+                F.col("cnt") * F.length("gram") / F.col("n_chars"), 6
+            ).alias("top_2gram_char_frac"),
+        )
+    )
+    return line_sig.join(top, "doc_id").select(
+        "doc_id", "dup_line_frac", "dup_line_char_frac", "top_2gram_char_frac",
+        (
+            (F.col("dup_line_frac") > max_dup_line_frac)
+            | (F.col("top_2gram_char_frac") > max_top_2gram_frac)
+        ).alias("flagged"),
     )

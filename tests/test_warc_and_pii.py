@@ -125,3 +125,28 @@ def test_contamination_check(spark):
     out = tx.contamination_check(df, probe, k=3, min_shared=2).collect()
     assert [r["doc_id"] for r in out] == [1]
     assert out[0]["n_shared_shingles"] >= 2
+
+
+def test_repetition_signals_gopher_style(spark):
+    rep = "repeat me " * 30  # one doc dominated by a single repeated 2-gram
+    # doc 1 is long enough that its top 2-gram covers <20% of chars (the
+    # Gopher thresholds target substantial docs; a 5-word doc would trip
+    # the 2-gram rule trivially)
+    long_line = " ".join(f"word{i}" for i in range(40))
+    df = spark.createDataFrame(
+        [(1, f"{long_line} alpha\n{long_line} beta\n{long_line} alpha\n{long_line} gamma"),
+         (2, "all words here are quite distinct from each other entirely"),
+         (3, rep.strip())],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in
+           __import__("crawlspark.textops", fromlist=["x"]).repetition_signals(df).collect()}
+    # doc 1: 4 line occurrences, 1 duplicate -> 0.25; not flagged at 0.3
+    assert out[1]["dup_line_frac"] == 0.25
+    assert not out[1]["flagged"]
+    # doc 2: no repetition at all
+    assert out[2]["dup_line_frac"] == 0.0
+    assert out[2]["top_2gram_char_frac"] < 0.5
+    # doc 3: the top 2-gram covers most of the text -> flagged
+    assert out[3]["top_2gram_char_frac"] > 0.2
+    assert out[3]["flagged"]
