@@ -227,6 +227,17 @@ def ingest_urls(
     vals = obs.get
     n = int(vals["frontier"] or 0)
     meta = {"phase": "ingest"}
+    # Commit-time re-reads (ADVICE r3 / concurrent stream_url_ingest mode):
+    # a run_round commit may have landed while our tee write ran. (a) Never
+    # commit BEHIND the frontier's current round — that would make
+    # resume_round() re-run an already-committed round with corrupted
+    # op_seq arithmetic; advance to the round committed now. (b) The queued
+    # hint must build on the hint as of THIS commit, not a stale read —
+    # run_round's own commit symmetric-folds any ingest that lands before
+    # it (see run_round), so reading both sides at commit time converges.
+    last_now = store.last_committed_round()
+    if last_now is not None and last_now > round_no:
+        round_no = last_now
     prior = store.queued_after_hint()
     if prior is not None:
         meta["queued_after"] = prior + n
@@ -516,6 +527,20 @@ def run_round(
     }
     meta = {"counts": counts}
     if queued_before is not None:
+        # Concurrent-ingest fold (ADVICE r3): ingest_urls may commit while
+        # this round is mid-flight (the advertised continuous
+        # stream_url_ingest mode). Its commit bumps the manifest's
+        # queued_after hint — but the caller's queued_before was read
+        # BEFORE that, so the arithmetic below would silently drop the
+        # ingested rows from the persisted count (drain could then stop
+        # the run with rows still queued, and zero-job resume would trust
+        # the short hint forever). Re-read the hint at commit time: in the
+        # serial case it equals queued_before exactly (it was written by
+        # the previous round's commit, which is where the caller read it),
+        # so any divergence IS the concurrent-ingest delta.
+        hint_now = store.queued_after_hint()
+        if hint_now is not None and hint_now != queued_before:
+            queued_before = hint_now
         # running queued count, persisted with the round's atomic commit so
         # a resumed run starts zero-job (store.queued_after_hint)
         counts["queued_after"] = (

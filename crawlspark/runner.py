@@ -104,6 +104,14 @@ class CrawlRunner:
             # same arithmetic (queued - fetched - exhausted - denied +
             # new_links) with the round's atomic commit
             queued = c["queued_after"]
+            if queued <= 0:
+                # before declaring drain, re-check the persisted hint: a
+                # concurrent ingest_urls commit that landed AFTER this
+                # round's commit isn't in c["queued_after"] yet (commits
+                # landing BEFORE it were folded in by run_round itself)
+                h = self.store.queued_after_hint()
+                if h is not None:
+                    queued = h
             # max_items: maintained from per-round item deltas (already
             # known from the round's own aggregate) — no extra
             # results_state() resolve+count job per round. Emitted items

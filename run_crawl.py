@@ -53,15 +53,27 @@ def main() -> int:
                          "(checkpointed, kill-resumable)")
     args = ap.parse_args()
 
+    import os
+
     from pyspark.sql import SparkSession
 
     from crawlspark.runner import CrawlRunner
     from crawlspark.scheduler import CrawlConfig
     from crawlspark.schema import PAGES, ROBOTS, SEEDS
 
-    # under spark-submit the session master/conf come from the launcher
-    spark = SparkSession.builder.appName("crawlspark").getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    if "PYSPARK_GATEWAY_PORT" in os.environ:
+        # under spark-submit (PythonRunner exports the gateway port): the
+        # session master/conf come from the launcher — don't override them
+        spark = SparkSession.builder.appName("crawlspark").getOrCreate()
+        spark.sparkContext.setLogLevel("WARN")
+    else:
+        # plain `python run_crawl.py` (local smoke): a bare builder would
+        # fall back to Spark's defaults — 200 shuffle partitions turned the
+        # 1000-page smoke into 1600-task stages. Use the tuned local
+        # factory (AQE, cores-sized shuffle, Arrow batch caps).
+        from crawlspark.session import get_spark
+
+        spark = get_spark("crawlspark")
 
     cfg = CrawlConfig(
         round_wall=args.round_wall,

@@ -195,6 +195,19 @@ def test_simhash64_spark_matches_pure_python(spark):
     assert got == want
 
 
+def test_simhash64_chunked_fold_identical(spark, monkeypatch):
+    """ADVICE r3: the vectorized fold is memory-bounded via sub-chunking
+    (MAX_FOLD_GRAMS). Shrinking the cap to force a fold every few grams
+    must produce bit-identical hashes to the single-fold path."""
+    d = spark.read.parquet(f"{SF_DIR}/documents.parquet").limit(40)
+    base = {r["doc_id"]: r["sh"] for r in
+            d.select("doc_id", dedup.simhash64_col(F.col("text")).alias("sh")).collect()}
+    monkeypatch.setattr(dedup, "MAX_FOLD_GRAMS", 7)  # several folds per batch
+    chunked = {r["doc_id"]: r["sh"] for r in
+               d.select("doc_id", dedup.simhash64_col(F.col("text")).alias("sh")).collect()}
+    assert chunked == base
+
+
 def test_simhash64_banded_pairs(spark):
     """Banding must find exact dups (hamming 0) and near-identical texts,
     and must never emit a pair whose true hamming exceeds the bound."""
