@@ -1,0 +1,200 @@
+#!/usr/bin/env python
+"""EXECUTOR-SHAPED scaling pair via Spark's ``local-cluster`` master —
+the round-4 answer to the driver metric (BASELINE.md: throughput scaling
+efficiency >= 0.8 from N to 4N executors).
+
+Every previous pair ran inside ONE JVM (``local[N]``), where the
+instrumented failure mode was oversubscription: many Arrow python
+workers + task threads sharing a single JVM heap drove 80-99% system
+time at high N (BENCH/BASELINE.md, NOTES_r3). ``local-cluster[E,C,M]``
+launches E REAL separate executor JVMs with C cores and M MB each —
+the same process layout as spark-submit on a multi-node cluster, minus
+the network — so the pair (1 executor, 4 cores) -> (4 executors,
+4 cores) is literally "N executors to 4N executors" with per-executor
+memory isolation, matching the north_rule's two-cluster-size criterion
+as closely as a single machine can.
+
+Modes (both over the same persistent parquet corpus, child process per
+run, interleaved best-of accumulation — the VM-noise protocol of
+bench/kernel_scaling.py):
+
+* ``kernel``: the extract kernel (the crawl's per-URL compute) alone —
+  the term that IS the round at 10^10-URL scale;
+* ``e2e``: the full crawl engine (seed, rounds, tee commits, resume
+  machinery), whose level-independent round-constant (~20-25 s/run,
+  quantified in BENCH/fixed_cost.json) bounds achievable efficiency at
+  sandbox corpus sizes — run it with a big corpus (300k+ pages) so the
+  compute term dominates.
+
+Executor python import path: the crawlspark package is shipped the
+production way (north_rule: spark-submit --py-files) — a zip built on
+the fly and registered via ``spark.submit.pyFiles``, NOT an inherited
+PYTHONPATH, so this harness also exercises the cluster deploy path.
+
+Accumulates into BENCH/cluster_runs.json; bench/scaling.py --merge
+renders the summary section in BENCH/BASELINE.md.
+
+Usage: python bench/cluster_pair.py [kernel|e2e] [n_pages] [pad_words]
+           [levels e.g. 4,1] [reps] [cores_per_executor]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import zipfile
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+EXEC_MEM_MB = 8192
+
+
+def build_pyfiles_zip() -> str:
+    """Package crawlspark/ the way spark-submit --py-files would."""
+    zpath = "/tmp/crawlspark_pyfiles.zip"
+    src = os.path.join(REPO, "crawlspark")
+    with zipfile.ZipFile(zpath, "w") as z:
+        for name in sorted(os.listdir(src)):
+            if name.endswith(".py"):
+                z.write(os.path.join(src, name), f"crawlspark/{name}")
+    return zpath
+
+
+def build_corpus(n_pages: int, pad: int, with_site: bool) -> str:
+    """Reuses the xl_pair corpus layout (pages[, seeds, robots])."""
+    corpus = f"/tmp/xlcrawl_corpus_{n_pages}_{pad}"
+    if os.path.exists(corpus + "/pages/_SUCCESS"):
+        return corpus
+    # note: `import bench.xl_pair` would collide with the root bench.py
+    # module; these scripts run with bench/ as sys.path[0]
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from xl_pair import build_corpus as xl_build
+
+    return xl_build(n_pages, pad)
+
+
+def _session_code(n_exec: int, cores: int, pyz: str) -> str:
+    return f"""
+import sys
+sys.path.insert(0, {REPO!r})
+from crawlspark.session import get_spark
+spark = get_spark(
+    "cluster-pair",
+    master="local-cluster[{n_exec},{cores},{EXEC_MEM_MB}]",
+    shuffle_partitions={n_exec * cores},
+    extra_conf={{
+        "spark.executor.memory": "{EXEC_MEM_MB - 1024}m",
+        "spark.executor.cores": "{cores}",
+        # ship the package as --py-files would (executors' python workers
+        # must import crawlspark without the driver's PYTHONPATH)
+        "spark.submit.pyFiles": {pyz!r},
+    }},
+)
+"""
+
+
+def run_kernel(n_exec: int, cores: int, corpus: str, pyz: str) -> dict:
+    code = _session_code(n_exec, cores, pyz) + f"""
+import time
+import pyspark.sql.functions as F
+from crawlspark.kernels import extract_records_and_links
+df = spark.read.parquet({corpus!r} + "/pages")
+t0 = time.perf_counter()
+extract_records_and_links(df).select(
+    F.length("text").alias("l"), F.size("links").alias("k")
+).agg(F.sum("l"), F.sum("k")).collect()
+print("CP_RESULT " + __import__("json").dumps(
+    {{"seconds": round(time.perf_counter() - t0, 2)}}))
+spark.stop()
+"""
+    return _run_child(code)
+
+
+def run_e2e(n_exec: int, cores: int, corpus: str, pyz: str) -> dict:
+    code = _session_code(n_exec, cores, pyz) + f"""
+import json, shutil, tempfile, time
+from crawlspark.runner import CrawlRunner
+from crawlspark.scheduler import CrawlConfig
+pages = spark.read.parquet({corpus!r} + "/pages")
+seeds = spark.read.parquet({corpus!r} + "/seeds")
+robots = spark.read.parquet({corpus!r} + "/robots")
+cfg = CrawlConfig(round_wall=1e9, per_host_cap=10**6, max_depth=1)
+root = tempfile.mkdtemp(prefix="clusterpair_store_")
+runner = CrawlRunner(spark, root, cfg)
+t0 = time.perf_counter()
+runner.init(seeds)
+res = runner.run(pages, robots)
+wall = time.perf_counter() - t0
+meta = json.load(open({corpus!r} + "/meta.json"))
+print("CP_RESULT " + json.dumps({{
+    "pages": meta["pages"], "pad_words": meta["pad_words"],
+    "urls_fetched": res.total_fetched, "rounds": res.rounds,
+    "seconds": round(wall, 2),
+    "urls_per_sec": round(res.total_fetched / wall, 2)}}))
+shutil.rmtree(root, ignore_errors=True)
+spark.stop()
+"""
+    return _run_child(code)
+
+
+def _run_child(code: str) -> dict:
+    env = dict(os.environ)
+    # the worker/executor JVMs need SPARK_HOME; pyspark's pip install
+    # carries it — export explicitly so the launched workers find it
+    import pyspark
+
+    env.setdefault("SPARK_HOME", os.path.dirname(pyspark.__file__))
+    out = subprocess.run([sys.executable, "-c", code], capture_output=True,
+                         text=True, env=env)
+    for line in out.stdout.splitlines():
+        if line.startswith("CP_RESULT "):
+            return json.loads(line[len("CP_RESULT "):])
+    raise RuntimeError(out.stdout[-3000:] + out.stderr[-3000:])
+
+
+def main() -> None:
+    mode = sys.argv[1] if len(sys.argv) > 1 else "kernel"
+    n_pages = int(sys.argv[2]) if len(sys.argv) > 2 else 100000
+    pad = int(sys.argv[3]) if len(sys.argv) > 3 else 8000
+    levels = [int(x) for x in (sys.argv[4] if len(sys.argv) > 4 else "4,1").split(",")]
+    reps = int(sys.argv[5]) if len(sys.argv) > 5 else 1
+    cores = int(sys.argv[6]) if len(sys.argv) > 6 else 4
+
+    corpus = build_corpus(n_pages, pad, with_site=(mode == "e2e"))
+    pyz = build_pyfiles_zip()
+    out_path = os.path.join(REPO, "BENCH", "cluster_runs.json")
+    runs: dict = {}
+    if os.path.exists(out_path):
+        with open(out_path) as f:
+            runs = json.load(f)
+    key = f"{mode}_{n_pages}x{pad}_c{cores}"
+    runs.setdefault(key, {})
+
+    def save() -> None:
+        with open(out_path, "w") as f:
+            json.dump(runs, f, indent=1)
+
+    run_fn = run_kernel if mode == "kernel" else run_e2e
+    for _ in range(reps):
+        for lv in levels:  # interleaved: never two reps of a level adjacent
+            r = run_fn(lv, cores, corpus, pyz)
+            runs[key].setdefault(str(lv), []).append(r)
+            save()
+            print(json.dumps({"mode": mode, "executors": lv, "cores": cores, **r}),
+                  flush=True)
+    best = {lv: min(rs, key=lambda r: r["seconds"])
+            for lv, rs in runs[key].items() if isinstance(rs, list)}
+    if "1" in best and "4" in best:
+        eff = round(best["1"]["seconds"] / (4 * best["4"]["seconds"]), 3)
+        runs[key]["efficiency_1to4"] = eff
+        save()
+        print(json.dumps({"mode": mode, "best_1": best["1"]["seconds"],
+                          "best_4": best["4"]["seconds"],
+                          "efficiency_1exec_to_4exec": eff}))
+
+
+if __name__ == "__main__":
+    main()

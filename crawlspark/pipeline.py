@@ -32,6 +32,7 @@ def corpus_prep(
     jaccard_threshold: float = 0.5,
     k: int = 3,
     max_df: int | None = 100,
+    scorer: tx.TextScorer | None = None,
 ) -> DataFrame:
     """Surviving (doc_id) set after the full prep pipeline.
 
@@ -39,10 +40,16 @@ def corpus_prep(
     each near-dup cluster (deterministic canonical representative). The
     near-dup stage runs on the exact-deduped survivors, so exact copies
     never inflate a cluster.
+
+    ``scorer`` (textops.TextScorer) swaps the language/quality models:
+    default = the oracle-checkable heuristics (t14 stays hash-exact); a
+    real fastText/KenLM model plugs in via textops.PandasScorer without
+    touching this pipeline.
     """
+    scorer = scorer or tx.HeuristicScorer()
     base = documents.filter(
-        (tx.lang_id(F.col("text")) == lang)
-        & (tx.quality_score(F.col("text")) >= min_quality)
+        (scorer.lang_col(F.col("text")) == lang)
+        & (scorer.quality_col(F.col("text")) >= min_quality)
     ).select("doc_id", "text")
 
     # exact dedup: canonical representative per fingerprint

@@ -67,6 +67,78 @@ def lang_id(text: Column) -> Column:
     return F.when(ratio >= 0.05, F.lit("en")).otherwise(F.lit("und"))
 
 
+class TextScorer:
+    """Pluggable language-ID / quality-model seam (the FetchBackend
+    pattern, N7: the engine declares WHERE a model slots in; the default
+    implementation stays pure-column and oracle-checkable).
+
+    A scorer maps the text column to a language code column and a quality
+    score column. Pipelines (pipeline.corpus_prep) take a scorer object,
+    so swapping the heuristics for a real fastText / KenLM model touches
+    no pipeline code — only the scorer. Contract: deterministic per text
+    value (pipelines may recompute the columns across branches).
+    """
+
+    def lang_col(self, text: Column) -> Column:
+        raise NotImplementedError
+
+    def quality_col(self, text: Column) -> Column:
+        raise NotImplementedError
+
+
+class HeuristicScorer(TextScorer):
+    """Default: the stopword/length/punctuation heuristics below — pure
+    builtin column expressions (JVM codegen, no Python in the hot path)
+    with exact DuckDB twins, keeping the t01/t02/t14 driver gates
+    hash-exact."""
+
+    def lang_col(self, text: Column) -> Column:
+        return lang_id(text)
+
+    def quality_col(self, text: Column) -> Column:
+        return quality_score(text)
+
+
+class PandasScorer(TextScorer):
+    """Arrow-vectorized model adapter: wrap two ``pd.Series -> pd.Series``
+    callables (e.g. a fastText ``predict`` batched over a list, a KenLM
+    perplexity scorer) as pandas UDFs. The model object must be
+    constructible ON THE EXECUTOR — pass a zero-arg factory, not a live
+    handle, so each worker loads the model once (lazy init per process)
+    instead of shipping weights through the closure every task.
+
+        scorer = PandasScorer(lambda: MyModel("/path/on/executors"))
+        corpus_prep(docs, scorer=scorer)
+
+    where ``MyModel`` exposes ``lang(pd.Series) -> pd.Series[str]`` and
+    ``quality(pd.Series) -> pd.Series[float]``.
+    """
+
+    def __init__(self, model_factory):
+        self._factory = model_factory
+
+    def _udf(self, method: str, ret_type: str):
+        import pandas as pd  # noqa: F401 (worker-side)
+        from pyspark.sql.functions import pandas_udf
+
+        factory = self._factory
+        state: dict = {}
+
+        @pandas_udf(ret_type)
+        def _run(texts):
+            if "m" not in state:  # one model load per python worker
+                state["m"] = factory()
+            return getattr(state["m"], method)(texts)
+
+        return _run
+
+    def lang_col(self, text: Column) -> Column:
+        return self._udf("lang", "string")(text)
+
+    def quality_col(self, text: Column) -> Column:
+        return self._udf("quality", "double")(text)
+
+
 def doc_fingerprint(text: Column) -> Column:
     """Deterministic document fingerprint: md5 over the
     whitespace-normalized lowercased text (rolling-hash analog; md5 is

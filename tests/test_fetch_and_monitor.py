@@ -69,6 +69,7 @@ def test_custom_backend_drives_misses(spark, site, tmp_path):
     assert sum(c.get("exhausted", 0) for c in res.counts) > 0
 
 
+@pytest.mark.slow
 def test_duplicate_emitting_backend_counts_stay_sane(spark, site, tmp_path):
     """ADVICE r2 (medium): a backend that returns the same url TWICE (easy
     with HTTP retries) must not inflate fetched/items or drive 'missed'
@@ -120,6 +121,7 @@ def test_corpus_backend_broadcast_gate_plan_shapes(spark, site):
         spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
 
 
+@pytest.mark.slow
 def test_big_slice_path_crawls_identically(spark, site, tmp_path):
     """Forcing every round down the non-broadcast (sort-merge) path must
     produce byte-identical crawl results + order — the gate changes the

@@ -4,6 +4,8 @@ asserted over snapshots instead of Redis keys (SURVEY §5.1-5.3)."""
 
 from __future__ import annotations
 
+import pytest
+
 import pyspark.sql.functions as F
 
 from crawlspark.schema import FRONTIER, SEEN
@@ -148,6 +150,7 @@ def test_compaction_clusters_by_sort_cols(spark, tmp_store_root):
         assert keys == sorted(keys), f"file {f} not clustered"
 
 
+@pytest.mark.slow
 def test_long_crawl_bounded_storage_and_flat_reads(spark, tmp_path):
     """VERDICT r2 #8 + ADVICE: a >=50-round crawl must keep (a) every
     table's delta-file count bounded (compaction), (b) the shared tee-dir

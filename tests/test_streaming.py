@@ -2,6 +2,8 @@
 
 from __future__ import annotations
 
+import pytest
+
 import datetime as dt
 
 import pyspark.sql.functions as F
@@ -163,6 +165,7 @@ def test_stream_url_ingest_dedup_and_resume(spark, tmp_path):
     assert out["ingested"] == 0
 
 
+@pytest.mark.slow
 def test_stream_crawl_rounds_matches_batch_exactly(spark, tmp_path):
     """VERDICT r2 #7: streaming crawl mode (frontier commit log as the
     stream, one availableNow micro-batch per scheduler round) must
@@ -199,6 +202,7 @@ def test_stream_crawl_rounds_matches_batch_exactly(spark, tmp_path):
     }
 
 
+@pytest.mark.slow
 def test_stream_crawl_resumes_from_checkpoint(spark, tmp_path):
     """A killed streaming crawl resumed with the SAME checkpoint continues
     (already-processed commits never re-fire) and converges to the batch

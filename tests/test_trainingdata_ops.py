@@ -273,6 +273,44 @@ def test_corpus_prep_drops_dups_keeps_canonicals(spark):
     assert 1 not in kept and 2 not in kept and 3 not in kept
 
 
+def test_corpus_prep_pluggable_scorer(spark):
+    """Verdict r3 item 8: a real model slots in via the TextScorer seam
+    without touching pipeline code. A PandasScorer wrapping deterministic
+    fake models (executor-side factory, Arrow-batched) must drive the
+    SAME pipeline; the heuristic default stays the oracle-checked path."""
+    from crawlspark.pipeline import corpus_prep
+    from crawlspark.textops import HeuristicScorer, PandasScorer
+
+    en = ("the cat and the dog went to the market for a fish and it is good "
+          "that the day is long and the road is dry for all of it")
+    d = spark.createDataFrame(
+        [(0, en), (1, en), (2, "model says this one is french today")],
+        ["doc_id", "text"],
+    )
+
+    # heuristic default == explicit HeuristicScorer (same plan, same rows)
+    base = {r["doc_id"] for r in corpus_prep(d).collect()}
+    heur = {r["doc_id"] for r in corpus_prep(d, scorer=HeuristicScorer()).collect()}
+    assert base == heur == {0}  # 1 is an exact dup, 2 fails the en filter
+
+    class FakeModel:
+        """Stands in for fastText/KenLM: marks docs containing 'french'
+        as fr, scores every doc 1.0."""
+
+        def lang(self, texts):
+            return texts.map(lambda t: "fr" if "french" in t else "en")
+
+        def quality(self, texts):
+            return texts.map(lambda _t: 1.0)
+
+    got_fr = {r["doc_id"] for r in
+              corpus_prep(d, lang="fr", scorer=PandasScorer(FakeModel)).collect()}
+    assert got_fr == {2}
+    got_en = {r["doc_id"] for r in
+              corpus_prep(d, lang="en", scorer=PandasScorer(FakeModel)).collect()}
+    assert got_en == {0}  # dedup still drops 1; model reroutes 2 to fr
+
+
 def test_ivf_sampled_training_still_recalls(spark):
     """Scale path: the coarse quantizer trained on a sample (not the full
     corpus) must keep usable recall — assignment still covers everything."""
