@@ -170,6 +170,98 @@ def _xl_md() -> str:
     )
 
 
+def _cluster_md() -> str:
+    """Round-4 headline: REAL separate executor JVMs via local-cluster
+    (bench/cluster_pair.py) — the N->4N executor pair the driver metric
+    names, plus the no-Spark memory-bandwidth controls that pin the
+    residual (bench/membw_control.py)."""
+    try:
+        with open(os.path.join(BENCH_DIR, "cluster_runs.json")) as f:
+            runs = json.load(f)
+    except FileNotFoundError:
+        return ""
+    rows = []
+    for key, data in sorted(runs.items()):
+        if key.endswith("_coldprotocol") or not isinstance(data, dict):
+            continue
+        levels = {lv: rs for lv, rs in data.items() if isinstance(rs, list) and rs}
+        if not ("1" in levels and "4" in levels):
+            continue
+        b1 = min(levels["1"], key=lambda r: r["seconds"])
+        b4 = min(levels["4"], key=lambda r: r["seconds"])
+        eff = round(b1["seconds"] / (4 * b4["seconds"]), 3)
+        mode, rest = key.split("_", 1)
+        workload, cores = rest.rsplit("_c", 1)
+        rows.append(
+            f"| {mode} | {workload} | {cores} | {b1['seconds']} "
+            f"({[r['seconds'] for r in levels['1']]}) | {b4['seconds']} "
+            f"({[r['seconds'] for r in levels['4']]}) | **{eff}** |"
+        )
+    if not rows:
+        return ""
+    mem = ""
+    try:
+        with open(os.path.join(BENCH_DIR, "membw_control.json")) as f:
+            mb = json.load(f)
+        lines = []
+        for key, data in sorted(mb.items()):
+            if not isinstance(data, dict):
+                continue
+            lv = {k: v for k, v in data.items() if isinstance(v, list) and v}
+            if len(lv) < 2:
+                continue
+            lo, hi = min(lv, key=int), max(lv, key=int)
+            blo = max(lv[lo], key=lambda r: r["pages_per_core_sec"])
+            bhi = max(lv[hi], key=lambda r: r["pages_per_core_sec"])
+            ratio = round(bhi["pages_per_core_sec"] / blo["pages_per_core_sec"], 3)
+            what = "parquet scan (pyarrow)" if key.startswith("scan") else \
+                "extract compute (kernels.extract_page)"
+            lines.append(
+                f"- {what}, NO Spark, {lo} -> {hi} pinned processes: per-core "
+                f"throughput {blo['pages_per_core_sec']} -> "
+                f"{bhi['pages_per_core_sec']} pages/core/s (**x{ratio}**)")
+        if lines:
+            mem = (
+                "\nNo-Spark memory-bandwidth controls (bench/membw_control.py; "
+                "disjoint data per process, nothing shared but the hardware):\n\n"
+                + "\n".join(lines) + "\n"
+            )
+    except FileNotFoundError:
+        pass
+    return (
+        "## EXECUTOR-SHAPED scaling: real separate executor JVMs "
+        "(local-cluster, round 4)\n\n"
+        "`local-cluster[E,C,M]` launches E real executor JVMs with C cores "
+        "and M MB each — the spark-submit process layout minus the network. "
+        "The pair is 1 executor -> 4 executors of IDENTICAL shape (the "
+        "driver metric's N -> 4N executors), same parquet input, fresh "
+        "child process per run, interleaved best-of accumulation, package "
+        "shipped via spark.submit.pyFiles (the --py-files deploy path). "
+        "`seconds` is the steady-state (2nd) pass for kernel/alu; e2e is a "
+        "full cold crawl:\n\n"
+        "| mode | workload | cores/exec | 1 exec best s (all) | "
+        "4 exec best s (all) | efficiency 1->4 |\n"
+        "|---|---|---|---|---|---|\n"
+        + "\n".join(rows)
+        + "\n\nReading: the **alu** control (L1-resident compute through the "
+        "full Spark stack: executors, scheduler, Arrow python workers) and "
+        "the **1-core-executor kernel pair** both scale at ~0.97-0.99 — "
+        "Spark machinery, the deploy path, and the engine's data plane are "
+        "clean at executor granularity. Pushing total cores higher "
+        "(2-core executors: 2 -> 8 cores) drops kernel efficiency to "
+        "~0.74 while BOTH levels stay 100% user-CPU-busy: the per-core "
+        "loss is the box's shared DRAM bandwidth, which the controls "
+        "below reproduce with no Spark at all (parquet decode is the "
+        "bandwidth-heaviest slice). On a real 4-node cluster each "
+        "executor owns its memory bus; this confound is a single-box "
+        "artifact. The e2e rows additionally carry ~35-50 s/run of "
+        "level-independent per-round job floors (seed + 3 jobs x 2 "
+        "rounds; see the fixed-cost table) that amortize when a round "
+        "carries 10^7+ URLs instead of 10^5.\n"
+        + mem
+    )
+
+
 def _fixed_cost_md() -> str:
     """Per-term round breakdown from fixed_cost.json: which terms scale
     with cores, which are round-constants that amortize at design scale."""
@@ -264,6 +356,7 @@ Query suite s (sf0.1): local[8] {q8} / local[32] {q32} = {round(q8 / q32, 2)}x.
 
 {eff_md}
 
+{_cluster_md()}
 {_kernel_md()}
 {_xl_md()}
 {_fixed_cost_md()}

@@ -344,8 +344,16 @@ def run_round(
     # the round's admission budgets, never corpus-sized).
     hits_raw = backend.fetch(slice_ctx.select("url")).dropDuplicates(["url"])
 
+    # include_text=False + drop: the round never consumes extracted text
+    # (results carry fields, not text), but df.cache() materializes EVERY
+    # column of the cached plan — at ~50 KB/page the text column made the
+    # cache build the single largest stage of an e2e round (measured 107 s
+    # of a 126 s round at 100k pages x 8 cores; the extract kernel alone
+    # is ~26 s). Column pruning cannot reach through a cache or into a
+    # mapInPandas schema, so text is skipped at the SOURCE.
     ext = (
-        extract_records_and_links(hits_raw)
+        extract_records_and_links(hits_raw, include_text=False)
+        .drop("text")
         .join(_bcast(slice_ctx), "url", "inner")
         .cache()
     )

@@ -100,8 +100,15 @@ _FIELD_RE = {
 }
 
 
-def extract_page(url: str, html_bytes: bytes) -> dict:
+def extract_page(url: str, html_bytes: bytes, include_text: bool = True) -> dict:
     """Parse one page: kind, record fields (detail pages), links, text.
+
+    ``include_text=False`` skips the html->text conversion and emits
+    text=None — the crawl round never consumes text (results carry
+    fields, not text; the byte-identity contract is tested on the
+    extract_text kernel itself), and at ~50 KB/page the text column was
+    the bulk of the round's Arrow transfer AND of the ext cache build
+    (measured: the cache-build stage dominated e2e walls at 100k pages).
 
     Generic-engine equivalent of parse/parse_detail
     (/root/reference/Douban2/spiders/douban2.py:112-221), including the
@@ -144,7 +151,7 @@ def extract_page(url: str, html_bytes: bytes) -> dict:
         "rate": rate,
         "num": num,
         "genres": genres,
-        "text": html_to_text(html_bytes),
+        "text": html_to_text(html_bytes) if include_text else None,
         "links": links,
     }
 
@@ -208,9 +215,11 @@ _EXTRACT_SCHEMA = T.StructType(
 )
 
 
-def extract_records_and_links(df, url_field: str = "url", html_field: str = "html"):
+def extract_records_and_links(df, url_field: str = "url", html_field: str = "html",
+                              include_text: bool = True):
     """K4: mapInPandas batch extractor — one Arrow pass computes record
-    fields, text, and discovered links for every fetched page."""
+    fields, text, and discovered links for every fetched page.
+    ``include_text=False``: see extract_page (round-path optimization)."""
 
     _out_cols = ("url", "kind", "rank", "name", "rate", "num",
                  "genres", "text", "links")
@@ -222,7 +231,8 @@ def extract_records_and_links(df, url_field: str = "url", html_field: str = "htm
             # (measured; this kernel is the crawl round's hot loop)
             cols: dict[str, list] = {c: [] for c in _out_cols}
             for u, h in zip(pdf[url_field], pdf[html_field]):
-                rec = extract_page(u, h if isinstance(h, (bytes, bytearray)) else bytes(h))
+                rec = extract_page(u, h if isinstance(h, (bytes, bytearray)) else bytes(h),
+                                   include_text=include_text)
                 for c in _out_cols:
                     cols[c].append(rec[c])
             yield pd.DataFrame(cols)

@@ -68,6 +68,13 @@ def get_spark(
             "spark.sql.files.maxPartitionBytes",
             os.environ.get("CRAWLSPARK_MAX_PARTITION_BYTES", "16m"),
         )
+        # no locality wait: the default 3 s/locality-level stall is pure
+        # loss for this engine — the corpus lives on object storage (no
+        # locality to wait for) and per-round stages otherwise idle cores
+        # waiting to schedule next to cached blocks. Measured on real
+        # separate-JVM executors (local-cluster): ~20% off a full crawl
+        # wall at both 1 and 4 executors (BENCH/BASELINE.md r4).
+        .config("spark.locality.wait", "0s")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("CRAWLSPARK_DRIVER_MEM", "48g"))
     )
