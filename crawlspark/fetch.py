@@ -63,6 +63,36 @@ class CorpusFetchBackend(FetchBackend):
         return self.pages.select("url", "html").join(slice_df, "url", "inner")
 
 
+def write_bucketed_pages(
+    pages: DataFrame,
+    table_name: str,
+    buckets: int = 64,
+    path: str | None = None,
+) -> None:
+    """Materialize the pages corpus as a url-BUCKETED table — the at-scale
+    fetch-join layout (SURVEY F1; BASELINE.json north_star "pages bucketed
+    by url").
+
+    When a round's popped slice exceeds the broadcast gate, the fetch is a
+    plain equi-join on url; against an unbucketed corpus that sort-merge
+    join SHUFFLES THE WHOLE CORPUS — at the 10^10-URL design point the
+    dominant cost of every round (measured on separate-JVM executors:
+    corpus-side shuffle traffic crossing process boundaries, not the
+    extract kernel, capped e2e scaling). Against a bucketed table Spark
+    reads each bucket in place (zero Exchange on the corpus side) and
+    shuffles ONLY the slice into the same bucketing — per round that is
+    O(slice), never O(corpus). Plan-shape asserted in
+    tests/test_fetch_and_monitor.py.
+
+    ``buckets`` should be sized so one bucket ~ a few GB at the target
+    corpus (10^10 pages x ~50 KB -> tens of thousands of buckets).
+    """
+    w = pages.write.mode("overwrite").format("parquet").bucketBy(buckets, "url")
+    if path is not None:
+        w = w.option("path", path)
+    w.sortBy("url").saveAsTable(table_name)
+
+
 class HttpFetchBackend(FetchBackend):
     """Shape of a real HTTP backend (documentation stub — this sandbox has
     no network). A production implementation would ``mapInPandas`` over

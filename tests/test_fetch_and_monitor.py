@@ -25,6 +25,38 @@ def site(spark):
     }
 
 
+def test_bucketed_pages_join_avoids_corpus_shuffle(spark, site, tmp_path):
+    """F1 at-scale layout: against a url-bucketed pages table, the
+    non-broadcast fetch join must read the corpus bucket-in-place (no
+    Exchange on the pages side — only the slice shuffles) and return the
+    same rows as the unbucketed join."""
+    from crawlspark.fetch import write_bucketed_pages
+
+    write_bucketed_pages(site["pages"], "pages_bucketed_t", buckets=8,
+                         path=str(tmp_path / "pages_bucketed"))
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    # model the at-scale case: the slice is NOT broadcastable (a 10^7-row
+    # round), so forbid auto-broadcast and look at the equi-join shape
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        tbl = spark.table("pages_bucketed_t")
+        urls = site["pages"].select("url").limit(7)
+        joined = CorpusFetchBackend(tbl, broadcast_slice=False).fetch(urls)
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "Bucketed: true" in plan
+        # exactly one shuffle: the slice side; zero on the corpus side
+        assert plan.count("Exchange hashpartitioning") == 1
+        assert "BroadcastHashJoin" not in plan
+        got = {r["url"] for r in joined.collect()}
+        want = {r["url"] for r in
+                CorpusFetchBackend(site["pages"], broadcast_slice=False)
+                .fetch(urls).collect()}
+        assert got == want and len(got) == 7
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.sql("DROP TABLE IF EXISTS pages_bucketed_t")
+
+
 def test_crawl_through_explicit_backend(spark, site, tmp_path):
     """Explicit CorpusFetchBackend == default fetch behavior, end to end."""
     cfg = CrawlConfig(round_wall=1e9, per_host_cap=1000, max_depth=1)
