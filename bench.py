@@ -235,6 +235,49 @@ def bench_crawl_parity(spark) -> dict:
         shutil.rmtree(root, ignore_errors=True)
 
 
+def scaling_summary() -> dict:
+    """Executor-shaped scaling evidence for the driver's BENCH_r{N}.json
+    (north_rule: throughput at two cluster sizes + efficiency). Summarizes
+    BENCH/cluster_runs.json — accumulated by bench/cluster_pair.py, which
+    runs the SAME job on real separate executor JVMs (local-cluster
+    master, package shipped via spark.submit.pyFiles) at 1 and 4
+    executors, interleaved best-of — so the per-round numbers here carry
+    the measured N->4N pair, not a single-JVM core scan."""
+    path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                        "BENCH", "cluster_runs.json")
+    if not os.path.exists(path):
+        return {}
+    with open(path) as f:
+        runs = json.load(f)
+    pairs = {}
+    superseded = {}
+    for key, data in runs.items():
+        if not isinstance(data, dict) or "efficiency_1to4" not in data:
+            continue
+        # "_coldprotocol" keys predate the warm-2nd-pass protocol (they
+        # time executor spin-up + python-worker imports into the 1st and
+        # only pass); kept in cluster_runs.json for the audit trail,
+        # reported separately so they don't read as current numbers
+        target = superseded if key.endswith("_coldprotocol") else pairs
+        best = {lv: min(r["seconds"] for r in rs)
+                for lv, rs in data.items() if isinstance(rs, list)}
+        target[key] = {
+            "best_1exec_s": best.get("1"),
+            "best_4exec_s": best.get("4"),
+            "reps": {lv: len(rs) for lv, rs in data.items()
+                     if isinstance(rs, list)},
+            "efficiency_1to4": data["efficiency_1to4"],
+        }
+    return {
+        "harness": "bench/cluster_pair.py (local-cluster[E,C,M]: real "
+                   "separate executor JVMs, crawlspark shipped via "
+                   "spark.submit.pyFiles)",
+        "pair": "1 executor -> 4 executors (N -> 4N)",
+        "pairs": pairs,
+        "superseded_cold_protocol": superseded,
+    }
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
@@ -265,6 +308,7 @@ def main() -> None:
                 "crawl": crawl,
                 "crawl_parity": parity,
                 "parallelism": f"local[{cpus}]",
+                "executor_scaling": scaling_summary(),
             }
         )
     )

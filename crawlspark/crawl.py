@@ -334,15 +334,17 @@ def run_round(
     if backend is None:
         from .fetch import CorpusFetchBackend
 
-        backend = CorpusFetchBackend(pages, broadcast_slice=small_slice)
+        backend = CorpusFetchBackend(
+            pages,
+            broadcast_slice=small_slice,
+            # tiny rounds (seeds, retry tails) take the pushed-In point
+            # lookup instead of scanning the corpus to probe a broadcast
+            # hash relation — see CorpusFetchBackend docstring
+            point_lookup=0 < n_popped_pre <= cfg.point_lookup_max_urls,
+            pages_unique_by_url=cfg.corpus_unique_by_url,
+        )
     slice_ctx = sliced.select("fp", "url", "host", "host_bucket", "priority", "depth", "seq", "retry_count", "discovered_round", "_rn")
-    # a backend MUST return at most one row per url (FetchBackend contract);
-    # enforce it here anyway — every downstream count (fetched/items, the
-    # runner's arithmetic queued tracking, fetch_log lineage) assumes it,
-    # and a custom HTTP backend with retries can easily emit duplicates.
-    # dropDuplicates is a hash-agg on the slice-sized hit set (bounded by
-    # the round's admission budgets, never corpus-sized).
-    hits_raw = backend.fetch(slice_ctx.select("url")).dropDuplicates(["url"])
+    hits_raw = backend.fetch(slice_ctx.select("url"))
 
     # include_text=False + drop: the round never consumes extracted text
     # (results carry fields, not text), but df.cache() materializes EVERY
@@ -351,12 +353,25 @@ def run_round(
     # of a 126 s round at 100k pages x 8 cores; the extract kernel alone
     # is ~26 s). Column pruning cannot reach through a cache or into a
     # mapInPandas schema, so text is skipped at the SOURCE.
-    ext = (
-        extract_records_and_links(hits_raw, include_text=False)
-        .drop("text")
-        .join(_bcast(slice_ctx), "url", "inner")
-        .cache()
-    )
+    #
+    # A backend MUST return at most one row per url (FetchBackend
+    # contract); enforce it here anyway — every downstream count
+    # (fetched/items, the runner's arithmetic queued tracking, fetch_log
+    # lineage) assumes it, and a custom HTTP backend with retries can
+    # easily emit duplicates. The dedup runs AFTER the extract kernel: a
+    # broadcast fetch-join's output has no url partitioning, so a dedup
+    # placed before extract hash-shuffles the hit set WITH its html
+    # payload (measured: the whole ~11 GB corpus body at 500k pages —
+    # the largest bandwidth term of the round); after extract the same
+    # shuffle carries ~3 KB/row of extracted fields+links. A duplicate
+    # url costs one redundant kernel invocation, the winner stays
+    # arbitrary, and every count is taken downstream of the dedup. A
+    # backend that declares unique_by_url (the default corpus join over
+    # a url-keyed pages table) skips the enforcement shuffle entirely.
+    ext = extract_records_and_links(hits_raw, include_text=False).drop("text")
+    if not getattr(backend, "unique_by_url", False):
+        ext = ext.dropDuplicates(["url"])
+    ext = ext.join(_bcast(slice_ctx), "url", "inner").cache()
     # job 2 of 3: materialize the extract kernel ONCE (pages are unique by
     # url, so ext rows == fetched URLs — this count IS n_fetched) so the
     # tee job's many branches read a warm cache instead of racing the

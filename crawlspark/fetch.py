@@ -31,7 +31,15 @@ class FetchBackend:
     queued tracking) assumes url-uniqueness; run_round defensively
     dropDuplicates(["url"]) on the returned frame, keeping an arbitrary
     row per url — a backend that can fetch a url twice (HTTP retries,
-    mirrored hosts) should pick its own winner to stay deterministic."""
+    mirrored hosts) should pick its own winner to stay deterministic.
+
+    A backend that can PROVE uniqueness sets ``unique_by_url`` True and
+    the engine skips the enforcement shuffle (at 500k pages that dedup
+    moves ~1.5 GB of extracted rows per round for no information)."""
+
+    #: set True only when the backend structurally cannot emit the same
+    #: url twice in one round; the engine then skips its defensive dedup
+    unique_by_url: bool = False
 
     def fetch(self, urls: DataFrame) -> DataFrame:
         raise NotImplementedError
@@ -52,13 +60,49 @@ class CorpusFetchBackend(FetchBackend):
     pages bucketed by url, bucket-local) instead of OOMing the driver.
     Misses (dead links) simply produce no row — the engine derives them
     against the hit set, never by anti-joining the full corpus.
+
+    ``point_lookup`` (the TINY-slice fast path — seed rounds, retry tails):
+    even a broadcast join must SCAN the whole corpus to probe the hash
+    relation — measured ~25 s/executor-core per round at a 500k-page
+    corpus, and O(corpus) at the 10^10-page design point where a full
+    scan is ~500 TB of IO. A point lookup instead collects the slice's
+    url list (bounded: run_round enables this only when the round's
+    actual popped count — known from its count job — is at or under
+    CrawlConfig.point_lookup_max_urls; the same explicitly-bounded-
+    observable rule as the monitor and IVF query collects) and pushes it
+    into the corpus scan as an ``In(url, ...)`` parquet filter. Against
+    the production layout — write_bucketed_pages: url-sorted buckets,
+    url bloom filters, thousands of buckets — Spark prunes non-matching
+    BUCKETS at planning time and the bloom filters skip row groups
+    inside the survivors: the parquet-native index lookup, same
+    mechanism as the seen-set fp blooms (measured 2.53x in
+    BENCH/BASELINE.md). The gate must stay SMALL (default 500): pushed-
+    In evaluation cost grows linearly with the probe count and crosses
+    the full-scan join around a few thousand probes (measured numbers
+    in CrawlConfig.point_lookup_max_urls).
     """
 
-    def __init__(self, pages: DataFrame, broadcast_slice: bool = True):
+    def __init__(self, pages: DataFrame, broadcast_slice: bool = True,
+                 point_lookup: bool = False,
+                 pages_unique_by_url: bool = True):
         self.pages = pages
         self.broadcast_slice = broadcast_slice
+        self.point_lookup = point_lookup
+        # an equi-join of a url-unique corpus against the (unique) popped
+        # slice cannot emit a url twice — uniqueness is the declared
+        # corpus-table contract (url is the key of the input_hint's pages
+        # table; write_bucketed_pages lays out one row per url; MERGE
+        # upserts keep it that way). Pass False for corpora that carry
+        # multiple snapshots per url (e.g. raw multi-crawl WARC unions) —
+        # the engine then enforces one-row-per-url itself.
+        self.unique_by_url = pages_unique_by_url
 
     def fetch(self, urls: DataFrame) -> DataFrame:
+        if self.point_lookup:
+            vals = [r["url"] for r in urls.collect()]
+            if not vals:
+                return self.pages.select("url", "html").limit(0)
+            return self.pages.filter(F.col("url").isin(vals)).select("url", "html")
         slice_df = F.broadcast(urls) if self.broadcast_slice else urls
         return self.pages.select("url", "html").join(slice_df, "url", "inner")
 
@@ -86,8 +130,22 @@ def write_bucketed_pages(
 
     ``buckets`` should be sized so one bucket ~ a few GB at the target
     corpus (10^10 pages x ~50 KB -> tens of thousands of buckets).
+
+    The layout doubles as the point-lookup index (CorpusFetchBackend
+    point_lookup): url-SORTED buckets give every row group a tight url
+    min/max range and the url bloom filters catch the rest, so a pushed
+    In(url, ...) filter skips row groups instead of scanning the corpus.
+    Repartitioning by url onto the bucket count first gives ONE file per
+    bucket (Spark's bucket hash == its shuffle hash), which also lets
+    bucketed sort-merge joins reuse the on-disk sort order.
     """
-    w = pages.write.mode("overwrite").format("parquet").bucketBy(buckets, "url")
+    w = (
+        pages.repartition(buckets, F.col("url"))
+        .write.mode("overwrite")
+        .format("parquet")
+        .option("parquet.bloom.filter.enabled#url", "true")
+        .bucketBy(buckets, "url")
+    )
     if path is not None:
         w = w.option("path", path)
     w.sortBy("url").saveAsTable(table_name)

@@ -11,6 +11,14 @@ Cluster deployment (north_rule):
         --robots s3://bucket/robots --store s3://bucket/crawl_state \\
         --n-buckets 4096 --round-wall 60
 
+At-scale corpus layout (one-time, then crawl against the table — big
+slices join bucket-in-place, tiny slices point-lookup via pushed In +
+url blooms):
+
+    run_crawl.py --pages s3://bucket/pages \\
+        --write-bucketed-table pages_b --buckets 4096 --store /dev/null
+    run_crawl.py --pages-table pages_b --seeds ... --store ...
+
 Local smoke:
 
     python run_crawl.py --synthetic 1000 --store /tmp/crawl_state
@@ -28,6 +36,17 @@ import sys
 def main() -> int:
     ap = argparse.ArgumentParser(description="crawlspark distributed crawl")
     ap.add_argument("--pages", help="parquet/iceberg path of the pages corpus")
+    ap.add_argument("--pages-table",
+                    help="name of a url-BUCKETED pages table (written by "
+                         "--write-bucketed-table): big-slice fetch joins then "
+                         "read the corpus bucket-in-place — zero corpus-side "
+                         "shuffle per round, the at-scale F1 layout")
+    ap.add_argument("--write-bucketed-table", metavar="NAME",
+                    help="one-time layout job: rewrite --pages as url-bucketed "
+                         "table NAME (fetch.write_bucketed_pages) and exit")
+    ap.add_argument("--buckets", type=int, default=64,
+                    help="bucket count for --write-bucketed-table (size so one "
+                         "bucket ~ a few GB at the target corpus)")
     ap.add_argument("--seeds", help="parquet path of seeds (url, priority, seq)")
     ap.add_argument("--robots", help="parquet path of robots rules")
     ap.add_argument("--store", required=True, help="state-store root")
@@ -75,6 +94,19 @@ def main() -> int:
 
         spark = get_spark("crawlspark")
 
+    if args.write_bucketed_table:
+        if not args.pages:
+            ap.error("--pages required with --write-bucketed-table")
+        from crawlspark.fetch import write_bucketed_pages
+
+        src = spark.read.parquet(args.pages)
+        write_bucketed_pages(src, args.write_bucketed_table,
+                             buckets=args.buckets)
+        print(json.dumps({"bucketed_table": args.write_bucketed_table,
+                          "buckets": args.buckets,
+                          "rows": spark.table(args.write_bucketed_table).count()}))
+        return 0
+
     cfg = CrawlConfig(
         round_wall=args.round_wall,
         per_host_cap=args.per_host_cap,
@@ -113,11 +145,12 @@ def main() -> int:
 
             robots = robots_from_pages(pages, strict=False)
     else:
-        if not (args.pages and args.seeds):
-            ap.error("--pages/--seeds required unless --synthetic "
-                     "(--robots optional: derived from the corpus's "
-                     "/robots.txt pages when omitted)")
-        pages = spark.read.parquet(args.pages)
+        if not ((args.pages or args.pages_table) and args.seeds):
+            ap.error("--pages/--pages-table + --seeds required unless "
+                     "--synthetic (--robots optional: derived from the "
+                     "corpus's /robots.txt pages when omitted)")
+        pages = (spark.table(args.pages_table) if args.pages_table
+                 else spark.read.parquet(args.pages))
         seeds = spark.read.parquet(args.seeds)
         if args.robots:
             robots = spark.read.parquet(args.robots)

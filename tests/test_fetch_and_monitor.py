@@ -171,3 +171,127 @@ def test_big_slice_path_crawls_identically(spark, site, tmp_path):
 
     assert nb.fetch_sequence() == ref.fetch_sequence()
     assert nb.seen_urls() == ref.seen_urls()
+
+
+def test_cli_bucketed_table_roundtrip(spark, site, tmp_path, monkeypatch, capsys):
+    """run_crawl.py CLI: --write-bucketed-table lays the corpus out
+    url-bucketed, then --pages-table crawls against it end-to-end with the
+    same results as the parquet-path crawl (the at-scale F1 deployment
+    recipe, VERDICT r3 / NOTES_r4 follow-up)."""
+    import json as _json
+    import sys as _sys
+
+    import run_crawl
+
+    pages_path = str(tmp_path / "pages_pq")
+    seeds_path = str(tmp_path / "seeds_pq")
+    robots_path = str(tmp_path / "robots_pq")
+    site["pages"].write.parquet(pages_path)
+    site["seeds"].write.parquet(seeds_path)
+    site["robots"].write.parquet(robots_path)
+
+    def cli(*argv):
+        monkeypatch.setattr(_sys, "argv", ["run_crawl.py", *argv])
+        rc = run_crawl.main()
+        assert rc == 0
+        out = [ln for ln in capsys.readouterr().out.splitlines()
+               if ln.startswith("{")][-1]
+        return _json.loads(out)
+
+    try:
+        layout = cli("--pages", pages_path,
+                     "--write-bucketed-table", "cli_pages_b",
+                     "--buckets", "4", "--store", str(tmp_path / "unused"))
+        assert layout["buckets"] == 4
+        assert layout["rows"] == site["pages"].count()
+
+        ref = cli("--pages", pages_path, "--seeds", seeds_path,
+                  "--robots", robots_path, "--store", str(tmp_path / "s_ref"),
+                  "--round-wall", "1e9", "--per-host-cap", "100000")
+        got = cli("--pages-table", "cli_pages_b", "--seeds", seeds_path,
+                  "--robots", robots_path, "--store", str(tmp_path / "s_tbl"),
+                  "--round-wall", "1e9", "--per-host-cap", "100000")
+        assert got["fetched"] == ref["fetched"] > 0
+        assert got["per_round"] == ref["per_round"]
+    finally:
+        spark.sql("DROP TABLE IF EXISTS cli_pages_b")
+
+
+def test_point_lookup_pushes_in_filter_and_matches_join(spark, site, tmp_path):
+    """Tiny-slice fast path: the point lookup must push the url list into
+    the parquet scan (PushedFilters In on url — row-group skipping against
+    the sorted/bloomed bucketed layout) and return exactly the join path's
+    rows. At 10^10 pages a seed round must NOT scan the corpus."""
+    from crawlspark.fetch import write_bucketed_pages
+
+    pages_path = str(tmp_path / "pages_pq")
+    site["pages"].write.parquet(pages_path)
+    pages = spark.read.parquet(pages_path)
+    urls = site["pages"].select("url").limit(5)
+
+    pl = CorpusFetchBackend(pages, point_lookup=True).fetch(urls)
+    plan = pl._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters: [In(url" in plan
+    assert "Join" not in plan  # a filter-scan, not a corpus join
+    want = {r["url"] for r in CorpusFetchBackend(pages).fetch(urls).collect()}
+    assert {r["url"] for r in pl.collect()} == want and len(want) == 5
+
+    # empty slice: no rows, no error
+    assert CorpusFetchBackend(pages, point_lookup=True).fetch(
+        urls.limit(0)).count() == 0
+
+    # and against the bucketed/sorted layout (the production index)
+    write_bucketed_pages(site["pages"], "pages_pl_t", buckets=4,
+                         path=str(tmp_path / "pages_b"))
+    try:
+        tbl = spark.table("pages_pl_t")
+        got = {r["url"] for r in
+               CorpusFetchBackend(tbl, point_lookup=True).fetch(urls).collect()}
+        assert got == want
+    finally:
+        spark.sql("DROP TABLE IF EXISTS pages_pl_t")
+
+
+def test_point_lookup_rounds_crawl_identically(spark, site, tmp_path):
+    """Forcing every round down the point-lookup path (gate above any
+    round's popped count) must produce the identical crawl — order, seen
+    set, per-round counts — as the join path (gate 0 = disabled)."""
+    cfg_pl = CrawlConfig(round_wall=1e9, per_host_cap=1000, max_depth=1,
+                         point_lookup_max_urls=10**6)
+    pl = CrawlRunner(spark, str(tmp_path / "pl"), cfg_pl)
+    pl.init(site["seeds"])
+    pl_res = pl.run(site["pages"], site["robots"])
+
+    cfg_j = CrawlConfig(round_wall=1e9, per_host_cap=1000, max_depth=1,
+                        point_lookup_max_urls=0)
+    jn = CrawlRunner(spark, str(tmp_path / "jn"), cfg_j)
+    jn.init(site["seeds"])
+    jn_res = jn.run(site["pages"], site["robots"])
+
+    assert pl_res.counts == jn_res.counts
+    assert pl.fetch_sequence() == jn.fetch_sequence()
+    assert pl.seen_urls() == jn.seen_urls()
+
+
+def test_duplicate_corpus_with_uniqueness_disabled_dedups(spark, site, tmp_path):
+    """A multi-snapshot corpus (same url twice, e.g. two crawls unioned)
+    with corpus_unique_by_url=False must crawl with the same counts and
+    order as the clean corpus — the engine's enforcement dedup eats the
+    duplicates. The declared-unique default skips that shuffle, which is
+    only sound when the corpus really is url-keyed."""
+    dup_pages = site["pages"].unionByName(site["pages"])
+
+    cfg = CrawlConfig(round_wall=1e9, per_host_cap=1000, max_depth=1,
+                      corpus_unique_by_url=False)
+    dd = CrawlRunner(spark, str(tmp_path / "dd"), cfg)
+    dd.init(site["seeds"])
+    dd_res = dd.run(dup_pages, site["robots"])
+
+    ref = CrawlRunner(spark, str(tmp_path / "refu"),
+                      CrawlConfig(round_wall=1e9, per_host_cap=1000, max_depth=1))
+    ref.init(site["seeds"])
+    ref_res = ref.run(site["pages"], site["robots"])
+
+    assert dd_res.counts == ref_res.counts
+    assert dd.fetch_sequence() == ref.fetch_sequence()
+    assert dd.seen_urls() == ref.seen_urls()
