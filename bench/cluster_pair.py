@@ -215,7 +215,7 @@ spark.stop()
 
 
 def run_e2e(n_exec: int, cores: int, corpus: str, pyz: str,
-            bucketed: bool = False) -> dict:
+            bucketed: bool = False, emit_text: bool = False) -> dict:
     """Two full crawls per session against fresh stores — the same
     warm-2nd-pass protocol the kernel/alu modes use: pass 1 pays executor
     JVM spin-up, python-worker imports (numpy/pandas per Arrow worker) and
@@ -226,7 +226,15 @@ def run_e2e(n_exec: int, cores: int, corpus: str, pyz: str,
     ``bucketed``: crawl against the production fetch-join layout
     (url-sorted bucketed table + url blooms) instead of the flat parquet
     corpus — point lookups actually skip row groups, and above-gate
-    slices join bucket-in-place."""
+    slices join bucket-in-place.
+
+    ``emit_text``: the corpus-building production mode (CrawlConfig
+    .emit_text) — every round extracts byte-identical text per url in the
+    Arrow kernel pass and persists it to the `corpus` output table with
+    the round's atomic commit. This is the north-star workload ("URLs
+    fetched+extracted/sec ... extracts byte-identical text per url from
+    html"): the round's per-URL python compute (html->text) dominates,
+    the same term the kernel pair isolates."""
     if bucketed:
         bpath = ensure_bucketed_layout(corpus)
         pages_src = (
@@ -242,7 +250,8 @@ from crawlspark.scheduler import CrawlConfig
 {pages_src}
 seeds = spark.read.parquet({corpus!r} + "/seeds")
 robots = spark.read.parquet({corpus!r} + "/robots")
-cfg = CrawlConfig(round_wall=1e9, per_host_cap=10**6, max_depth=1)
+cfg = CrawlConfig(round_wall=1e9, per_host_cap=10**6, max_depth=1,
+                  emit_text={emit_text})
 walls, steady_walls, steady_fetched = [], [], 0
 res = None
 for _ in range(2):
@@ -324,6 +333,11 @@ def main() -> None:
         "alu": run_alu,
         "e2e": run_e2e,
         "e2eb": lambda lv, c, co, pz: run_e2e(lv, c, co, pz, bucketed=True),
+        # e2et: the corpus-building production round (emit_text) against
+        # the bucketed layout — fetch + byte-identical text extraction +
+        # persist, the workload the north-star metric names
+        "e2et": lambda lv, c, co, pz: run_e2e(lv, c, co, pz, bucketed=True,
+                                              emit_text=True),
     }[mode]
     for _ in range(reps):
         for lv in levels:  # interleaved: never two reps of a level adjacent

@@ -37,14 +37,15 @@ def _load_pages(corpus: str, n: int) -> list[tuple[str, bytes]]:
     return list(zip(t["url"].to_pylist(), t["html"].to_pylist()))
 
 
-def _worker(pages: list[tuple[str, bytes]], reps: int, out_q) -> None:
+def _worker(pages: list[tuple[str, bytes]], reps: int, out_q,
+            include_text: bool = True) -> None:
     from crawlspark.kernels import extract_page
 
     t0 = time.perf_counter()
     n = 0
     for _ in range(reps):
         for url, html in pages:
-            extract_page(url, html)
+            extract_page(url, html, include_text=include_text)
             n += 1
     out_q.put((n, time.perf_counter() - t0))
 
@@ -82,7 +83,8 @@ def run_scan_level(k: int, corpus: str) -> dict:
             "pages_per_core_sec": round(n / wall / k, 1)}
 
 
-def run_level(k: int, pages: list, total_pages: int) -> dict:
+def run_level(k: int, pages: list, total_pages: int,
+              include_text: bool = True) -> dict:
     """K processes, each handed total_pages/K distinct pages (disjoint
     slices — no shared python objects, so the only shared resource is
     the hardware)."""
@@ -91,7 +93,7 @@ def run_level(k: int, pages: list, total_pages: int) -> dict:
     procs = []
     for i in range(k):
         chunk = pages[i * per:(i + 1) * per]
-        p = mp.Process(target=_worker, args=(chunk, 1, q))
+        p = mp.Process(target=_worker, args=(chunk, 1, q, include_text))
         procs.append(p)
     t0 = time.perf_counter()
     for p in procs:
@@ -113,7 +115,11 @@ def main() -> None:
     mode = sys.argv[5] if len(sys.argv) > 5 else "extract"
     corpus = f"/tmp/xlcrawl_corpus_{n_pages}_{pad}"
     total = min(n_pages, 48000)  # ~2.4 GB of html at 8000 pad words
-    pages = _load_pages(corpus, total) if mode == "extract" else []
+    # extract_nt = the round path's per-page work (include_text=False:
+    # utf-8 decode + link findall + field regexes, no html->text) — the
+    # control matching the e2e crawl's job2, where `extract` matches the
+    # kernel bench's full text extraction
+    pages = _load_pages(corpus, total) if mode.startswith("extract") else []
 
     out_path = os.path.join(REPO, "BENCH", "membw_control.json")
     runs: dict = {}
@@ -124,8 +130,11 @@ def main() -> None:
     runs.setdefault(key, {})
     for _ in range(reps):
         for lv in levels:
-            r = (run_level(lv, pages, total) if mode == "extract"
-                 else run_scan_level(lv, corpus))
+            if mode.startswith("extract"):
+                r = run_level(lv, pages, total,
+                              include_text=(mode == "extract"))
+            else:
+                r = run_scan_level(lv, corpus)
             runs[key].setdefault(str(lv), []).append(r)
             with open(out_path, "w") as f:
                 json.dump(runs, f, indent=1)

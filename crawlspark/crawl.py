@@ -65,6 +65,9 @@ _TEE_TYPES: dict[str, str] = {
     "genres": "array<string>", "crawl_round": "int",
     # fetch_log
     "round": "int", "rn": "int",
+    # corpus (emit_text mode): extracted text per fetched url — null for
+    # every other table's rows; parquet is columnar so the pad is free
+    "text": "string",
 }
 
 
@@ -368,7 +371,17 @@ def run_round(
     # arbitrary, and every count is taken downstream of the dedup. A
     # backend that declares unique_by_url (the default corpus join over
     # a url-keyed pages table) skips the enforcement shuffle entirely.
-    ext = extract_records_and_links(hits_raw, include_text=False).drop("text")
+    # emit_text (north_star "extracts byte-identical text per url"): the
+    # corpus-building mode — each fetched page's extracted text is
+    # persisted to the `corpus` output table with the round's atomic
+    # commit, turning the crawl into a Common-Crawl-style corpus producer
+    # (the input of the LLM-pipeline plane). Off by default: the
+    # Douban-parity round consumes only fields+links, and text is the
+    # round's largest cache/transfer term (see the include_text note).
+    emit_text = getattr(cfg, "emit_text", False)
+    ext = extract_records_and_links(hits_raw, include_text=emit_text)
+    if not emit_text:
+        ext = ext.drop("text")
     if not getattr(backend, "unique_by_url", False):
         ext = ext.dropDuplicates(["url"])
     ext = ext.join(_bcast(slice_ctx), "url", "inner").cache()
@@ -500,6 +513,11 @@ def run_round(
         .unionByName(_pad(records, "results"))
         .unionByName(_pad(fetch_rows, "fetch_log"))
     )
+    if emit_text:
+        corpus_rows = ext.select(
+            "url", "text", F.lit(round_no).alias("crawl_round")
+        )
+        tee = tee.unionByName(_pad(corpus_rows, "corpus"))
     def _n(cond):
         return F.sum(F.when(cond, 1).otherwise(0))
 
@@ -574,7 +592,10 @@ def run_round(
     store.commit_round(
         shared,
         {"frontier": n_popped_pre + n_denied_pre + n_new, "seen": n_new,
-         "results": n_items, "fetch_log": n_fetched},
+         "results": n_items, "fetch_log": n_fetched,
+         # one corpus row per fetched url (ext is url-unique) — the count
+         # is already known from job 2, no extra Observation needed
+         "corpus": n_fetched if emit_text else 0},
         round_no,
         meta=meta,
         metrics_rows=[(round_no, k, int(v)) for k, v in counts.items()

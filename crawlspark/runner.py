@@ -50,7 +50,8 @@ class CrawlRunner:
         last = self.store.last_committed_round()
         if last is None:
             raise RuntimeError("store not seeded — call init() first")
-        for s in (self.store.seen, self.store.results, self.store.metrics, self.store.fetch_log):
+        for s in (self.store.seen, self.store.results, self.store.metrics,
+                  self.store.fetch_log, self.store.corpus):
             s.rollback_to_round(last)
         return last + 1
 

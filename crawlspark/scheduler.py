@@ -78,6 +78,15 @@ class CrawlConfig:
     # the same url in one table) — the engine dedups instead. Custom
     # backends carry their own FetchBackend.unique_by_url declaration.
     corpus_unique_by_url: bool = True
+    # Corpus-building mode (north_star: "extracts byte-identical text per
+    # url from html"): when True, each round extracts text in the same
+    # Arrow kernel pass and persists (url, text, crawl_round) to the
+    # `corpus` output table with the round's atomic commit — the engine
+    # as a Common-Crawl-style corpus producer, whose output feeds the
+    # dedup/quality/LLM-pipeline plane. Off by default: the Douban-parity
+    # round consumes only fields+links, and at ~50 KB/page text is the
+    # round's largest Arrow-transfer + cache term (crawl.run_round note).
+    emit_text: bool = False
     # Storage GC cadence: every N rounds the runner expires old snapshots
     # and deletes unreferenced tee/data dirs (FrontierStore.vacuum) so a
     # 1000-round crawl's disk stays O(state), not O(rounds). 0 disables

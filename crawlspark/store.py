@@ -299,6 +299,7 @@ class FrontierStore:
     SEEN_COLS = ["fp", "url", "host_bucket", "first_round"]
     RESULTS_COLS = ["rank", "name", "rate", "num", "genres", "url", "crawl_round"]
     FETCH_LOG_COLS = ["round", "host", "url", "priority", "seq", "rn"]
+    CORPUS_COLS = ["url", "text", "crawl_round"]
 
     def __init__(self, spark: SparkSession, root: str):
         self.spark = spark
@@ -320,6 +321,14 @@ class FrontierStore:
         # columnar analog of the reference's scrapy crawl log, and the
         # artifact the order-parity tests compare against the simulator
         self.fetch_log = SnapshotStore(spark, f"{self.root}/fetch_log", self.FETCH_LOG_COLS)
+        # corpus-building output (CrawlConfig.emit_text): extracted text
+        # per fetched url — the engine's Common-Crawl-style product table.
+        # Append-only and url-unique by construction (a url is fetched at
+        # most once across the crawl: seen-set + done-marks), url-sorted
+        # at compaction so downstream point reads prune row groups.
+        self.corpus = SnapshotStore(
+            spark, f"{self.root}/corpus", self.CORPUS_COLS, sort_cols=["url"]
+        )
 
     # -- frontier -------------------------------------------------------------
 
@@ -396,6 +405,11 @@ class FrontierStore:
     def metrics_state(self) -> DataFrame | None:
         return self.metrics.read()
 
+    def corpus_state(self) -> DataFrame | None:
+        """The emit_text product table (url, text, crawl_round) —
+        append-only, so state = read, like fetch_log."""
+        return self.corpus.read()
+
     # -- single-job round commit ------------------------------------------------
 
     def shared_write_dir(self) -> str:
@@ -432,6 +446,10 @@ class FrontierStore:
             self.fetch_log.commit_external(
                 f"{shared_dir}/_table=fetch_log", table_rows["fetch_log"], round_no
             )
+        if table_rows.get("corpus"):
+            self.corpus.commit_external(
+                f"{shared_dir}/_table=corpus", table_rows["corpus"], round_no
+            )
         if metrics_rows:
             import pyarrow as pa
 
@@ -455,6 +473,7 @@ class FrontierStore:
         self._maybe_compact(self.results, self.results_state, round_no)
         self._maybe_compact(self.fetch_log, self.fetch_log_state, round_no)
         self._maybe_compact(self.metrics, self.metrics_state, round_no)
+        self._maybe_compact(self.corpus, self.corpus_state, round_no)
         return sid
 
     # -- maintenance --------------------------------------------------------------
@@ -516,7 +535,8 @@ class FrontierStore:
         if keep_from_round is None:
             keep_from_round = last - 1
         keep_from_round = min(keep_from_round, last)  # never expire past HEAD
-        stores = [self.frontier, self.seen, self.results, self.metrics, self.fetch_log]
+        stores = [self.frontier, self.seen, self.results, self.metrics,
+                  self.fetch_log, self.corpus]
         expired = sum(s.expire_snapshots(keep_from_round) for s in stores)
         live: set[str] = set()
         for s in stores:

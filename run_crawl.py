@@ -60,6 +60,10 @@ def main() -> int:
     ap.add_argument("--per-host-cap", type=int, default=30)
     ap.add_argument("--max-depth", type=int, default=1)
     ap.add_argument("--n-buckets", type=int, default=64)
+    ap.add_argument("--emit-text", action="store_true",
+                    help="corpus-building mode: persist byte-identical "
+                         "extracted text per fetched url to the `corpus` "
+                         "output table (crawl -> Common-Crawl-style corpus)")
     ap.add_argument("--vacuum-every", type=int, default=16,
                     help="GC old snapshots/tee dirs every N rounds (0 = keep "
                          "full time-travel history)")
@@ -113,6 +117,7 @@ def main() -> int:
         max_depth=args.max_depth,
         n_buckets=args.n_buckets,
         vacuum_every=args.vacuum_every,
+        emit_text=args.emit_text,
     )
     if args.synthetic:
         from crawlspark.synth import SiteSpec, generate_site
