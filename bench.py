@@ -261,13 +261,27 @@ def scaling_summary() -> dict:
         target = superseded if key.endswith("_coldprotocol") else pairs
         best = {lv: min(r["seconds"] for r in rs)
                 for lv, rs in data.items() if isinstance(rs, list)}
-        target[key] = {
+        entry = {
             "best_1exec_s": best.get("1"),
             "best_4exec_s": best.get("4"),
             "reps": {lv: len(rs) for lv, rs in data.items()
                      if isinstance(rs, list)},
             "efficiency_1to4": data["efficiency_1to4"],
         }
+        # steady-state rounds (e2e modes): the big round 1+ alone, timed
+        # separately from the seed + list-round warmup tail — what a
+        # 10^10-URL crawl (virtually all fetched bytes land in big
+        # rounds) amortizes to
+        sbest = {lv: min((r["steady_seconds"] for r in rs
+                          if isinstance(r, dict) and "steady_seconds" in r),
+                         default=None)
+                 for lv, rs in data.items() if isinstance(rs, list)}
+        if sbest.get("1") and sbest.get("4"):
+            entry["steady_best_1exec_s"] = sbest["1"]
+            entry["steady_best_4exec_s"] = sbest["4"]
+            entry["steady_efficiency_1to4"] = round(
+                sbest["1"] / (4 * sbest["4"]), 3)
+        target[key] = entry
     return {
         "harness": "bench/cluster_pair.py (local-cluster[E,C,M]: real "
                    "separate executor JVMs, crawlspark shipped via "

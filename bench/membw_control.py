@@ -126,7 +126,15 @@ def main() -> None:
     if os.path.exists(out_path):
         with open(out_path) as f:
             runs = json.load(f)
-    key = f"{mode}_{total}x{pad}" if mode != "extract" else f"{total}x{pad}"
+    # scan mode reads the WHOLE corpus (ignores the in-memory page cap),
+    # so its key must carry n_pages — 100k- and 500k-corpus runs under
+    # one key would cross-compare different files
+    if mode == "extract":
+        key = f"{total}x{pad}"
+    elif mode == "scan":
+        key = f"scan_{n_pages}x{pad}"
+    else:
+        key = f"{mode}_{total}x{pad}"
     runs.setdefault(key, {})
     for _ in range(reps):
         for lv in levels:
