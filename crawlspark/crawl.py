@@ -45,6 +45,7 @@ from .schema import (
     STATUS_QUEUED,
     STATUS_ROBOTS_DENIED,
 )
+from .registry import heartbeat_metrics
 from .scheduler import CrawlConfig, link_priority_col, pop_slice
 from .store import FrontierStore
 
@@ -599,6 +600,10 @@ def run_round(
         round_no,
         meta=meta,
         metrics_rows=[(round_no, k, int(v)) for k, v in counts.items()
-                      if k != "queued_after"],
+                      if k != "queued_after"]
+        # P3 heartbeat observable: executor registry snapshot at commit
+        # time, from Spark's own status tracker (one driver-side RPC —
+        # liveness itself is the cluster manager's job, registry.py)
+        + heartbeat_metrics(spark, round_no),
     )
     return counts

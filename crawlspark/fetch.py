@@ -151,13 +151,67 @@ def write_bucketed_pages(
     w.sortBy("url").saveAsTable(table_name)
 
 
+# Default UA pool = the reference's rotation list
+# (/root/reference/Douban2/middlewares.py:119-125)
+DEFAULT_USER_AGENTS = [
+    "Mozilla/5.0 (Windows NT 10.0; Win64; x64) AppleWebKit/537.36 "
+    "(KHTML, like Gecko) Chrome/122.0.0.0 Safari/537.36",
+    "Mozilla/5.0 (Windows NT 10.0; Win64; x64) AppleWebKit/537.36 "
+    "(KHTML, like Gecko) Chrome/121.0.0.0 Safari/537.36",
+    "Mozilla/5.0 (Macintosh; Intel Mac OS X 10_15_7) AppleWebKit/537.36 "
+    "(KHTML, like Gecko) Chrome/122.0.0.0 Safari/537.36",
+    "Mozilla/5.0 (Windows NT 10.0; Win64; x64; rv:123.0) "
+    "Gecko/20100101 Firefox/123.0",
+    "Mozilla/5.0 (Macintosh; Intel Mac OS X 10_15_7) AppleWebKit/605.1.15 "
+    "(KHTML, like Gecko) Version/17.3 Safari/605.1.15",
+]
+
+
+def with_request_headers(slice_df: DataFrame, round_no: int,
+                         user_agents: list[str] | None = None) -> DataFrame:
+    """Per-request UA rotation + session-cookie randomization (N8) as
+    pure column algebra over the round's popped slice.
+
+    The reference's middleware picks a random UA per request and
+    regenerates an 11-char alphanumeric ``bid`` session cookie per
+    request (/root/reference/Douban2/middlewares.py:117-158). Randomness
+    inside a distributed batch engine breaks the resume contract
+    (a re-run round must produce byte-identical requests), so both are
+    DETERMINISTIC per (url, round): the UA is hash-picked from the pool
+    and ``bid`` is derived from a salted hash — the same request gets
+    the same identity on replay, different rounds rotate. Both columns
+    are JVM-side expressions (codegen; no Python in the hot path); a
+    fetch backend (HttpFetchBackend) sends them as the User-Agent header
+    and the ``bid`` cookie. Static header constants (sec-ch-*,
+    Sec-Fetch-*) are backend configuration, not per-row data.
+    """
+    agents = user_agents or DEFAULT_USER_AGENTS
+    pick = F.pmod(F.xxhash64(F.col("url"), F.lit(round_no), F.lit("ua")),
+                  F.lit(len(agents))).cast("int")
+    ua = F.element_at(F.array(*[F.lit(a) for a in agents]), pick + 1)
+    # 11-char [0-9a-z] session id from two salted 61-bit hashes (the
+    # reference draws 11 alnum chars per request; base36 keeps it a pure
+    # JVM conv() expression)
+    h1 = F.pmod(F.xxhash64(F.col("url"), F.lit(round_no), F.lit("bid1")),
+                F.lit(2 ** 61))
+    h2 = F.pmod(F.xxhash64(F.col("url"), F.lit(round_no), F.lit("bid2")),
+                F.lit(2 ** 61))
+    bid = F.substring(
+        F.concat(F.lower(F.conv(h1.cast("string"), 10, 36)),
+                 F.lower(F.conv(h2.cast("string"), 10, 36))), 1, 11)
+    return slice_df.withColumn("ua", ua).withColumn("bid", bid)
+
+
 class HttpFetchBackend(FetchBackend):
     """Shape of a real HTTP backend (documentation stub — this sandbox has
     no network). A production implementation would ``mapInPandas`` over
     url batches, issuing pooled HTTP GETs per Arrow batch and yielding
     (url, html); failures yield no row so the engine's retry path engages.
-    Proxy rotation / UA policy (the reference's middleware plane) live
-    entirely inside this class."""
+    Proxy rotation (the reference's middleware plane) lives entirely
+    inside this class; per-request identity comes in as COLUMNS — ``ua``
+    and ``bid`` from :func:`with_request_headers` (N8) and ``addr`` from
+    ``dns.with_addrs`` (N6) — so the request plan stays declarative and
+    replayable."""
 
     def __init__(self, timeout_s: float = 30.0):
         self.timeout_s = timeout_s

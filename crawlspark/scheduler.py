@@ -26,7 +26,7 @@ from dataclasses import dataclass
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from .schema import MAX_PARENT_RN, STATUS_QUEUED
+from .schema import MAX_PARENT_RN, STATUS_DONE, STATUS_QUEUED
 
 
 @dataclass
@@ -46,6 +46,17 @@ class CrawlConfig:
     priority_t1: int = 100         # rank<=100 -> priority 1 (douban2.py:160-166)
     priority_t2: int = 200         # rank<=200 -> priority 0, else -1
     max_urls_per_round: int | None = None  # global cap (P2 backpressure analog)
+    # Static quota (P5): lifetime cap on DONE urls per host. The
+    # reference splits a global CLOSESPIDER_ITEMCOUNT=250 into fixed
+    # per-node quotas 84/83/83 (/root/reference/Douban2/pipelines.py:
+    # 114-133, settings.py:113); per-NODE splits don't exist in a
+    # shuffle-based engine (parity is on the final set, not node
+    # assignment — the global 250 analog is CrawlRunner.run(max_items)),
+    # so the engine-meaningful static quota is per-HOST: admission stops
+    # popping a host once its fetched total reaches the quota, the
+    # at-scale "cap pages per domain" primitive. None (default) = off,
+    # zero extra work in the round.
+    host_quota: int | None = None
     n_salts: int = 8               # hot-host salting fan-out for the pop window (P1)
     # Broadcast size gate for the per-round slice joins (F1 fetch join +
     # the done/missed/fetch_log semi-joins): a broadcast HINT is honored
@@ -206,6 +217,32 @@ def pop_slice(
     """
     queued = frontier_state.filter(F.col("status") == STATUS_QUEUED)
     annotated = with_robots(queued, robots, cfg, budget_scale)
+    if cfg.host_quota is not None:
+        # P5 static quota: shrink each host's round budget by what it has
+        # already fetched (DONE rows in the same resolved state the pop
+        # reads — run_round hands pop_slice a CACHED state, so this
+        # aggregate is one partial-agg pass over warm partitions, no
+        # second resolve). Hosts at quota admit 0 and their backlog stays
+        # queued; a raised quota on a later run resumes them.
+        done_per_host = (
+            frontier_state.filter(F.col("status") == STATUS_DONE)
+            .groupBy("host").agg(F.count("*").alias("_done_ct"))
+        )
+        annotated = (
+            annotated.join(done_per_host, "host", "left")
+            .withColumn(
+                "_budget",
+                F.least(
+                    F.col("_budget"),
+                    F.greatest(
+                        F.lit(cfg.host_quota)
+                        - F.coalesce(F.col("_done_ct"), F.lit(0)),
+                        F.lit(0),
+                    ).cast("int"),
+                ),
+            )
+            .drop("_done_ct")
+        )
     denied = annotated.filter(F.col("_denied")).drop("_denied", "_budget")
     admissible = annotated.filter(~F.col("_denied"))
 

@@ -1,0 +1,217 @@
+"""P3/P5/N6/N8 — the four operators SURVEY §2 previously declared
+non-goals, now implemented as engine surface:
+
+* P3 node registry/heartbeat -> per-round executor snapshot in metrics
+  (registry.py; liveness itself stays the cluster manager's job)
+* P5 static quotas -> per-host lifetime fetch quota in admission
+  (scheduler.CrawlConfig.host_quota)
+* N6 DNS cache -> driver-side TTL prefetch of the round's distinct
+  hosts, broadcast {host: addr} (dns.py)
+* N8 UA/cookies -> deterministic per-(url, round) UA rotation + bid
+  session cookie as JVM column algebra (fetch.with_request_headers)
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from crawlspark.dns import DeterministicResolver, DnsCache, Resolver, with_addrs
+from crawlspark.fetch import DEFAULT_USER_AGENTS, with_request_headers
+from crawlspark.registry import executor_registry
+from crawlspark.runner import CrawlRunner
+from crawlspark.scheduler import CrawlConfig
+from crawlspark.schema import PAGES, ROBOTS, SEEDS
+from crawlspark.synth import SiteSpec, generate_site
+
+
+# ---------------------------------------------------------------- N6: DNS
+
+class CountingResolver(Resolver):
+    def __init__(self, fail_hosts=()):
+        self.calls = []
+        self.fail_hosts = set(fail_hosts)
+
+    def resolve(self, host: str) -> str:
+        self.calls.append(host)
+        if host in self.fail_hosts:
+            raise OSError("NXDOMAIN")
+        return f"ip-of-{host}"
+
+
+class FakeClock:
+    def __init__(self):
+        self.t = 0.0
+
+    def __call__(self):
+        return self.t
+
+
+def test_dns_cache_hits_ttl_and_failures():
+    res = CountingResolver(fail_hosts={"bad.example.com"})
+    clock = FakeClock()
+    cache = DnsCache(res, default_ttl=100.0, clock=clock)
+
+    assert cache.lookup("a.example.com") == "ip-of-a.example.com"
+    assert cache.lookup("a.example.com") == "ip-of-a.example.com"
+    assert res.calls == ["a.example.com"]  # second lookup = cache hit
+    assert (cache.hits, cache.misses) == (1, 1)
+
+    # failures are NOT cached (reference retries next request; here next round)
+    assert cache.lookup("bad.example.com") is None
+    assert cache.lookup("bad.example.com") is None
+    assert res.calls.count("bad.example.com") == 2
+    assert cache.failures == 2
+
+    # TTL expiry forces re-resolution
+    clock.t = 101.0
+    assert cache.lookup("a.example.com") == "ip-of-a.example.com"
+    assert res.calls.count("a.example.com") == 2
+
+
+def test_dns_prefetch_resolves_distinct_hosts_once():
+    res = CountingResolver(fail_hosts={"bad.example.com"})
+    cache = DnsCache(res)
+    m = cache.prefetch(["x.com", "y.com", "bad.example.com"])
+    assert m == {"x.com": "ip-of-x.com", "y.com": "ip-of-y.com"}
+    # a second round re-uses the cache — no new resolver calls for x/y
+    m2 = cache.prefetch(["x.com", "y.com"])
+    assert m2 == m
+    assert res.calls.count("x.com") == 1 and res.calls.count("y.com") == 1
+
+
+def test_with_addrs_broadcast_join(spark):
+    slice_df = spark.createDataFrame(
+        [("http://a.com/1", "a.com"), ("http://a.com/2", "a.com"),
+         ("http://b.com/1", "b.com"), ("http://dead.com/1", "dead.com")],
+        "url string, host string",
+    )
+    cache = DnsCache(CountingResolver(fail_hosts={"dead.com"}))
+    out = {r["url"]: r["addr"] for r in with_addrs(spark, slice_df, cache).collect()}
+    assert out["http://a.com/1"] == "ip-of-a.com" == out["http://a.com/2"]
+    assert out["http://b.com/1"] == "ip-of-b.com"
+    assert out["http://dead.com/1"] is None  # unresolved -> fetch miss -> retry path
+
+
+def test_deterministic_resolver_stable():
+    r = DeterministicResolver()
+    a1, a2 = r.resolve("movie.douban.com"), r.resolve("movie.douban.com")
+    assert a1 == a2 and a1.startswith("10.")
+    assert r.resolve("other.host") != a1
+
+
+# ------------------------------------------------------- N8: UA / cookies
+
+def test_request_headers_deterministic_and_rotating(spark):
+    urls = [(f"http://h.com/item/{i}", "h.com") for i in range(200)]
+    df = spark.createDataFrame(urls, "url string, host string")
+    r1 = {r["url"]: (r["ua"], r["bid"])
+          for r in with_request_headers(df, round_no=1).collect()}
+    r1b = {r["url"]: (r["ua"], r["bid"])
+           for r in with_request_headers(df, round_no=1).collect()}
+    assert r1 == r1b  # replay-identical (resume contract)
+
+    uas = {ua for ua, _ in r1.values()}
+    assert uas <= set(DEFAULT_USER_AGENTS)
+    assert len(uas) == len(DEFAULT_USER_AGENTS)  # 200 urls rotate the full pool
+    for _, bid in r1.values():
+        assert len(bid) == 11 and bid.isalnum()
+    # bids are per-request session ids — overwhelmingly distinct
+    assert len({bid for _, bid in r1.values()}) > 190
+
+    # a different round rotates identity for the same url
+    r2 = {r["url"]: (r["ua"], r["bid"])
+          for r in with_request_headers(df, round_no=2).collect()}
+    changed = sum(1 for u in r1 if r1[u] != r2[u])
+    assert changed > 150
+
+
+def test_request_headers_custom_pool(spark):
+    df = spark.createDataFrame([("http://h.com/x", "h.com")], "url string, host string")
+    row = with_request_headers(df, 0, user_agents=["only-ua"]).collect()[0]
+    assert row["ua"] == "only-ua"
+
+
+# -------------------------------------------------------- P5: host quota
+
+@pytest.fixture(scope="module")
+def quota_site():
+    return generate_site(SiteSpec(
+        n_hosts=2, lists_per_host=3, per_list=8, dead_links_per_host=0,
+        private_hosts=0, slow_hosts=0, seed=11,
+    ))
+
+
+def _run(spark, site, tmp_path, cfg):
+    pages = spark.createDataFrame(site["pages"], schema=PAGES)
+    seeds = spark.createDataFrame(site["seeds"], schema=SEEDS)
+    robots = spark.createDataFrame(site["robots"], schema=ROBOTS)
+    runner = CrawlRunner(spark, str(tmp_path / "store"), cfg)
+    runner.init(seeds)
+    res = runner.run(pages, robots)
+    return runner, res
+
+
+def test_host_quota_caps_lifetime_fetches(spark, quota_site, tmp_path):
+    quota = 5
+    runner, _ = _run(spark, quota_site, tmp_path,
+                     CrawlConfig(round_wall=20.0, max_depth=1, host_quota=quota))
+    per_host = {
+        r["host"]: r["count"]
+        for r in runner.store.fetch_log_state().groupBy("host").count().collect()
+    }
+    assert per_host  # the crawl did fetch
+    assert all(c <= quota for c in per_host.values()), per_host
+    # quota'd backlog stays QUEUED (not lost): raising the quota on a
+    # resumed run continues the crawl
+    assert runner.queued_count() > 0
+
+
+def test_host_quota_none_is_unchanged(spark, quota_site, tmp_path):
+    runner, _ = _run(spark, quota_site, tmp_path,
+                     CrawlConfig(round_wall=20.0, max_depth=1))
+    assert runner.queued_count() == 0  # default config drains the site
+
+
+def test_host_quota_resume_continues(spark, quota_site, tmp_path):
+    """The P5 contract end-to-end: a quota'd run leaves backlog queued;
+    reopening the SAME store with a raised quota fetches the rest."""
+    root = tmp_path / "q"
+    pages = spark.createDataFrame(quota_site["pages"], schema=PAGES)
+    seeds = spark.createDataFrame(quota_site["seeds"], schema=SEEDS)
+    robots = spark.createDataFrame(quota_site["robots"], schema=ROBOTS)
+
+    r1 = CrawlRunner(spark, str(root / "store"),
+                     CrawlConfig(round_wall=20.0, max_depth=1, host_quota=4))
+    r1.init(seeds)
+    r1.run(pages, robots)
+    fetched_1 = {r["url"] for r in
+                 r1.store.fetch_log_state().select("url").collect()}
+    assert r1.queued_count() > 0
+
+    r2 = CrawlRunner(spark, str(root / "store"),
+                     CrawlConfig(round_wall=20.0, max_depth=1))
+    res2 = r2.run(pages, robots)
+    assert res2.total_fetched > 0
+    assert r2.queued_count() == 0
+    fetched_2 = {r["url"] for r in
+                 r2.store.fetch_log_state().select("url").collect()}
+    assert fetched_1 < fetched_2  # strictly more, nothing lost
+
+
+# --------------------------------------------------- P3: registry/heartbeat
+
+def test_executor_registry_snapshot(spark):
+    reg = executor_registry(spark)
+    assert len(reg) >= 1  # local mode: the driver executor
+    for r in reg:
+        assert r["host"] and isinstance(r["num_running_tasks"], int)
+
+
+def test_heartbeat_rows_in_metrics(spark, quota_site, tmp_path):
+    runner, _ = _run(spark, quota_site, tmp_path / "hb",
+                     CrawlConfig(round_wall=20.0, max_depth=1))
+    m = runner.store.metrics_state()
+    rows = {(r["round"], r["metric"]): r["value"] for r in m.collect()}
+    rounds = {rnd for rnd, k in rows if k == "popped"}
+    for rnd in rounds:
+        assert rows.get((rnd, "executors_alive"), 0) >= 1
