@@ -59,6 +59,9 @@ def main() -> int:
     ap.add_argument("--round-wall", type=float, default=60.0)
     ap.add_argument("--per-host-cap", type=int, default=30)
     ap.add_argument("--max-depth", type=int, default=1)
+    ap.add_argument("--host-quota", type=int, default=None,
+                    help="lifetime cap on fetched urls per host (P5 static "
+                         "quota); backlog past the quota stays queued")
     ap.add_argument("--n-buckets", type=int, default=64)
     ap.add_argument("--emit-text", action="store_true",
                     help="corpus-building mode: persist byte-identical "
@@ -118,6 +121,7 @@ def main() -> int:
         n_buckets=args.n_buckets,
         vacuum_every=args.vacuum_every,
         emit_text=args.emit_text,
+        host_quota=args.host_quota,
     )
     if args.synthetic:
         from crawlspark.synth import SiteSpec, generate_site
