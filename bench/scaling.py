@@ -361,10 +361,10 @@ def _phase_decomp_md() -> str:
                 "kind (GC + cache-store traffic of the materialized "
                 "round slice, absent from the pure-process control). "
                 "Both terms shrink as the per-page python compute share "
-                "rises: the same engine, same data, with the "
-                "compute-dominant production round (e2et mode — text "
-                "extraction + persist) or the kernel alone, scales at "
-                "0.9+ on this very box — see the table above.")
+                "rises — compare the compute-dominant rows in the table "
+                "above (the extract kernel alone, and the e2et "
+                "corpus-building round where text extraction dominates "
+                "the wall).")
         out.append(block)
     if not out:
         return ""

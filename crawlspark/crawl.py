@@ -378,19 +378,50 @@ def run_round(
     # commit, turning the crawl into a Common-Crawl-style corpus producer
     # (the input of the LLM-pipeline plane). Off by default: the
     # Douban-parity round consumes only fields+links, and text is the
-    # round's largest cache/transfer term (see the include_text note).
+    # round's largest transfer term (see the include_text note).
     emit_text = getattr(cfg, "emit_text", False)
     ext = extract_records_and_links(hits_raw, include_text=emit_text)
     if not emit_text:
         ext = ext.drop("text")
     if not getattr(backend, "unique_by_url", False):
         ext = ext.dropDuplicates(["url"])
-    ext = ext.join(_bcast(slice_ctx), "url", "inner").cache()
-    # job 2 of 3: materialize the extract kernel ONCE (pages are unique by
-    # url, so ext rows == fetched URLs — this count IS n_fetched) so the
-    # tee job's many branches read a warm cache instead of racing the
-    # whole fetch+parse pipeline behind their broadcast sub-jobs
-    n_fetched = ext.count()
+    ext = ext.join(_bcast(slice_ctx), "url", "inner")
+    corpus_dir = None
+    if emit_text:
+        # job 2 of 3, emit_text shape: the materializing action IS the
+        # corpus write. The earlier shape cached ext WITH text (at
+        # ~50 KB/page the block manager materializes the round's whole
+        # text mass in executor heaps — GC/spill pressure, measured as
+        # the largest steady-round term) and then SERIALIZED the same
+        # text a second time through the tee. Instead the round's
+        # fetch-join + extract pipeline streams straight into snappy
+        # parquet ONCE — a wide file (text + extraction fields + slice
+        # ctx) committed to the `corpus` table, whose declared columns
+        # (url, text, crawl_round) prune the extras at read time
+        # (SnapshotStore wide-file contract). Downstream branches
+        # re-read the staging files COLUMN-PRUNED: the text bytes are
+        # never scanned again, and nothing re-runs the kernel.
+        corpus_dir = store.shared_write_dir()
+        (
+            ext.withColumn("crawl_round", F.lit(round_no))
+            # url blooms: the corpus table doubles as a fetch/point-lookup
+            # target (same contract as write_bucketed_pages)
+            .write.option("parquet.bloom.filter.enabled#url", "true")
+            .mode("overwrite")
+            .parquet(corpus_dir)
+        )
+        ext = spark.read.parquet(corpus_dir).drop("crawl_round")
+        # parquet metadata count (row-group stats, no column IO): ext rows
+        # == fetched URLs (pages unique by url) — this count IS n_fetched
+        n_fetched = ext.count()
+    else:
+        ext = ext.cache()
+        # job 2 of 3: materialize the extract kernel ONCE (pages are
+        # unique by url, so ext rows == fetched URLs — this count IS
+        # n_fetched) so the tee job's many branches read a warm cache
+        # instead of racing the whole fetch+parse pipeline behind their
+        # broadcast sub-jobs
+        n_fetched = ext.count()
     _mark("job2 ext materialize")
 
     # F5/F6 validate + cast; S1 upsert-by-rank
@@ -514,11 +545,9 @@ def run_round(
         .unionByName(_pad(records, "results"))
         .unionByName(_pad(fetch_rows, "fetch_log"))
     )
-    if emit_text:
-        corpus_rows = ext.select(
-            "url", "text", F.lit(round_no).alias("crawl_round")
-        )
-        tee = tee.unionByName(_pad(corpus_rows, "corpus"))
+    # (emit_text: the corpus files were already written by job 2 — the tee
+    # never carries the text a second time; commit_round references the
+    # staging dir directly)
     def _n(cond):
         return F.sum(F.when(cond, 1).otherwise(0))
 
@@ -598,6 +627,7 @@ def run_round(
          # is already known from job 2, no extra Observation needed
          "corpus": n_fetched if emit_text else 0},
         round_no,
+        corpus_dir=corpus_dir,
         meta=meta,
         metrics_rows=[(round_no, k, int(v)) for k, v in counts.items()
                       if k != "queued_after"]

@@ -424,6 +424,7 @@ class FrontierStore:
         round_no: int,
         meta: dict | None = None,
         metrics_rows: list[tuple] | None = None,
+        corpus_dir: str | None = None,
     ) -> int:
         """Commit one round's tee write into every table's snapshot chain.
 
@@ -433,6 +434,11 @@ class FrontierStore:
         Commit order is the recovery contract: siblings first, frontier
         LAST (the frontier snapshot is the round's atomic commit point;
         resume rolls the siblings back to it).
+
+        ``corpus_dir``: emit_text rounds write the corpus files as their
+        OWN staging dir (run_round's job 2 — the text never rides the
+        tee); when set, the corpus commit references it instead of the
+        tee's ``_table=corpus`` partition.
         """
         if table_rows.get("seen"):
             self.seen.commit_external(
@@ -448,7 +454,9 @@ class FrontierStore:
             )
         if table_rows.get("corpus"):
             self.corpus.commit_external(
-                f"{shared_dir}/_table=corpus", table_rows["corpus"], round_no
+                corpus_dir if corpus_dir is not None
+                else f"{shared_dir}/_table=corpus",
+                table_rows["corpus"], round_no,
             )
         if metrics_rows:
             import pyarrow as pa
