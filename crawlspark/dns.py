@@ -21,9 +21,11 @@ the resolver only runs for cache-MISSING hosts.
 No network exists in this sandbox, so the default resolver is an
 explicit seam (same pattern as fetch.HttpFetchBackend and
 textops.PandasScorer): ``DeterministicResolver`` derives a stable fake
-address from the host's sha1 for tests; a production deployment slots a
-real ``socket.getaddrinfo``/dnspython resolver into ``Resolver`` without
-touching the engine.
+address from the host's md5 for tests (md5 rather than sha1 so the
+driver gate `c06_dns_map` can verify the whole prefetch+broadcast-join
+path hash-exactly against a DuckDB SQL oracle); a production deployment
+slots a real ``socket.getaddrinfo``/dnspython resolver into
+``Resolver`` without touching the engine.
 """
 
 from __future__ import annotations
@@ -50,11 +52,13 @@ class Resolver:
 
 
 class DeterministicResolver(Resolver):
-    """Sandbox resolver: stable fake IPv4 derived from sha1(host) — the
-    documented stand-in for a real A-record lookup (no network here)."""
+    """Sandbox resolver: stable fake IPv4 derived from md5(host) — the
+    documented stand-in for a real A-record lookup (no network here).
+    Oracle-checkable: the c06_dns_map driver gate recomputes these
+    addresses in pure DuckDB SQL from md5 hex digits."""
 
     def resolve(self, host: str) -> str:
-        h = hashlib.sha1(host.encode("utf-8")).digest()
+        h = hashlib.md5(host.encode("utf-8")).digest()
         return f"10.{h[0]}.{h[1]}.{h[2]}"
 
 

@@ -345,6 +345,45 @@ def c04_retry_budget(spark, sf_dir):
     )
 
 
+def c05_host_quota(spark, sf_dir):
+    """P5 static-quota admission math as data (CrawlConfig.host_quota):
+    per-host lifetime cap — the remaining budget is quota minus the
+    host's lifetime DONE count, admission takes min(pending, remaining).
+    Here user = host, 'click' events = DONE fetches, the rest = queued."""
+    e = _t(spark, sf_dir, "events")
+    quota = 50
+    agg = e.groupBy("user_id").agg(
+        F.sum(F.when(F.col("event_type") == "click", 1).otherwise(0)).alias("n_done"),
+        F.sum(F.when(F.col("event_type") != "click", 1).otherwise(0)).alias("n_pending"),
+    )
+    remaining = F.greatest(F.lit(quota) - F.col("n_done"), F.lit(0))
+    return agg.select(
+        "user_id",
+        "n_done",
+        "n_pending",
+        F.least(F.col("n_pending"), remaining).alias("admitted"),
+        (F.col("n_pending") - F.least(F.col("n_pending"), remaining)).alias("deferred"),
+    )
+
+
+def c06_dns_map(spark, sf_dir):
+    """N6 DNS prefetch, end-to-end through the REAL engine path: distinct
+    hosts -> driver-side DnsCache(DeterministicResolver) prefetch ->
+    broadcast {host: addr} join (dns.with_addrs). The oracle recomputes
+    the resolver's md5-derived fake IPv4 in pure DuckDB SQL — an
+    independent implementation of the same contract, so a hash match
+    verifies the cache, the prefetch bounding, and the join plumbing."""
+    from .dns import DeterministicResolver, DnsCache, with_addrs
+
+    e = _t(spark, sf_dir, "events")
+    slice_df = e.select(
+        F.concat(F.lit("h"), F.pmod(F.col("user_id"), F.lit(128)).cast("string"),
+                 F.lit(".example.org")).alias("host")
+    ).distinct()
+    out = with_addrs(spark, slice_df, DnsCache(DeterministicResolver()))
+    return out.select("host", "addr")
+
+
 # ---------------------------------------------------------------------------
 # training-data plane
 # ---------------------------------------------------------------------------
@@ -579,6 +618,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "c02_host_bucket": c02_host_bucket,
     "c03_dedup_latest": c03_dedup_latest,
     "c04_retry_budget": c04_retry_budget,
+    "c05_host_quota": c05_host_quota,
+    "c06_dns_map": c06_dns_map,
     "t01_text_profile": t01_text_profile,
     "t02_quality_by_lang": t02_quality_by_lang,
     "t03_exact_dedup": t03_exact_dedup,
@@ -749,6 +790,41 @@ ORACLES: dict[str, str] = {
                least(count(*), 30) AS admitted,
                greatest(count(*) - 30, 0) AS deferred
         FROM events GROUP BY user_id
+    """,
+    "c05_host_quota": """
+        WITH agg AS (
+            SELECT user_id,
+                   CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS n_done,
+                   CAST(sum(CASE WHEN event_type <> 'click' THEN 1 ELSE 0 END) AS BIGINT) AS n_pending
+            FROM events GROUP BY user_id
+        )
+        SELECT user_id, n_done, n_pending,
+               least(n_pending, greatest(50 - n_done, 0)) AS admitted,
+               n_pending - least(n_pending, greatest(50 - n_done, 0)) AS deferred
+        FROM agg
+    """,
+    # md5-hex byte extraction in portable SQL: value of hex digit c is
+    # strpos('0123456789abcdef', c) - 1; byte k of the digest is
+    # 16*digit(2k+1) + digit(2k+2) of the hex string
+    "c06_dns_map": """
+        WITH hosts AS (
+            SELECT DISTINCT 'h' || CAST(user_id % 128 AS VARCHAR) || '.example.org' AS host
+            FROM events
+        ), hx AS (
+            SELECT host, md5(host) AS h FROM hosts
+        )
+        SELECT host,
+               '10.'
+               || CAST(16 * (strpos('0123456789abcdef', substr(h, 1, 1)) - 1)
+                       + strpos('0123456789abcdef', substr(h, 2, 1)) - 1 AS VARCHAR)
+               || '.'
+               || CAST(16 * (strpos('0123456789abcdef', substr(h, 3, 1)) - 1)
+                       + strpos('0123456789abcdef', substr(h, 4, 1)) - 1 AS VARCHAR)
+               || '.'
+               || CAST(16 * (strpos('0123456789abcdef', substr(h, 5, 1)) - 1)
+                       + strpos('0123456789abcdef', substr(h, 6, 1)) - 1 AS VARCHAR)
+               AS addr
+        FROM hx
     """,
     "t01_text_profile": f"""
         SELECT doc_id,
