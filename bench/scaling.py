@@ -332,9 +332,19 @@ def _phase_decomp_md() -> str:
                  f"steady efficiency this instrumented rep = {eff}):\n\n"
                  + "\n".join(lines))
         # hardware-bound prediction for job2 (the only per-URL data-plane
-        # term): its work is parquet decode + fields-only extract, whose
-        # per-core 1->4 ratios the no-Spark controls measure directly
-        r_scan, r_nt = _ratio("scan"), _ratio("extract_nt")
+        # term): its work is parquet decode + per-page python extract, whose
+        # per-core 1->4 ratios the no-Spark controls measure directly. The
+        # matching extract control differs by mode: e2eb's round never
+        # builds text (extract_nt = include_text=False), while e2et's
+        # corpus-building round runs the FULL html->text extraction (the
+        # plain-extract control, keyed `<n>x<pad>` with no mode prefix).
+        r_scan = _ratio("scan")
+        if key.startswith("e2et"):
+            # full-extract control keys carry no mode prefix ("48000x8000")
+            full_keys = [k for k in mb if k[:1].isdigit()]
+            r_nt = _ratio(full_keys[0]) if full_keys else None
+        else:
+            r_nt = _ratio("extract_nt")
         job2 = next((t for ph, t in d["phases"].items()
                      if ph.startswith("job2 ")), None)
         if job2 and r_scan and r_nt:
@@ -344,11 +354,14 @@ def _phase_decomp_md() -> str:
             hi = round(job2["1"] / (4 * r_scan), 1)
             lo, hi = min(lo, hi), max(lo, hi)
             meff = round(job2["1"] / (4 * job2["4"]), 2)
+            extract_label = ("full html->text extract"
+                             if key.startswith("e2et") else
+                             "fields-only extract")
             block += (
                 f"\n\nHardware accounting for job2: the no-Spark (1 -> 4 "
                 f"pinned processes, disjoint data) per-core ratios on this "
                 f"box are x{r_scan} for parquet decode and x{r_nt} for the "
-                f"fields-only extract — i.e. even with ZERO framework "
+                f"{extract_label} — i.e. even with ZERO framework "
                 f"overhead, 4 cores deliver at most "
                 f"{round(4 * max(r_scan, r_nt), 2)}x, capping this phase's "
                 f"efficiency at ~{max(r_scan, r_nt)}. Predicted job2 wall "
