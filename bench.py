@@ -252,7 +252,8 @@ def scaling_summary() -> dict:
     pairs = {}
     superseded = {}
     for key, data in runs.items():
-        if not isinstance(data, dict) or "efficiency_1to4" not in data:
+        if not isinstance(data, dict) or not any(
+                k.startswith("efficiency_") for k in data):
             continue
         # "_coldprotocol" keys predate the warm-2nd-pass protocol (they
         # time executor spin-up + python-worker imports into the 1st and
@@ -261,13 +262,6 @@ def scaling_summary() -> dict:
         target = superseded if key.endswith("_coldprotocol") else pairs
         best = {lv: min(r["seconds"] for r in rs)
                 for lv, rs in data.items() if isinstance(rs, list)}
-        entry = {
-            "best_1exec_s": best.get("1"),
-            "best_4exec_s": best.get("4"),
-            "reps": {lv: len(rs) for lv, rs in data.items()
-                     if isinstance(rs, list)},
-            "efficiency_1to4": data["efficiency_1to4"],
-        }
         # steady-state rounds (e2e modes): the big round 1+ alone, timed
         # separately from the seed + list-round warmup tail — what a
         # 10^10-URL crawl (virtually all fetched bytes land in big
@@ -276,11 +270,23 @@ def scaling_summary() -> dict:
                           if isinstance(r, dict) and "steady_seconds" in r),
                          default=None)
                  for lv, rs in data.items() if isinstance(rs, list)}
-        if sbest.get("1") and sbest.get("4"):
-            entry["steady_best_1exec_s"] = sbest["1"]
-            entry["steady_best_4exec_s"] = sbest["4"]
-            entry["steady_efficiency_1to4"] = round(
-                sbest["1"] / (4 * sbest["4"]), 3)
+        entry = {
+            "reps": {lv: len(rs) for lv, rs in data.items()
+                     if isinstance(rs, list)},
+        }
+        # every measured N -> 4N executor pair in this key
+        for lo, hi in (("1", "4"), ("2", "8")):
+            if lo not in best or hi not in best:
+                continue
+            entry[f"best_{lo}exec_s"] = best[lo]
+            entry[f"best_{hi}exec_s"] = best[hi]
+            entry[f"efficiency_{lo}to{hi}"] = round(
+                best[lo] / (4 * best[hi]), 3)
+            if sbest.get(lo) and sbest.get(hi):
+                entry[f"steady_best_{lo}exec_s"] = sbest[lo]
+                entry[f"steady_best_{hi}exec_s"] = sbest[hi]
+                entry[f"steady_efficiency_{lo}to{hi}"] = round(
+                    sbest[lo] / (4 * sbest[hi]), 3)
         target[key] = entry
     return {
         "harness": "bench/cluster_pair.py (local-cluster[E,C,M]: real "

@@ -186,32 +186,37 @@ def _cluster_md() -> str:
         if key.endswith("_coldprotocol") or not isinstance(data, dict):
             continue
         levels = {lv: rs for lv, rs in data.items() if isinstance(rs, list) and rs}
-        if not ("1" in levels and "4" in levels):
-            continue
-        b1 = min(levels["1"], key=lambda r: r["seconds"])
-        b4 = min(levels["4"], key=lambda r: r["seconds"])
-        eff = round(b1["seconds"] / (4 * b4["seconds"]), 3)
         mode, rest = key.split("_", 1)
         workload, cores = rest.rsplit("_c", 1)
-        # steady-state (e2e modes): the big round alone, seed + list-round
-        # warmup tail excluded — what a 10^10-URL crawl amortizes to
-        s1 = min((r["steady_seconds"] for r in levels["1"]
-                  if "steady_seconds" in r), default=None)
-        s4 = min((r["steady_seconds"] for r in levels["4"]
-                  if "steady_seconds" in r), default=None)
-        if s1 and s4:
-            steady = f"{s1} / {s4} = **{round(s1 / (4 * s4), 3)}**"
-        else:
-            steady = "-"
-        if mode == "e2et":
-            headline = {"eff": eff,
-                        "steady_eff": round(s1 / (4 * s4), 3) if s1 and s4 else None,
-                        "n1": len(levels["1"]), "n4": len(levels["4"])}
-        rows.append(
-            f"| {mode} | {workload} | {cores} | {b1['seconds']} "
-            f"({[r['seconds'] for r in levels['1']]}) | {b4['seconds']} "
-            f"({[r['seconds'] for r in levels['4']]}) | **{eff}** | {steady} |"
-        )
+        # one table row per measured N -> 4N executor pair in this key
+        for lo, hi in (("1", "4"), ("2", "8")):
+            if not (lo in levels and hi in levels):
+                continue
+            blo = min(levels[lo], key=lambda r: r["seconds"])
+            bhi = min(levels[hi], key=lambda r: r["seconds"])
+            eff = round(blo["seconds"] / (4 * bhi["seconds"]), 3)
+            # steady-state (e2e modes): the big round alone, seed +
+            # list-round warmup tail excluded — what a 10^10-URL crawl
+            # amortizes to
+            slo = min((r["steady_seconds"] for r in levels[lo]
+                       if "steady_seconds" in r), default=None)
+            shi = min((r["steady_seconds"] for r in levels[hi]
+                       if "steady_seconds" in r), default=None)
+            if slo and shi:
+                steady = f"{slo} / {shi} = **{round(slo / (4 * shi), 3)}**"
+            else:
+                steady = "-"
+            if mode == "e2et" and (lo, hi) == ("1", "4"):
+                headline = {"eff": eff,
+                            "steady_eff": round(slo / (4 * shi), 3)
+                            if slo and shi else None,
+                            "n1": len(levels[lo]), "n4": len(levels[hi])}
+            rows.append(
+                f"| {mode} | {workload} | {cores} | {lo} -> {hi} | "
+                f"{blo['seconds']} ({[r['seconds'] for r in levels[lo]]}) | "
+                f"{bhi['seconds']} ({[r['seconds'] for r in levels[hi]]}) | "
+                f"**{eff}** | {steady} |"
+            )
     if not rows:
         return ""
     mem = ""
@@ -274,9 +279,9 @@ def _cluster_md() -> str:
         "production round (emit_text: fetch + byte-identical text "
         "extraction + persist — the workload the north-star metric "
         "names)**:\n\n"
-        "| mode | workload | cores/exec | 1 exec best s (all) | "
-        "4 exec best s (all) | efficiency 1->4 | steady 1/4 = eff |\n"
-        "|---|---|---|---|---|---|---|\n"
+        "| mode | workload | cores/exec | pair N -> 4N | N exec best s (all) | "
+        "4N exec best s (all) | efficiency N->4N | steady N/4N = eff |\n"
+        "|---|---|---|---|---|---|---|---|\n"
         + "\n".join(rows)
         + (
             f"\n\nReading — **the driver metric (efficiency >= 0.8 from N "
