@@ -292,7 +292,7 @@ def scaling_summary() -> dict:
         "harness": "bench/cluster_pair.py (local-cluster[E,C,M]: real "
                    "separate executor JVMs, crawlspark shipped via "
                    "spark.submit.pyFiles)",
-        "pair": "1 executor -> 4 executors (N -> 4N)",
+        "pair": "N -> 4N executor pairs of identical shape: (1,4) headline, (2,8) second scale point",
         "pairs": pairs,
         "superseded_cold_protocol": superseded,
     }

@@ -56,9 +56,11 @@ sys.path.insert(0, REPO)
 
 # per-executor memory by mode: kernel/alu fit comfortably in 8 GB; the e2e
 # crawl caches the round's extracted corpus (~5 GB at 100k x 8000) and needs
-# real-cluster-sized executors — 24 GB each (4 x 24 = 96 GB fits this box)
-EXEC_MEM_MB = 8192
-E2E_MEM_MB = 24576
+# real-cluster-sized executors — 24 GB each (4 x 24 = 96 GB fits this box).
+# Both levels of a pair always run the IDENTICAL executor shape; override
+# per-exec memory for wider pairs (e.g. 8 executors need <= 12 GB each here).
+EXEC_MEM_MB = int(os.environ.get("CRAWLSPARK_EXEC_MEM_MB", "8192"))
+E2E_MEM_MB = int(os.environ.get("CRAWLSPARK_E2E_MEM_MB", "24576"))
 
 
 def build_pyfiles_zip() -> str:
@@ -339,9 +341,11 @@ def main() -> None:
         "e2et": lambda lv, c, co, pz: run_e2e(lv, c, co, pz, bucketed=True,
                                               emit_text=True),
     }[mode]
+    mem_mb = E2E_MEM_MB if mode.startswith("e2e") else EXEC_MEM_MB
     for _ in range(reps):
         for lv in levels:  # interleaved: never two reps of a level adjacent
             r = run_fn(lv, cores, corpus, pyz)
+            r["mem_mb"] = mem_mb  # record the per-executor shape of this run
             runs[key].setdefault(str(lv), []).append(r)
             save()
             print(json.dumps({"mode": mode, "executors": lv, "cores": cores, **r}),

@@ -211,8 +211,17 @@ def _cluster_md() -> str:
                             "steady_eff": round(slo / (4 * shi), 3)
                             if slo and shi else None,
                             "n1": len(levels[lo]), "n4": len(levels[hi])}
+            # annotate per-executor memory when the runs recorded it (both
+            # levels of a pair always share one executor shape; pairs may
+            # differ — e.g. 8 x 24 GB would not fit this 128 GB box, so the
+            # (2,8) e2e pairs run 12 GB/exec vs (1,4)'s 24 GB/exec)
+            mems = {r.get("mem_mb") for r in levels[lo] + levels[hi]
+                    if r.get("mem_mb")}
+            pair_lbl = f"{lo} -> {hi}"
+            if len(mems) == 1:
+                pair_lbl += f" ({next(iter(mems)) // 1024} GB/exec)"
             rows.append(
-                f"| {mode} | {workload} | {cores} | {lo} -> {hi} | "
+                f"| {mode} | {workload} | {cores} | {pair_lbl} | "
                 f"{blo['seconds']} ({[r['seconds'] for r in levels[lo]]}) | "
                 f"{bhi['seconds']} ({[r['seconds'] for r in levels[hi]]}) | "
                 f"**{eff}** | {steady} |"
@@ -266,8 +275,9 @@ def _cluster_md() -> str:
         "(local-cluster, round 4)\n\n"
         "`local-cluster[E,C,M]` launches E real executor JVMs with C cores "
         "and M MB each — the spark-submit process layout minus the network. "
-        "The pair is 1 executor -> 4 executors of IDENTICAL shape (the "
-        "driver metric's N -> 4N executors), same parquet input, fresh "
+        "Each pair is N executors -> 4N executors of IDENTICAL shape (the "
+        "driver metric's N -> 4N executors; (1,4) is the headline, (2,8) a "
+        "second scale point), same parquet input, fresh "
         "child process per run, interleaved best-of accumulation, package "
         "shipped via spark.submit.pyFiles (the --py-files deploy path). "
         "`seconds` is the warm (2nd) pass for every mode; for e2e modes "
@@ -303,7 +313,15 @@ def _cluster_md() -> str:
         "~0.74 while BOTH levels stay 100% user-CPU-busy: the per-core "
         "loss is the box's shared DRAM bandwidth, which the controls "
         "below reproduce with no Spark at all (parquet decode is the "
-        "bandwidth-heaviest slice). On a real 4-node cluster each "
+        "bandwidth-heaviest slice). The second e2et scale point (2 -> 8 "
+        "one-core executors, 12 GB each) makes the same ceiling visible "
+        "end-to-end: the best 8-executor steady wall EQUALS the best "
+        "4-executor one (131.3 vs 132.2 s) — the box saturates at ~4 "
+        "concurrent scan+extract processes, exactly where the no-Spark "
+        "scan control halves per-core (x0.526 at 2 -> 8 pinned "
+        "processes) — so the (2,8) efficiency measures the DRAM bus, "
+        "not the engine: executors 5-8 add no memory bandwidth on ONE "
+        "box. On a real 4-node cluster each "
         "executor owns its memory bus; this confound is a single-box "
         "artifact. The e2e rows additionally carry ~35-50 s/run of "
         "level-independent per-round job floors (seed + 3 jobs x 2 "
