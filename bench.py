@@ -288,11 +288,30 @@ def scaling_summary() -> dict:
                 entry[f"steady_efficiency_{lo}to{hi}"] = round(
                     sbest[lo] / (4 * sbest[hi]), 3)
         target[key] = entry
+    # the metric pair: the e2e crawl (fetch-join + full html->text extract
+    # + corpus persist, text-emitting mode) at 1 -> 4 real executor JVMs,
+    # the largest corpus measured. (2,8) sits past this one box's DRAM
+    # bandwidth knee (see BENCH/BASELINE.md) so (1,4) is the pair whose
+    # levels both fit the hardware — the condition a real 4-node cluster
+    # satisfies by construction.
+    headline = {}
+    hl = pairs.get("e2et_300000x8000_c1")
+    if hl and "efficiency_1to4" in hl:
+        headline = {
+            "pair_key": "e2et_300000x8000_c1",
+            "executors": "1 -> 4 (one core, 24 GB each; identical shape)",
+            "full_run_efficiency_1to4": hl["efficiency_1to4"],
+            "steady_round_efficiency_1to4": hl.get(
+                "steady_efficiency_1to4"),
+            "metric_target": 0.8,
+            "met": hl["efficiency_1to4"] >= 0.8,
+        }
     return {
         "harness": "bench/cluster_pair.py (local-cluster[E,C,M]: real "
                    "separate executor JVMs, crawlspark shipped via "
                    "spark.submit.pyFiles)",
         "pair": "N -> 4N executor pairs of identical shape: (1,4) headline, (2,8) second scale point",
+        "headline": headline,
         "pairs": pairs,
         "superseded_cold_protocol": superseded,
     }
