@@ -74,9 +74,14 @@ def shingle_index(documents: DataFrame, k: int = 3, max_df: int | None = None) -
     shingles occurring in more than ``max_df`` docs carry no near-dup
     signal but quadratic join cost — drop them (C4-style boilerplate
     guard). Distinct per (doc, shingle)."""
-    idx = (
-        documents.select("doc_id", F.explode(shingles_col(F.col("text"), k)).alias("shingle"))
-        .distinct()
+    # per-(doc, shingle) distinct is computed INSIDE each row's shingle
+    # array (array_distinct) before the explode: doc_id is the table's
+    # primary key, so within-doc dedup IS the full distinct — saving a
+    # corpus-wide shuffle+aggregate of the exploded index (the largest
+    # relation in every consumer's plan)
+    idx = documents.select(
+        "doc_id",
+        F.explode(F.array_distinct(shingles_col(F.col("text"), k))).alias("shingle"),
     )
     if max_df is not None:
         hot = (
@@ -195,9 +200,13 @@ def minhash_signatures(documents: DataFrame, n_hashes: int = 32, k: int = 3) -> 
     not rows)."""
     params = minhash_params(n_hashes)
     x = _shingle_hash_col(F.col("shingle"))
+    # within-doc array_distinct == full (doc, shingle) distinct (doc_id is
+    # the PK) — min() is dup-insensitive anyway, but the pre-explode dedup
+    # also shrinks the exploded relation with zero shuffle
     exploded = documents.select(
-        "doc_id", F.explode(shingles_col(F.col("text"), k)).alias("shingle")
-    ).distinct().withColumn("x", x)
+        "doc_id",
+        F.explode(F.array_distinct(shingles_col(F.col("text"), k))).alias("shingle"),
+    ).withColumn("x", x)
     aggs = [
         F.min((F.col("x") * F.lit(a) + F.lit(b)) % F.lit(_P)).alias(f"h{i}")
         for i, (a, b) in enumerate(params)
