@@ -579,6 +579,46 @@ def t18_repetition_signals(spark, sf_dir):
     return tx.repetition_signals(d, line_delimiter=r"\. ")
 
 
+def t19_line_dedup(spark, sf_dir):
+    """C4-style global keep-first line dedup WITH document reconstruction
+    (Raffel et al. 2020 §2.2) — the producing half of dedup: t16 reports
+    duplicate groups, this emits the cleaned corpus. Token granularity for
+    the gate (delimiter ' ', min_chars 4 — same reasoning as t16: the
+    synthetic docs only have cross-doc duplicates at token granularity);
+    newline units in production. Keep-first winner is a
+    partial-aggregatable min(struct(doc_id, pos)) per line hash — no
+    skewed row_number window over the exploded relation."""
+    d = _t(spark, sf_dir, "documents")
+    return tx.line_dedup_corpus(d, min_chars=4, delimiter=" ", joiner=" ")
+
+
+def t20_stratified_sample(spark, sf_dir):
+    """Deterministic domain-mixture subsampling (the per-source
+    up/down-weighting pass of corpus assembly): keep iff the md5-derived
+    uniform u(doc_id) < rate(source). Pure filter — zero shuffles — with
+    an engine-independent coin so reruns/resumes keep identical samples;
+    the oracle recomputes u from md5 hex digits in pure SQL."""
+    d = _t(spark, sf_dir, "documents")
+    kept = tx.stratified_sample(
+        d, {"src0": 0.5, "src1": 0.25}, default_rate=0.1
+    )
+    return kept.groupBy("source").agg(
+        F.count("*").alias("n_kept"),
+        F.min("doc_id").alias("min_kept_doc"),
+        F.max("doc_id").alias("max_kept_doc"),
+    )
+
+
+def t21_quality_deciles(spark, sf_dir):
+    """Exact per-language quality deciles via a bounded-cardinality
+    histogram (score rounds to 4 decimals -> <=10^4 distinct per lang):
+    hash-agg the histogram, run the cumulative window over the TINY
+    aggregated table, never a per-language global sort of raw docs (the
+    skew scale-killer ntile() would be on a web corpus)."""
+    d = _t(spark, sf_dir, "documents")
+    return tx.quality_deciles(d)
+
+
 def t10_label_centroid_sim(spark, sf_dir):
     """Per-label mean cosine vs label-0 centroid — aggregate over vector
     column via element-wise avg (posexplode-free: aggregate on arrays)."""
@@ -639,6 +679,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "t16_paragraph_dedup": t16_paragraph_dedup,
     "t17_contamination": t17_contamination,
     "t18_repetition_signals": t18_repetition_signals,
+    "t19_line_dedup": t19_line_dedup,
+    "t20_stratified_sample": t20_stratified_sample,
+    "t21_quality_deciles": t21_quality_deciles,
 }
 
 # ---------------------------------------------------------------------------
@@ -1190,6 +1233,71 @@ ORACLES["t18_repetition_signals"] = """
            t.top_2gram_char_frac,
            (l.dup_line_frac > 0.3 OR t.top_2gram_char_frac > 0.2) AS flagged
     FROM line_sig l JOIN top t USING (doc_id)
+"""
+
+ORACLES["t19_line_dedup"] = """
+    WITH toks AS (
+        SELECT doc_id, string_split(text, ' ') AS ts FROM documents
+    ), lines AS (
+        SELECT doc_id, i AS pos, ts[i] AS line,
+               len(trim(ts[i])) >= 4 AS eligible
+        FROM toks, unnest(range(1, len(ts) + 1)) AS t(i)
+    ), marked AS (
+        SELECT *, row_number() OVER (PARTITION BY line ORDER BY doc_id, pos) AS rn
+        FROM lines
+    ), kept AS (
+        SELECT *, ((NOT eligible) OR rn = 1) AS keep FROM marked
+    )
+    SELECT doc_id,
+           coalesce(string_agg(line, ' ' ORDER BY pos) FILTER (WHERE keep), '')
+               AS text_deduped,
+           count(*) FILTER (WHERE keep) AS n_lines_kept,
+           count(*) FILTER (WHERE NOT keep) AS n_lines_dropped
+    FROM kept GROUP BY doc_id
+"""
+
+ORACLES["t20_stratified_sample"] = """
+    WITH hx AS (
+        SELECT doc_id, source,
+               md5('mix:' || CAST(doc_id AS VARCHAR)) AS h
+        FROM documents
+    ), u AS (
+        SELECT doc_id, source,
+               (4096.0 * (strpos('0123456789abcdef', substr(h, 1, 1)) - 1)
+                + 256.0 * (strpos('0123456789abcdef', substr(h, 2, 1)) - 1)
+                + 16.0 * (strpos('0123456789abcdef', substr(h, 3, 1)) - 1)
+                + (strpos('0123456789abcdef', substr(h, 4, 1)) - 1)) / 65536.0
+                   AS uu
+        FROM hx
+    )
+    SELECT source, count(*) AS n_kept,
+           min(doc_id) AS min_kept_doc, max(doc_id) AS max_kept_doc
+    FROM u
+    WHERE uu < CASE source WHEN 'src0' THEN 0.5
+                           WHEN 'src1' THEN 0.25 ELSE 0.1 END
+    GROUP BY source
+"""
+
+ORACLES["t21_quality_deciles"] = """
+    WITH q AS (
+        SELECT lang,
+               round(least(CAST(len(string_split(text, ' ')) AS double) / 100.0, 1.0) * 0.6
+                     + (1.0 - least(CAST(length(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS double)
+                                    / length(text) * 10.0, 1.0)) * 0.4, 4) AS q
+        FROM documents
+    ), hist AS (
+        SELECT lang, q, count(*) AS cnt FROM q GROUP BY 1, 2
+    ), cum AS (
+        SELECT lang, q, cnt,
+               CAST(least(ceil(10.0 * sum(cnt) OVER (PARTITION BY lang ORDER BY q
+                                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                               / sum(cnt) OVER (PARTITION BY lang)), 10) AS INTEGER)
+                   AS decile
+        FROM hist
+    )
+    SELECT lang, decile, CAST(sum(cnt) AS BIGINT) AS n_docs,
+           min(q) AS min_score, max(q) AS max_score
+    FROM cum GROUP BY lang, decile
 """
 
 ORACLES = {k: v for k, v in ORACLES.items() if v is not None}

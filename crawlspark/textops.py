@@ -331,3 +331,154 @@ def repetition_signals(
             | (F.col("top_2gram_char_frac") > max_top_2gram_frac)
         ).alias("flagged"),
     )
+
+
+# -- C4-style global line dedup with keep-first reconstruction (round 4) -------
+
+
+def line_dedup_corpus(
+    documents: DataFrame,
+    min_chars: int = 40,
+    delimiter: str = "\n",
+    joiner: str | None = None,
+) -> DataFrame:
+    """The C4 cleaning transformation (Raffel et al. 2020 §2.2): when a
+    line occurs more than once in the ENTIRE corpus, keep only its first
+    occurrence (ordered by doc_id, then position) and rebuild every
+    document from its surviving lines in original order. This is the
+    *producing* half of dedup — t16/paragraph_dedup_groups reports the
+    duplicate groups; this emits the cleaned corpus.
+
+    Scale shape (the part that matters at 100 TB): the "first
+    occurrence" winner per line is an argmin, computed as a
+    partial-aggregatable ``min(struct(doc_id, pos))`` hash-agg keyed by
+    line hash — map-side combine collapses a boilerplate line's 10^9
+    occurrences to one candidate per map task, so there is NO skewed
+    row_number window over the raw exploded relation (the naive shape
+    puts every occurrence of "click here to subscribe" in one reducer).
+    The join back is equi on line_hash with a 1-row-per-key build side
+    (AQE skew-split handles hot probe keys), then one hash-agg per doc
+    reconstructs the text. Lines shorter than ``min_chars`` (after trim)
+    are exempt and always kept — eligibility is a pure function of the
+    line string, so all occurrences of a line agree on it.
+
+    ``delimiter`` is a Java regex for the split; ``joiner`` (default:
+    the delimiter verbatim) is the literal used to stitch kept lines.
+
+    Output: (doc_id, text_deduped, n_lines_kept, n_lines_dropped)."""
+    joiner = delimiter if joiner is None else joiner
+    lines = documents.select(
+        "doc_id",
+        F.posexplode(F.split(F.col("text"), delimiter)).alias("pos", "line"),
+    ).withColumn("eligible", F.length(F.trim(F.col("line"))) >= min_chars)
+    hashed = lines.withColumn("line_hash", F.md5(F.col("line")))
+    firsts = (
+        hashed.filter(F.col("eligible"))
+        .groupBy("line_hash")
+        .agg(F.min(F.struct("doc_id", "pos")).alias("first"))
+    )
+    keep = (~F.col("eligible")) | (
+        (F.col("doc_id") == F.col("first.doc_id"))
+        & (F.col("pos") == F.col("first.pos"))
+    )
+    kept = hashed.join(firsts, "line_hash", "left").withColumn("keep", keep)
+    return kept.groupBy("doc_id").agg(
+        F.concat_ws(
+            joiner,
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.when(F.col("keep"), F.struct("pos", "line"))
+                    )
+                ),
+                lambda s: s["line"],
+            ),
+        ).alias("text_deduped"),
+        F.sum(F.when(F.col("keep"), 1).otherwise(0)).alias("n_lines_kept"),
+        F.sum(F.when(F.col("keep"), 0).otherwise(1)).alias("n_lines_dropped"),
+    )
+
+
+# -- deterministic domain-mixture sampling (round 4) ---------------------------
+
+
+def sample_fraction_col(key: Column, salt: str = "mix") -> Column:
+    """Deterministic per-row uniform in [0, 1): the first 4 hex digits of
+    md5(salt ':' key) scaled by 2^-16. Engine-independent (exact DuckDB
+    twin via hex-digit arithmetic), so a mixture decision is reproducible
+    across reruns, resumes, and implementations — the property a
+    training-data sampler must have (re-running the pipeline must not
+    re-roll the dice)."""
+    hx = F.md5(F.concat(F.lit(salt + ":"), key.cast("string")))
+    return F.conv(F.substring(hx, 1, 4), 16, 10).cast("double") / F.lit(65536.0)
+
+
+def stratified_sample(
+    documents: DataFrame,
+    rates: dict[str, float],
+    stratum_col: str = "source",
+    key_col: str = "doc_id",
+    default_rate: float = 1.0,
+    salt: str = "mix",
+) -> DataFrame:
+    """Domain-mixture subsampling (the per-source up/down-weighting pass
+    of C4/Pile/RefinedWeb-style corpus assembly): keep a row iff its
+    deterministic uniform u(key) < rate(stratum). The rates map is a
+    human-authored mixture config — always tiny — compiled into a literal
+    CASE expression, so the whole operator is a stateless projection +
+    filter: zero shuffles, embarrassingly parallel, fully pushed into the
+    scan stage at any corpus size."""
+    rate: Column = F.lit(float(default_rate))
+    expr = None
+    for s, r in rates.items():
+        cond = F.col(stratum_col) == F.lit(s)
+        expr = F.when(cond, F.lit(float(r))) if expr is None else expr.when(cond, F.lit(float(r)))
+    if expr is not None:
+        rate = expr.otherwise(rate)
+    u = sample_fraction_col(F.col(key_col), salt)
+    return documents.withColumn("_u", u).filter(F.col("_u") < rate).drop("_u")
+
+
+# -- exact quality deciles via bounded-cardinality histogram (round 4) ---------
+
+
+def quality_deciles(documents: DataFrame, n_buckets: int = 10) -> DataFrame:
+    """Per-language quality-score decile table (the 'keep the top X% by
+    quality' stage of DCLM/FineWeb-style filtering), computed EXACTLY but
+    scale-safely. The naive shape — ntile() over (partition by lang order
+    by score) — is a per-language global sort: on a web corpus where one
+    language holds 80% of documents that is a single-reducer scale-killer.
+    Instead: quality_score is rounded to 4 decimals, so the (lang, score)
+    histogram is bounded at ~10^4 rows per language regardless of corpus
+    size. One partial-aggregatable hash-agg builds it; the cumulative
+    window then runs over the TINY histogram, and the decile of a score is
+    ceil(n_buckets * cdf) (ties share a decile — a score value never
+    straddles a filter boundary, the semantics a threshold filter wants).
+
+    Output: (lang, decile, n_docs, min_score, max_score)."""
+    scored = documents.select(
+        "lang", quality_score(F.col("text")).alias("q")
+    )
+    hist = scored.groupBy("lang", "q").agg(F.count("*").alias("cnt"))
+    w = (
+        Window.partitionBy("lang")
+        .orderBy("q")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    tot = Window.partitionBy("lang")
+    with_decile = hist.withColumn(
+        "decile",
+        F.least(
+            F.ceil(
+                F.lit(n_buckets)
+                * F.sum("cnt").over(w)
+                / F.sum("cnt").over(tot)
+            ),
+            F.lit(n_buckets),
+        ).cast("int"),
+    )
+    return with_decile.groupBy("lang", "decile").agg(
+        F.sum("cnt").alias("n_docs"),
+        F.min("q").alias("min_score"),
+        F.max("q").alias("max_score"),
+    )

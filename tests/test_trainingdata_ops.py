@@ -322,3 +322,61 @@ def test_ivf_sampled_training_still_recalls(spark):
                for r in similarity.ivf_topk(emb, query_ids=qids, k=5, nlist=8,
                                             nprobe=4, train_fraction=0.5).collect()}
     assert len(exact & sampled) / len(exact) >= 0.4
+
+
+def test_line_dedup_corpus_keep_first_and_reconstruct(spark):
+    # C4 semantics: 'duplicated line here' appears in docs 0, 1, 2 —
+    # only its FIRST occurrence (doc 0, pos 1) survives; short lines
+    # ("ok", below min_chars) are exempt and always kept; surviving
+    # lines stitch back in original order.
+    rows = [
+        (0, "alpha beta gamma\nduplicated line here\nok"),
+        (1, "duplicated line here\nunique to doc one!"),
+        (2, "ok\nduplicated line here\nalpha beta gamma"),
+    ]
+    d = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {
+        r["doc_id"]: r
+        for r in textops.line_dedup_corpus(d, min_chars=5, delimiter="\n").collect()
+    }
+    assert out[0]["text_deduped"] == "alpha beta gamma\nduplicated line here\nok"
+    assert out[0]["n_lines_dropped"] == 0
+    assert out[1]["text_deduped"] == "unique to doc one!"
+    assert out[1]["n_lines_dropped"] == 1
+    # doc 2 loses both long lines (doc 0 owns the firsts), keeps "ok"
+    assert out[2]["text_deduped"] == "ok"
+    assert out[2]["n_lines_kept"] == 1 and out[2]["n_lines_dropped"] == 2
+
+
+def test_stratified_sample_deterministic_and_rate_shaped(spark):
+    rows = [(i, "t", "hot" if i % 2 == 0 else "cold") for i in range(2000)]
+    d = spark.createDataFrame(rows, ["doc_id", "text", "source"])
+    rates = {"hot": 0.25, "cold": 1.0}
+    a = sorted(r["doc_id"] for r in textops.stratified_sample(d, rates).collect())
+    b = sorted(r["doc_id"] for r in textops.stratified_sample(d, rates).collect())
+    assert a == b, "sampler must be a deterministic function of (key, salt)"
+    kept_hot = sum(1 for i in a if i % 2 == 0)
+    kept_cold = sum(1 for i in a if i % 2 == 1)
+    assert kept_cold == 1000, "rate 1.0 keeps everything"
+    assert 150 <= kept_hot <= 350, f"rate 0.25 of 1000 ~ 250, got {kept_hot}"
+    # a different salt re-rolls the coin
+    c = sorted(
+        r["doc_id"]
+        for r in textops.stratified_sample(d, rates, salt="other").collect()
+    )
+    assert c != a
+
+
+def test_quality_deciles_partition_and_order(spark):
+    rows = [(i, "word " * (i + 1), "en") for i in range(100)]
+    d = spark.createDataFrame(rows, ["doc_id", "text", "lang"])
+    out = sorted(
+        (r["decile"], r["n_docs"], r["min_score"], r["max_score"])
+        for r in textops.quality_deciles(d).collect()
+    )
+    # deciles tile the corpus: counts sum to 100, score ranges are
+    # non-overlapping and ascending with the decile number
+    assert sum(n for _, n, _, _ in out) == 100
+    assert [dec for dec, _, _, _ in out] == sorted({dec for dec, _, _, _ in out})
+    for (_, _, _, hi), (_, _, lo, _) in zip(out, out[1:]):
+        assert hi <= lo, "decile score ranges must not overlap"
