@@ -630,6 +630,40 @@ def t10_label_centroid_sim(spark, sf_dir):
     )
 
 
+def t22_window_dup_stats(spark, sf_dir):
+    """ExactSubstr-style duplicated-span audit (Lee et al. 2022) at
+    8-token-window granularity: per doc, how many of its token windows
+    also appear in another document. Two hash-aggs + one equi-join on
+    the window hash — the shuffle-engine shape of the suffix-array pass
+    (suffix arrays don't shard; hash-aggregations do). 45/47 docs
+    trigger at sf0.001/sf0.01, so the gate verifies real span overlap
+    arithmetic, not empty-vs-empty."""
+    d = _t(spark, sf_dir, "documents")
+    return tx.window_dup_stats(d, w=8)
+
+
+def t23_semdedup(spark, sf_dir):
+    """SemDeDup removal list (Abbas et al. 2023), deterministic
+    lowest-id-wins variant: within a sign-LSH bucket, a doc is removed
+    iff a lower-id doc sits within cosine >= 0.4 (threshold calibrated
+    like t09 — the synthetic corpus's max bucketed cosine is ~0.51).
+    Inherits the bucketed pair join (never corpus x corpus), then one
+    hash-agg keyed by the removed id."""
+    e = _t(spark, sf_dir, "embeddings")
+    return sim.semdedup_removals(e, threshold=0.4)
+
+
+def t24_df_vocabulary(spark, sf_dir):
+    """Per-language document-frequency vocabulary with IDF: top-20 terms
+    per lang ranked by the integer df (term-asc ties), the stopword
+    induction / TF-IDF feeder table. Within-doc distinct happens inside
+    the row (array_distinct before explode — no corpus-wide shuffle);
+    the rank window runs over the aggregated vocabulary, never raw
+    docs."""
+    d = _t(spark, sf_dir, "documents")
+    return tx.df_vocabulary(d, top_k=20)
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_filter_project": q02_filter_project,
@@ -682,6 +716,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "t19_line_dedup": t19_line_dedup,
     "t20_stratified_sample": t20_stratified_sample,
     "t21_quality_deciles": t21_quality_deciles,
+    "t22_window_dup_stats": t22_window_dup_stats,
+    "t23_semdedup": t23_semdedup,
+    "t24_df_vocabulary": t24_df_vocabulary,
 }
 
 # ---------------------------------------------------------------------------
@@ -1298,6 +1335,73 @@ ORACLES["t21_quality_deciles"] = """
     SELECT lang, decile, CAST(sum(cnt) AS BIGINT) AS n_docs,
            min(q) AS min_score, max(q) AS max_score
     FROM cum GROUP BY lang, decile
+"""
+
+ORACLES["t22_window_dup_stats"] = """
+    WITH toks AS (
+        SELECT doc_id, string_split(text, ' ') AS ts FROM documents
+    ), wins AS (
+        SELECT doc_id,
+               CASE WHEN len(ts) >= 8 THEN array_to_string(ts[i:i+7], ' ')
+                    ELSE array_to_string(ts, ' ') END AS win
+        FROM toks, unnest(range(1, greatest(len(ts) - 7, 1) + 1)) AS t(i)
+    ), hx AS (
+        SELECT doc_id, md5(win) AS win_hash, count(*) AS hits
+        FROM wins GROUP BY 1, 2
+    ), dfc AS (
+        SELECT win_hash, count(*) AS n_docs FROM hx GROUP BY 1
+    )
+    SELECT doc_id,
+           CAST(sum(hits) AS BIGINT) AS n_windows,
+           CAST(sum(CASE WHEN n_docs >= 2 THEN hits ELSE 0 END) AS BIGINT)
+               AS n_dup_windows,
+           round(sum(CASE WHEN n_docs >= 2 THEN hits ELSE 0 END)::DOUBLE
+                 / sum(hits), 6) AS dup_fraction
+    FROM hx JOIN dfc USING (win_hash)
+    GROUP BY doc_id
+    HAVING n_dup_windows > 0
+"""
+
+ORACLES["t23_semdedup"] = """
+    WITH wb AS (
+        SELECT vec_id, embedding,
+               concat(CASE WHEN embedding[1] >= 0 THEN '1' ELSE '0' END,
+                      CASE WHEN embedding[2] >= 0 THEN '1' ELSE '0' END,
+                      CASE WHEN embedding[3] >= 0 THEN '1' ELSE '0' END,
+                      CASE WHEN embedding[4] >= 0 THEN '1' ELSE '0' END) AS bucket
+        FROM embeddings
+    ), pairs AS (
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+               round(list_cosine_similarity(a.embedding::DOUBLE[],
+                                            b.embedding::DOUBLE[]), 6) AS cosine
+        FROM wb a JOIN wb b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+        WHERE round(list_cosine_similarity(a.embedding::DOUBLE[],
+                                           b.embedding::DOUBLE[]), 6) >= 0.4
+    )
+    SELECT id_b AS doc_id, min(id_a) AS kept_witness,
+           max(cosine) AS max_cosine, CAST(count(*) AS BIGINT) AS n_neighbors
+    FROM pairs GROUP BY 1
+"""
+
+ORACLES["t24_df_vocabulary"] = """
+    WITH tk AS (
+        SELECT DISTINCT lang, doc_id, t AS term
+        FROM documents, unnest(string_split(text, ' ')) AS u(t)
+        WHERE t <> ''
+    ), dfc AS (
+        SELECT lang, term, count(*) AS df FROM tk GROUP BY 1, 2
+    ), ranked AS (
+        SELECT lang, term, df,
+               CAST(row_number() OVER (PARTITION BY lang
+                                       ORDER BY df DESC, term ASC) AS int) AS rank
+        FROM dfc
+    ), nd AS (
+        SELECT lang, count(*) AS n_docs FROM documents GROUP BY 1
+    )
+    SELECT lang, term, df, n_docs,
+           round(ln(n_docs::DOUBLE / df), 6) AS idf, rank
+    FROM ranked JOIN nd USING (lang)
+    WHERE rank <= 20
 """
 
 ORACLES = {k: v for k, v in ORACLES.items() if v is not None}

@@ -235,3 +235,35 @@ def embedding_near_dup(
         )
         .filter(F.col("cosine") >= threshold)
     )
+
+
+def semdedup_removals(
+    embeddings: DataFrame,
+    threshold: float = 0.4,
+    planes: list[int] | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Semantic deduplication removal list (SemDeDup, Abbas et al. 2023:
+    cluster embeddings, drop all-but-one of each within-cluster
+    near-duplicate set). Deterministic lowest-id-wins variant: within a
+    sign-LSH bucket, a document is removed iff a LOWER-id document in
+    the same bucket has cosine >= threshold to it. The rule is a pure
+    function of the pair relation — no greedy sequential scan — so the
+    removal set is reproducible across engines, reruns, and partition
+    layouts (the property a corpus release needs), and on clique-shaped
+    duplicate sets it keeps exactly one representative like the paper's
+    per-cluster pass.
+
+    Scale shape: inherits embedding_near_dup's bucketed pair join (never
+    corpus x corpus — pairs only form inside an LSH bucket), then one
+    hash-agg keyed by the removed id.
+
+    Output: (doc_id, kept_witness, max_cosine, n_neighbors) — one row
+    per REMOVED document; keep-set = corpus minus these ids."""
+    pairs = embedding_near_dup(embeddings, threshold, planes, id_col, vec_col)
+    return pairs.groupBy(F.col("id_b").alias("doc_id")).agg(
+        F.min("id_a").alias("kept_witness"),
+        F.max("cosine").alias("max_cosine"),
+        F.count("*").alias("n_neighbors"),
+    )

@@ -482,3 +482,100 @@ def quality_deciles(documents: DataFrame, n_buckets: int = 10) -> DataFrame:
         F.min("q").alias("min_score"),
         F.max("q").alias("max_score"),
     )
+
+
+# -- ExactSubstr-style duplicated-span audit (round 4) --------------------------
+
+
+def window_dup_stats(documents: DataFrame, w: int = 8) -> DataFrame:
+    """Per-document duplicated-span audit at fixed token-window
+    granularity — the shuffle-engine re-expression of the ExactSubstr
+    pass from Lee et al. 2022 ("Deduplicating Training Data Makes
+    Language Models Better"): their suffix array finds substrings shared
+    across documents; a fixed width-``w`` token-window scan finds the
+    same cross-doc repeated spans as an equi-join-able key, which is the
+    shape a 100 TB corpus can actually run (suffix arrays don't shard;
+    hash-aggregations do).
+
+    Scale shape: one explode (w windows per doc token, linear), one
+    hash-agg to per-(doc, window) counts — map-side combine collapses
+    within-doc repeats — one hash-agg for cross-doc df over the already
+    doc-distinct relation, and one equi-join back on the window hash
+    whose build side is exactly 1 row per key (AQE skew-split absorbs
+    boilerplate windows that appear in 10^8 docs). No posting lists, no
+    row_number windows, nothing quadratic.
+
+    Output: (doc_id, n_windows, n_dup_windows, dup_fraction) for docs
+    containing at least one window that also appears in another doc."""
+    wins = documents.select(
+        "doc_id", F.explode(shingles_col(F.col("text"), w)).alias("win")
+    )
+    hits = wins.groupBy(
+        "doc_id", F.md5(F.col("win")).alias("win_hash")
+    ).agg(F.count("*").alias("hits"))
+    dfc = hits.groupBy("win_hash").agg(F.count("*").alias("n_docs"))
+    dup_hits = F.sum(
+        F.when(F.col("n_docs") >= 2, F.col("hits")).otherwise(F.lit(0))
+    )
+    return (
+        hits.join(dfc, "win_hash")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("hits").alias("n_windows"),
+            dup_hits.alias("n_dup_windows"),
+        )
+        .withColumn(
+            "dup_fraction",
+            F.round(F.col("n_dup_windows") / F.col("n_windows"), 6),
+        )
+        .filter(F.col("n_dup_windows") > 0)
+    )
+
+
+# -- document-frequency vocabulary / IDF table (round 4) ------------------------
+
+
+def df_vocabulary(
+    documents: DataFrame, top_k: int = 20, stratum_col: str = "lang"
+) -> DataFrame:
+    """Per-language document-frequency vocabulary: the top-``top_k``
+    terms per stratum by document frequency, with their IDF — the table
+    a corpus pipeline derives to induce stopword lists, audit
+    boilerplate vocabulary, and feed TF-IDF scoring. Ranking is by the
+    integer df (ties broken by term), so the order is exactly
+    reproducible across engines; the float IDF is carried but never
+    ranked on.
+
+    Scale shape: within-doc distinct is computed inside the row
+    (array_distinct before the explode — doc_id is the PK, so this IS
+    the full per-(doc, term) distinct, no corpus-wide shuffle), then one
+    hash-agg to (stratum, term) df. The rank window runs over the
+    aggregated vocabulary (bounded by distinct terms, not docs), and the
+    per-stratum doc totals join is a #strata-row aggregate AQE
+    broadcasts on its own.
+
+    Output: (lang, term, df, n_docs, idf, rank), rank <= top_k."""
+    toks = documents.select(
+        F.col(stratum_col),
+        F.explode(
+            F.array_distinct(
+                F.filter(tokens_col(F.col("text")), lambda t: t != "")
+            )
+        ).alias("term"),
+    )
+    dfc = toks.groupBy(stratum_col, "term").agg(F.count("*").alias("df"))
+    totals = documents.groupBy(stratum_col).agg(F.count("*").alias("n_docs"))
+    w = Window.partitionBy(stratum_col).orderBy(F.desc("df"), F.asc("term"))
+    return (
+        dfc.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= top_k)
+        .join(totals, stratum_col)
+        .select(
+            stratum_col,
+            "term",
+            "df",
+            "n_docs",
+            F.round(F.log(F.col("n_docs") / F.col("df")), 6).alias("idf"),
+            "rank",
+        )
+    )

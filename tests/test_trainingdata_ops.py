@@ -380,3 +380,71 @@ def test_quality_deciles_partition_and_order(spark):
     assert [dec for dec, _, _, _ in out] == sorted({dec for dec, _, _, _ in out})
     for (_, _, _, hi), (_, _, lo, _) in zip(out, out[1:]):
         assert hi <= lo, "decile score ranges must not overlap"
+
+
+def test_window_dup_stats_hand_computed(spark):
+    # doc 0 and 1 share their full 3-token window; doc 2 repeats a window
+    # WITHIN itself only (within-doc repeats are not cross-doc dups);
+    # doc 3 shares nothing.
+    rows = [
+        (0, "a b c"),
+        (1, "a b c"),
+        (2, "x y z x y z x y"),  # windows: 'x y z','y z x','z x y','x y z','y z x','z x y'... none cross-doc
+        (3, "p q r s"),
+    ]
+    d = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r["doc_id"]: r for r in textops.window_dup_stats(d, w=3).collect()}
+    assert set(out) == {0, 1}, "only the cross-doc shared window triggers"
+    for i in (0, 1):
+        assert out[i]["n_windows"] == 1
+        assert out[i]["n_dup_windows"] == 1
+        assert out[i]["dup_fraction"] == 1.0
+
+
+def test_window_dup_stats_counts_every_position(spark):
+    # the shared window 'a b c' occurs twice in doc 0 (positions 0 and 3)
+    # and once in doc 1: every POSITION counts toward n_dup_windows
+    rows = [(0, "a b c a b c"), (1, "a b c z")]
+    d = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r["doc_id"]: r for r in textops.window_dup_stats(d, w=3).collect()}
+    assert out[0]["n_windows"] == 4  # 'a b c','b c a','c a b','a b c'
+    assert out[0]["n_dup_windows"] == 2
+    assert out[1]["n_dup_windows"] == 1
+    assert out[1]["n_windows"] == 2
+
+
+def test_semdedup_lowest_id_wins(spark):
+    # three near-identical vectors (same LSH bucket, cosine ~1) plus one
+    # orthogonal-ish vector: 0 is kept, 1 and 2 are removed with 0 as
+    # the witness; 3 survives.
+    rows = [
+        (0, [1.0, 1.0, 0.0, 0.0]),
+        (1, [1.0, 0.99, 0.0, 0.0]),
+        (2, [0.99, 1.0, 0.0, 0.0]),
+        (3, [1.0, -1.0, 0.5, -0.5]),
+    ]
+    e = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    out = {r["doc_id"]: r for r in
+           similarity.semdedup_removals(e, threshold=0.9).collect()}
+    assert set(out) == {1, 2}
+    assert out[1]["kept_witness"] == 0 and out[2]["kept_witness"] == 0
+    assert out[1]["n_neighbors"] == 1  # only 0 precedes 1
+    assert out[2]["n_neighbors"] == 2  # both 0 and 1 precede 2
+
+
+def test_df_vocabulary_rank_and_idf(spark):
+    rows = [
+        (0, "the cat sat", "en"),
+        (1, "the dog sat sat", "en"),   # within-doc repeat counts once
+        (2, "the fish", "en"),
+        (3, "le chat", "fr"),
+    ]
+    d = spark.createDataFrame(rows, ["doc_id", "text", "lang"])
+    out = textops.df_vocabulary(d, top_k=2).collect()
+    en = sorted((r["rank"], r["term"], r["df"]) for r in out if r["lang"] == "en")
+    # 'the' df=3 rank 1; 'sat' df=2 rank 2 (dog/cat/fish df=1 lose)
+    assert en == [(1, "the", 3), (2, "sat", 2)]
+    the = next(r for r in out if r["lang"] == "en" and r["term"] == "the")
+    assert the["n_docs"] == 3 and the["idf"] == 0.0  # ln(3/3)
+    fr = [r["term"] for r in out if r["lang"] == "fr"]
+    assert sorted(fr) == ["chat", "le"], "strata rank independently"
