@@ -413,6 +413,35 @@ def test_window_dup_stats_counts_every_position(spark):
     assert out[1]["n_windows"] == 2
 
 
+def test_window_dup_totals_arithmetic_mirrors_shingles_col(spark):
+    # window_dup_stats computes n_windows row-locally (token count
+    # arithmetic, no explode); this pins that arithmetic to
+    # size(shingles_col(...)) — the relation the dup counts are
+    # aggregated from — including the short-text and empty-text CASEs.
+    rows = [
+        (0, "a b c d e f g h i j"),  # 10 tokens, w=8 -> 3 windows
+        (1, "a b c d e f g h"),      # exactly w -> 1
+        (2, "a b"),                  # shorter than w -> 1 (whole text)
+        (3, ""),                     # empty -> 1 ('' window)
+        (4, "x " * 500 + "x"),       # long doc
+    ]
+    d = spark.createDataFrame(rows, ["doc_id", "text"])
+    for w in (3, 8):
+        toks = F.split(F.col("text"), " ")
+        n_tok = F.size(toks)
+        got = d.select(
+            F.when(n_tok >= w, n_tok - w + 1)
+            .otherwise(F.lit(1))
+            .cast("long")
+            .alias("arith"),
+            F.size(textops.shingles_col(F.col("text"), w))
+            .cast("long")
+            .alias("exploded"),
+        ).collect()
+        for r in got:
+            assert r["arith"] == r["exploded"], (w, r)
+
+
 def test_semdedup_lowest_id_wins(spark):
     # three near-identical vectors (same LSH bucket, cosine ~1) plus one
     # orthogonal-ish vector: 0 is kept, 1 and 2 are removed with 0 as
