@@ -560,3 +560,71 @@ def simhash64_pairs_banded(
         .filter(F.col("hamming") <= max_hamming)
         .select("doc_a", "doc_b", "hamming")
     )
+
+
+def fuzzy_dedup_removals(
+    documents: DataFrame,
+    n_hashes: int = 8,
+    bands: int = 4,
+    k: int = 3,
+    threshold: float = 0.2,
+    max_df: int | None = None,
+) -> DataFrame:
+    """End-to-end fuzzy-dedup REMOVAL LIST — the full production
+    composition (SlimPajama / The Stack shape): MinHash signatures ->
+    banded LSH candidates -> exact-Jaccard verify -> connected
+    components -> drop every non-minimum doc per cluster.
+
+    Output: (removed_doc_id, keep_doc_id) — one row per document the
+    dedup pass deletes, with its cluster's canonical survivor as the
+    witness. Apply with a left_anti join on removed_doc_id.
+
+    Scale: every stage is the bounded shape its standalone operator
+    already proved — signatures are 2 shuffles regardless of n_hashes,
+    candidates are a band equi-join (never corpus**2), verify is costed
+    by |candidates|, and components converge in O(cluster diameter)
+    iterations. The removal projection adds one filter on the label
+    table — no extra shuffle. Reference analog: the dupefilter's
+    "seen -> drop" contract (/root/reference/dupefilter.py) lifted from
+    exact URL fingerprints to near-duplicate document content.
+    """
+    pairs = minhash_lsh_pairs(documents, n_hashes, bands, k, threshold, max_df)
+    labels = dup_clusters(pairs)
+    return labels.filter(F.col("doc_id") != F.col("cluster_id")).select(
+        F.col("doc_id").alias("removed_doc_id"),
+        F.col("cluster_id").alias("keep_doc_id"),
+    )
+
+
+def incremental_exact_dedup(new_docs: DataFrame, seen_fps: DataFrame) -> DataFrame:
+    """Cross-round INCREMENTAL exact dedup: keep only new documents whose
+    content fingerprint is (a) unseen in the accumulated corpus and
+    (b) the minimum doc_id within the new batch for that fingerprint.
+
+    This is the production shape for a continuous crawl feeding a
+    training corpus: each round dedups O(batch) new docs against the
+    history via one anti-join on the fingerprint — never re-deduping the
+    whole corpus. Mirrors the crawl plane's URL seen-set anti-join
+    (crawl.py D1) at document-content granularity.
+
+    ``seen_fps`` needs one column ``fingerprint`` (md5 hex, as produced
+    by textops.doc_fingerprint / exact_dedup). Output: (doc_id,
+    fingerprint) of the kept new documents.
+
+    Scale: in-batch winner is a partial-aggregatable min() (map-side
+    combine collapses duplicate-heavy batches before the shuffle); the
+    anti-join is an equi-join on the fingerprint — AQE broadcasts the
+    batch side when small, sort-merges when not. No corpus-wide shuffle:
+    the seen side would be a bucketed/bloom-indexed table at 10^10 fps
+    (store.py writes exactly that layout for URL fingerprints).
+    """
+    batch = (
+        new_docs.select(
+            doc_fingerprint(F.col("text")).alias("fingerprint"), "doc_id"
+        )
+        .groupBy("fingerprint")
+        .agg(F.min("doc_id").alias("doc_id"))
+    )
+    return batch.join(
+        seen_fps.select("fingerprint"), "fingerprint", "left_anti"
+    ).select("doc_id", "fingerprint")

@@ -664,6 +664,40 @@ def t24_df_vocabulary(spark, sf_dir):
     return tx.df_vocabulary(d, top_k=20)
 
 
+def t25_fuzzy_dedup_removals(spark, sf_dir):
+    """The full fuzzy-dedup REMOVAL LIST (SlimPajama/The-Stack shape):
+    MinHash(8) -> 4-band LSH candidates -> exact-Jaccard verify ->
+    connected components -> drop non-minimum docs. The oracle replays
+    the IDENTICAL probabilistic pipeline in SQL — the same md5-derived
+    universal hashes, the same band equi-join, the same verify and
+    recursive-CTE closure — so the removal set (including LSH's misses)
+    is hash-verified end to end."""
+    d = _t(spark, sf_dir, "documents")
+    return dd.fuzzy_dedup_removals(
+        d, n_hashes=8, bands=4, k=3, threshold=0.2, max_df=100
+    )
+
+
+def t26_token_budget(spark, sf_dir):
+    """Training-token budget card: per-language doc/token totals, corpus
+    share, cumulative share largest-first — the data-mixture table a
+    training run publishes. One hash-agg shuffle collapses the corpus to
+    |langs| rows; every window runs over that tiny aggregate."""
+    d = _t(spark, sf_dir, "documents")
+    return tx.token_budget(d, by="lang")
+
+
+def t27_incremental_dedup(spark, sf_dir):
+    """Cross-round incremental exact dedup: the 'new batch' (doc_id % 3
+    != 0) dedups against the accumulated corpus' fingerprints (doc_id %
+    3 == 0) via one anti-join — the continuous-crawl corpus-feeding
+    shape that never re-dedups history."""
+    d = _t(spark, sf_dir, "documents")
+    new_docs = d.filter(F.col("doc_id") % 3 != 0)
+    seen = dd.exact_dedup(d.filter(F.col("doc_id") % 3 == 0)).select("fingerprint")
+    return dd.incremental_exact_dedup(new_docs, seen)
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_filter_project": q02_filter_project,
@@ -719,6 +753,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "t22_window_dup_stats": t22_window_dup_stats,
     "t23_semdedup": t23_semdedup,
     "t24_df_vocabulary": t24_df_vocabulary,
+    "t25_fuzzy_dedup_removals": t25_fuzzy_dedup_removals,
+    "t26_token_budget": t26_token_budget,
+    "t27_incremental_dedup": t27_incremental_dedup,
 }
 
 # ---------------------------------------------------------------------------
@@ -1402,6 +1439,71 @@ ORACLES["t24_df_vocabulary"] = """
            round(ln(n_docs::DOUBLE / df), 6) AS idf, rank
     FROM ranked JOIN nd USING (lang)
     WHERE rank <= 20
+"""
+
+def _fuzzy_removals_oracle() -> str:
+    """SQL twin of t25: the SAME md5-derived universal hashes
+    (minhash_params(8)), the SAME 4-band x 2-row LSH candidate join, the
+    SAME max_df=100 exact-Jaccard verify, closure, removal projection —
+    so even LSH's probabilistic misses are reproduced exactly."""
+    from .dedup import _P, minhash_params
+
+    params = minhash_params(8)
+    x = "(try_cast('0x' || substr(md5(shingle), 1, 8) AS bigint) % 2147483647)"
+    hcols = ", ".join(
+        f"min(({a} * {x} + {b}) % {_P}) AS h{i}" for i, (a, b) in enumerate(params)
+    )
+    band_joins = " UNION ".join(
+        f"SELECT a.doc_id AS doc_a, b.doc_id AS doc_b FROM sigs a JOIN sigs b "
+        f"ON a.doc_id < b.doc_id AND a.h{2 * bb} = b.h{2 * bb} "
+        f"AND a.h{2 * bb + 1} = b.h{2 * bb + 1}"
+        for bb in range(4)
+    )
+    return (
+        "WITH RECURSIVE "
+        + _SHINGLES.strip().removeprefix("WITH")
+        + f", sigs AS (SELECT doc_id, {hcols} FROM sh GROUP BY doc_id)"
+        + f", cand AS ({band_joins})"
+        + _T04_PAIRS_BODY
+        + _closure_sql(
+            "SELECT j.doc_a, j.doc_b FROM jac j JOIN cand c "
+            "ON j.doc_a = c.doc_a AND j.doc_b = c.doc_b WHERE j.jaccard >= 0.2"
+        )
+        + "SELECT doc_id AS removed_doc_id, cluster_id AS keep_doc_id "
+        "FROM cc_labels WHERE doc_id != cluster_id"
+    )
+
+
+ORACLES["t25_fuzzy_dedup_removals"] = _fuzzy_removals_oracle()
+
+ORACLES["t26_token_budget"] = """
+    WITH per AS (
+        SELECT lang AS stratum, count(*) AS n_docs,
+               CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS total_tokens
+        FROM documents GROUP BY 1
+    ), tot AS (SELECT sum(total_tokens) AS grand FROM per)
+    SELECT stratum, n_docs, total_tokens,
+           round(total_tokens / grand, 6) AS token_share,
+           round(sum(total_tokens) OVER (
+                     ORDER BY total_tokens DESC, stratum ASC
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) / grand,
+                 6) AS cum_share,
+           CAST(row_number() OVER (ORDER BY total_tokens DESC, stratum ASC) AS int)
+               AS rank
+    FROM per, tot
+"""
+
+ORACLES["t27_incremental_dedup"] = r"""
+    WITH newb AS (
+        SELECT md5(lower(regexp_replace(text, '\s+', ' ', 'g'))) AS fingerprint,
+               min(doc_id) AS doc_id
+        FROM documents WHERE doc_id % 3 != 0 GROUP BY 1
+    ), seen AS (
+        SELECT DISTINCT md5(lower(regexp_replace(text, '\s+', ' ', 'g'))) AS fingerprint
+        FROM documents WHERE doc_id % 3 = 0
+    )
+    SELECT doc_id, fingerprint FROM newb
+    WHERE fingerprint NOT IN (SELECT fingerprint FROM seen)
 """
 
 ORACLES = {k: v for k, v in ORACLES.items() if v is not None}

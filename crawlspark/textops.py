@@ -614,3 +614,44 @@ def df_vocabulary(
             "rank",
         )
     )
+
+
+def token_budget(documents: DataFrame, by: str = "lang") -> DataFrame:
+    """Training-token budget card: per stratum (default language), the
+    document count, total token count, its share of the corpus, and the
+    cumulative share walking strata largest-first — the data-mixture
+    table every training run publishes (Llama/GPT-style "X% English,
+    Y% code" cards) and the input to mixture reweighting.
+
+    Scale: one hash-aggregate shuffle over the corpus collapses 10^10
+    docs to |strata| rows (map-side partial sums do the heavy lifting);
+    the share/cumulative windows run over that tiny aggregate — never a
+    global sort of raw documents. Deterministic total order: tokens
+    DESC, stratum ASC.
+    """
+    per = documents.groupBy(F.col(by).alias("stratum")).agg(
+        F.count("*").alias("n_docs"),
+        F.sum(token_count(F.col("text")).cast("long")).alias("total_tokens"),
+    )
+    w_all = Window.partitionBy()
+    w_cum = (
+        Window.partitionBy()
+        .orderBy(F.col("total_tokens").desc(), F.col("stratum").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return per.select(
+        "stratum",
+        "n_docs",
+        "total_tokens",
+        F.round(F.col("total_tokens") / F.sum("total_tokens").over(w_all), 6).alias(
+            "token_share"
+        ),
+        F.round(
+            F.sum("total_tokens").over(w_cum) / F.sum("total_tokens").over(w_all), 6
+        ).alias("cum_share"),
+        F.row_number().over(
+            Window.partitionBy().orderBy(
+                F.col("total_tokens").desc(), F.col("stratum").asc()
+            )
+        ).cast("int").alias("rank"),
+    )

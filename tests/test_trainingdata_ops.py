@@ -477,3 +477,43 @@ def test_df_vocabulary_rank_and_idf(spark):
     assert the["n_docs"] == 3 and the["idf"] == 0.0  # ln(3/3)
     fr = [r["term"] for r in out if r["lang"] == "fr"]
     assert sorted(fr) == ["chat", "le"], "strata rank independently"
+
+
+def test_fuzzy_dedup_removals_drops_non_min(spark, docs):
+    # 0 == 1 exactly (every band collides, jaccard 1.0); 2 is near 0
+    # (jaccard 2/4 = 0.5 on 3-shingles); 3 unrelated. At threshold 0.2
+    # the verified graph is {0-1, 0-2} -> cluster min 0 keeps, 1 and 2 go.
+    out = {
+        r["removed_doc_id"]: r["keep_doc_id"]
+        for r in dedup.fuzzy_dedup_removals(docs, n_hashes=8, bands=4).collect()
+    }
+    assert out == {1: 0, 2: 0}
+
+
+def test_token_budget_shares_and_rank(spark):
+    rows = [
+        (0, "a b c d e f", "en"),   # 6 tokens
+        (1, "g h i j", "en"),       # 4 tokens -> en 10
+        (2, "x y z", "fr"),         # fr 3
+        (3, "u v w", "de"),         # de 3 -> ties break stratum-asc
+    ]
+    d = spark.createDataFrame(rows, ["doc_id", "text", "lang"])
+    out = {r["stratum"]: r for r in textops.token_budget(d).collect()}
+    assert out["en"]["total_tokens"] == 10 and out["en"]["n_docs"] == 2
+    assert out["en"]["rank"] == 1 and out["en"]["token_share"] == 0.625
+    # de before fr on the stratum-asc tiebreak
+    assert out["de"]["rank"] == 2 and out["fr"]["rank"] == 3
+    assert out["de"]["cum_share"] == 0.8125 and out["fr"]["cum_share"] == 1.0
+
+
+def test_incremental_dedup_anti_joins_history(spark):
+    new = spark.createDataFrame(
+        [(10, "already seen"), (11, "fresh text"), (12, "fresh text")],
+        ["doc_id", "text"],
+    )
+    seen = dedup.exact_dedup(
+        spark.createDataFrame([(1, "already seen")], ["doc_id", "text"])
+    ).select("fingerprint")
+    out = dedup.incremental_exact_dedup(new, seen).collect()
+    # 10 is in history; 11/12 collapse in-batch to min doc_id 11
+    assert [r["doc_id"] for r in out] == [11]
