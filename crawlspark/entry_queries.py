@@ -21,6 +21,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from . import dedup as dd
+from . import graph as gr
 from . import similarity as sim
 from . import textops as tx
 
@@ -698,6 +699,17 @@ def t27_incremental_dedup(spark, sf_dir):
     return dd.incremental_exact_dedup(new_docs, seen)
 
 
+def t28_transition_pagerank(spark, sf_dir):
+    """Session transition graph + weighted PageRank (3 fixed iterations,
+    d=0.85) — the OPIC/PageRank frontier-prioritization primitive: edge
+    extraction is one lag window sharded by session, the recurrence is
+    one equi-join + hash-agg per iteration over the aggregated graph.
+    Ranks round to 9 per iteration so the unrolled-SQL oracle carries
+    bit-identical values across iterations."""
+    ev = _t(spark, sf_dir, "events")
+    return gr.pagerank(gr.transition_edges(ev), iters=3, damping=0.85)
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_filter_project": q02_filter_project,
@@ -756,6 +768,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "t25_fuzzy_dedup_removals": t25_fuzzy_dedup_removals,
     "t26_token_budget": t26_token_budget,
     "t27_incremental_dedup": t27_incremental_dedup,
+    "t28_transition_pagerank": t28_transition_pagerank,
 }
 
 # ---------------------------------------------------------------------------
@@ -1505,5 +1518,50 @@ ORACLES["t27_incremental_dedup"] = r"""
     SELECT doc_id, fingerprint FROM newb
     WHERE fingerprint NOT IN (SELECT fingerprint FROM seen)
 """
+
+def _pagerank_oracle(iters: int = 3) -> str:
+    """SQL twin of t28: the identical recurrence unrolled — same DOUBLE
+    op order as graph.pagerank ((1-d)/n teleport, d*sum(rank*share)),
+    same per-iteration round(9), same final round(6)."""
+    one = "CAST(1 AS DOUBLE)"
+    d = "CAST(0.85 AS DOUBLE)"
+    zero = "CAST(0 AS DOUBLE)"
+    parts = [
+        f"""
+    WITH seq AS (
+        SELECT event_type AS src,
+               lead(event_type) OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id) AS dst
+        FROM events
+    ), ed AS (
+        SELECT src, dst, CAST(count(*) AS DOUBLE) AS weight
+        FROM seq WHERE dst IS NOT NULL GROUP BY 1, 2
+    ), nodes AS (
+        SELECT src AS node FROM ed UNION SELECT dst FROM ed
+    ), nn AS (SELECT count(*) AS n FROM nodes),
+    outw AS (SELECT src, sum(weight) AS out_w FROM ed GROUP BY 1),
+    sh AS (SELECT src, dst, weight / out_w AS share
+           FROM ed JOIN outw USING (src)),
+    pr0 AS (SELECT node, {one} / n AS pagerank FROM nodes, nn)
+    """
+    ]
+    for i in range(1, iters + 1):
+        parts.append(
+            f""", c{i} AS (
+        SELECT sh.dst, sum(p.pagerank * sh.share) AS c
+        FROM sh JOIN pr{i - 1} p ON sh.src = p.node GROUP BY 1
+    ), pr{i} AS (
+        SELECT node, round(({one} - {d}) / n + {d} * coalesce(c, {zero}), 9)
+                   AS pagerank
+        FROM nodes CROSS JOIN nn LEFT JOIN c{i} ON c{i}.dst = nodes.node
+    )"""
+        )
+    parts.append(
+        f" SELECT node, round(pagerank, 6) AS pagerank FROM pr{iters}"
+    )
+    return "".join(parts)
+
+
+ORACLES["t28_transition_pagerank"] = _pagerank_oracle(3)
 
 ORACLES = {k: v for k, v in ORACLES.items() if v is not None}

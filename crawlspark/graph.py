@@ -1,0 +1,117 @@
+"""Link/transition-graph operators: edge extraction and weighted PageRank.
+
+Why this lives in a crawler engine: large-scale crawl schedulers
+prioritize the frontier by link centrality (OPIC / PageRank — Abiteboul
+et al. 2003; Page et al. 1999), not just depth. The reference's priority
+queue (/root/reference/queue.py:60-90) scores requests by a caller-set
+priority; this module computes that score FROM the discovered graph, the
+upgrade path SURVEY.md's scheduler plane leaves open.
+
+Scale shape:
+* ``transition_edges`` — one window shuffle partitioned by the session
+  key (lag/lead is the sessionization primitive; 10^10 events shard by
+  user), then a hash-agg that collapses to |node|^2 rows at most.
+* ``pagerank`` — the standard distributed formulation: each iteration is
+  one equi-join (edges x current ranks, shuffled on the join key — at
+  10^10 nodes both sides shard; AQE broadcasts the rank table only while
+  it is provably small) plus one hash-agg. Per-iteration lineage is
+  truncated exactly like dedup.dup_clusters (reliable checkpoint when a
+  checkpoint dir is configured, else localCheckpoint) and the previous
+  iteration's blocks are unpersisted, so 10-iteration runs hold one copy
+  of the rank table, not ten.
+
+Determinism contract (what makes the DuckDB oracle exact): ranks are
+rounded to 9 decimals after every iteration — both engines carry
+identical values across iterations, so float sum-order ulps cannot
+compound — and to 6 on output. Dangling nodes (no out-edges) leak their
+mass by design (no redistribution term); the operator is a priority
+scorer, not a stochastic-matrix solver, and the simpler recurrence is
+reproducible in plain SQL on any engine.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def transition_edges(
+    events: DataFrame,
+    session_col: str = "user_id",
+    order_cols: tuple[str, ...] = ("ts", "event_id"),
+    node_col: str = "event_type",
+) -> DataFrame:
+    """Weighted first-order transition graph from an event log: one edge
+    (src, dst, weight=n_transitions) per ordered pair of consecutive
+    events within a session. The order is made total by the trailing
+    tiebreak columns so replays are byte-identical."""
+    w = Window.partitionBy(session_col).orderBy(*[F.col(c) for c in order_cols])
+    seq = events.withColumn("dst", F.lead(F.col(node_col)).over(w))
+    return (
+        seq.filter(F.col("dst").isNotNull())
+        .groupBy(F.col(node_col).alias("src"), "dst")
+        .agg(F.count("*").cast("double").alias("weight"))
+    )
+
+
+def pagerank(
+    edges: DataFrame,
+    iters: int = 3,
+    damping: float = 0.85,
+) -> DataFrame:
+    """Weighted PageRank over (src, dst, weight) edges, fixed iteration
+    count. Returns (node, pagerank) for every node incident to an edge,
+    pagerank rounded to 6 decimals.
+
+    PR_0(v) = 1/N; PR_{k+1}(v) = (1-d)/N + d * sum_{u->v} PR_k(u) *
+    w(u,v)/out_w(u). See the module docstring for the determinism and
+    dangling-mass contract.
+    """
+    spark = edges.sparkSession
+    nodes = (
+        edges.select(F.col("src").alias("node"))
+        .unionByName(edges.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    # one bounded agg job: N is a scalar the recurrence needs up front
+    n = nodes.count()
+    if n == 0:
+        return nodes.withColumn("pagerank", F.lit(0.0))
+    outw = edges.groupBy("src").agg(F.sum("weight").alias("out_w"))
+    # cached: every iteration's join re-reads the share table; without
+    # the persist each eager checkpoint below would recompute it from the
+    # raw edges (iters x the largest scan in the loop)
+    shares = edges.join(outw, "src").select(
+        "src", "dst", (F.col("weight") / F.col("out_w")).alias("share")
+    ).persist()
+    base = (1.0 - damping) / n
+    pr = nodes.withColumn("pagerank", F.lit(1.0 / n))
+
+    reliable = spark.sparkContext.getCheckpointDir() is not None
+
+    def _ckpt(df: DataFrame) -> DataFrame:
+        return df.checkpoint(eager=True) if reliable else df.localCheckpoint(eager=True)
+
+    prev = None
+    for _ in range(iters):
+        contrib = (
+            shares.join(pr, shares.src == pr.node)
+            .groupBy("dst")
+            .agg(F.sum(F.col("pagerank") * F.col("share")).alias("c"))
+        )
+        nxt = (
+            nodes.join(contrib, nodes.node == contrib.dst, "left")
+            .select(
+                "node",
+                F.round(
+                    F.lit(base) + F.lit(damping) * F.coalesce(F.col("c"), F.lit(0.0)),
+                    9,
+                ).alias("pagerank"),
+            )
+        )
+        nxt = _ckpt(nxt)
+        if prev is not None and not reliable:
+            prev.unpersist()
+        prev, pr = pr, nxt
+    shares.unpersist()  # final pr is checkpointed; lineage no longer needs it
+    return pr.select("node", F.round("pagerank", 6).alias("pagerank"))

@@ -517,3 +517,40 @@ def test_incremental_dedup_anti_joins_history(spark):
     out = dedup.incremental_exact_dedup(new, seen).collect()
     # 10 is in history; 11/12 collapse in-batch to min doc_id 11
     assert [r["doc_id"] for r in out] == [11]
+
+
+def test_transition_edges_weights(spark):
+    from crawlspark import graph
+
+    rows = [
+        (0, 1, 1, "a"), (1, 2, 1, "b"), (2, 3, 1, "a"),   # user 1: a->b->a
+        (3, 1, 2, "a"), (4, 2, 2, "b"),                   # user 2: a->b
+    ]
+    ev = spark.createDataFrame(rows, ["event_id", "ts", "user_id", "event_type"])
+    out = {(r["src"], r["dst"]): r["weight"] for r in graph.transition_edges(ev).collect()}
+    assert out == {("a", "b"): 2.0, ("b", "a"): 1.0}
+
+
+def test_pagerank_matches_pure_python(spark):
+    from crawlspark import graph
+
+    edges = [("hub", "s1", 1.0), ("hub", "s2", 1.0), ("s1", "hub", 1.0),
+             ("s2", "hub", 1.0), ("s2", "s1", 1.0)]
+    e = spark.createDataFrame(edges, ["src", "dst", "weight"])
+    got = {r["node"]: r["pagerank"] for r in graph.pagerank(e, iters=3).collect()}
+
+    # the identical recurrence, sequentially
+    nodes = sorted({s for s, _, _ in edges} | {d for _, d, _ in edges})
+    n, d = len(nodes), 0.85
+    outw = {}
+    for s, _, w in edges:
+        outw[s] = outw.get(s, 0.0) + w
+    pr = {v: 1.0 / n for v in nodes}
+    for _ in range(3):
+        contrib = {v: 0.0 for v in nodes}
+        for s, t, w in edges:
+            contrib[t] += pr[s] * (w / outw[s])
+        pr = {v: round((1.0 - d) / n + d * contrib[v], 9) for v in nodes}
+    want = {v: round(p, 6) for v, p in pr.items()}
+    assert got == want
+    assert max(got, key=got.get) == "hub"  # the link hub outranks spokes
