@@ -322,3 +322,76 @@ def stream_crawl_rounds(
             budget_scale, c.get("popped", 0), c.get("missed", 0)
         )
     return {"rounds": len(counts), "counts": counts}
+
+
+def stream_corpus_dedup(
+    spark: SparkSession,
+    input_dir: str,
+    out_dir: str,
+    checkpoint: str,
+    max_files: int = 8,
+):
+    """Continuous corpus dedup — the streaming half of
+    ``dedup.incremental_exact_dedup``: consume a landing zone of corpus
+    rows (url, text, crawl_round — the emit_text product table's shape,
+    or any Common-Crawl-style drop), fingerprint the content, and append
+    only first-seen documents to the deduped output table.
+
+    Dedup layers (deliberately NOT a dropDuplicates state store — that
+    keeps an ARBITRARY first row per key, destroying the deterministic
+    winner the corpus contract wants):
+
+    * in-batch: deterministic winner per fingerprint = min (crawl_round,
+      url) — a partial-aggregatable min(struct), no window, map-side
+      collapse of duplicate-heavy batches;
+    * cross-batch + restarts: an anti-join against the OUTPUT table's
+      own fingerprint column. Batches commit sequentially, so the output
+      is exactly the seen-set; a replayed batch re-anti-joins to zero
+      rows, making the sink idempotent with no separate state to keep
+      consistent with it.
+
+    Scale: the per-batch anti-join is O(batch) against one parquet
+    column the output itself provides (bucketed/bloom-indexed at 10^10
+    fingerprints, the store.py layout) — never a corpus-wide reshuffle.
+    Drive with trigger(availableNow=True) for deterministic tests;
+    continuously in production, alongside the crawl's round loop.
+
+    Returns the started StreamingQuery.
+    """
+    from .textops import doc_fingerprint
+
+    src = (
+        spark.readStream.schema("url string, text string, crawl_round int")
+        .option("maxFilesPerTrigger", max_files)
+        .parquet(input_dir)
+        .withColumn("fingerprint", doc_fingerprint(F.col("text")))
+    )
+
+    def _sink(batch_df, batch_id):  # noqa: ANN001
+        batch = (
+            batch_df.groupBy("fingerprint")
+            .agg(
+                F.min(F.struct("crawl_round", "url", "text")).alias("w")
+            )
+            .select(
+                F.col("w.url").alias("url"),
+                F.col("w.text").alias("text"),
+                F.col("w.crawl_round").alias("crawl_round"),
+                "fingerprint",
+            )
+        )
+        spark_l = batch_df.sparkSession
+        try:
+            seen = spark_l.read.parquet(out_dir).select("fingerprint")
+        except Exception:
+            seen = None
+        if seen is not None:
+            batch = batch.join(seen, "fingerprint", "left_anti")
+        batch.write.mode("append").parquet(out_dir)
+
+    return (
+        src.writeStream.foreachBatch(_sink)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )

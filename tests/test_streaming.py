@@ -234,3 +234,45 @@ def test_stream_crawl_resumes_from_checkpoint(spark, tmp_path):
     assert first["rounds"] + rest["rounds"] >= 2
     assert runner.fetch_sequence() == ref.fetch_sequence()
     assert runner.seen_urls() == ref.seen_urls()
+
+
+def test_stream_corpus_dedup_keeps_deterministic_winner(spark, tmp_path):
+    src = str(tmp_path / "landing")
+    out = str(tmp_path / "corpus_dedup")
+    ckpt = str(tmp_path / "ckpt_cd")
+    rows = [
+        ("http://a/1", "same text", 2),
+        ("http://a/2", "same text", 1),   # winner: lowest (round, url)
+        ("http://b/1", "other text", 1),
+    ]
+    spark.createDataFrame(rows, "url string, text string, crawl_round int") \
+        .write.mode("append").parquet(src)
+    st.stream_corpus_dedup(spark, src, out, ckpt).awaitTermination()
+    got = {r["fingerprint"]: (r["url"], r["crawl_round"])
+           for r in spark.read.parquet(out).collect()}
+    assert len(got) == 2
+    assert ("http://a/2", 1) in got.values() and ("http://b/1", 1) in got.values()
+
+    # a later drop: dup of existing content + one new doc -> only the new appends
+    spark.createDataFrame(
+        [("http://c/1", "same text", 3), ("http://c/2", "fresh text", 3)],
+        "url string, text string, crawl_round int",
+    ).write.mode("append").parquet(src)
+    st.stream_corpus_dedup(spark, src, out, ckpt).awaitTermination()
+    after = {r["url"] for r in spark.read.parquet(out).collect()}
+    assert after == {"http://a/2", "http://b/1", "http://c/2"}
+
+
+def test_stream_corpus_dedup_restart_idempotent(spark, tmp_path):
+    src = str(tmp_path / "landing2")
+    out = str(tmp_path / "corpus_dedup2")
+    spark.createDataFrame(
+        [("http://a/1", "t1", 1), ("http://a/2", "t2", 1)],
+        "url string, text string, crawl_round int",
+    ).write.mode("append").parquet(src)
+    st.stream_corpus_dedup(spark, src, out, str(tmp_path / "c1")).awaitTermination()
+    n1 = spark.read.parquet(out).count()
+    # a FRESH checkpoint replays the whole landing zone: the output
+    # anti-join must absorb the replay with zero new rows
+    st.stream_corpus_dedup(spark, src, out, str(tmp_path / "c2")).awaitTermination()
+    assert spark.read.parquet(out).count() == n1 == 2
