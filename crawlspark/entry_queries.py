@@ -710,6 +710,18 @@ def t28_transition_pagerank(spark, sf_dir):
     return gr.pagerank(gr.transition_edges(ev), iters=3, damping=0.85)
 
 
+def t29_decontaminate(spark, sf_dir):
+    """Producing half of t17 (RefinedWeb/GPT-3-style decontamination):
+    the corpus with the probe set and every doc sharing >= 2 distinct
+    3-gram shingles with it removed. Probe-shingle broadcast join +
+    two anti-joins — never doc x probe."""
+    d = _t(spark, sf_dir, "documents")
+    probe = d.filter(F.col("doc_id") % 20 == 0)
+    return tx.decontaminate(d, probe, k=3, min_shared=2).select(
+        "doc_id", "lang", "source"
+    )
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_filter_project": q02_filter_project,
@@ -769,6 +781,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "t26_token_budget": t26_token_budget,
     "t27_incremental_dedup": t27_incremental_dedup,
     "t28_transition_pagerank": t28_transition_pagerank,
+    "t29_decontaminate": t29_decontaminate,
 }
 
 # ---------------------------------------------------------------------------
@@ -1563,5 +1576,17 @@ def _pagerank_oracle(iters: int = 3) -> str:
 
 
 ORACLES["t28_transition_pagerank"] = _pagerank_oracle(3)
+
+ORACLES["t29_decontaminate"] = _SHINGLES + """
+    , probe AS (SELECT DISTINCT shingle FROM sh WHERE doc_id % 20 = 0)
+    , hits AS (
+        SELECT s.doc_id
+        FROM sh s JOIN probe p USING (shingle)
+        WHERE s.doc_id % 20 != 0
+        GROUP BY s.doc_id HAVING count(*) >= 2
+    )
+    SELECT doc_id, lang, source FROM documents
+    WHERE doc_id % 20 != 0 AND doc_id NOT IN (SELECT doc_id FROM hits)
+"""
 
 ORACLES = {k: v for k, v in ORACLES.items() if v is not None}

@@ -68,14 +68,17 @@ def pagerank(
     dangling-mass contract.
     """
     spark = edges.sparkSession
+    # persisted: every iteration's eager checkpoint re-reads the node set
+    # (and the count below materializes it anyway)
     nodes = (
         edges.select(F.col("src").alias("node"))
         .unionByName(edges.select(F.col("dst").alias("node")))
         .distinct()
-    )
+    ).persist()
     # one bounded agg job: N is a scalar the recurrence needs up front
     n = nodes.count()
     if n == 0:
+        nodes.unpersist()
         return nodes.withColumn("pagerank", F.lit(0.0))
     outw = edges.groupBy("src").agg(F.sum("weight").alias("out_w"))
     # cached: every iteration's join re-reads the share table; without
@@ -113,5 +116,7 @@ def pagerank(
         if prev is not None and not reliable:
             prev.unpersist()
         prev, pr = pr, nxt
-    shares.unpersist()  # final pr is checkpointed; lineage no longer needs it
+    # final pr is checkpointed; lineage no longer needs either table
+    shares.unpersist()
+    nodes.unpersist()
     return pr.select("node", F.round("pagerank", 6).alias("pagerank"))

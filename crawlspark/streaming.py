@@ -380,10 +380,13 @@ def stream_corpus_dedup(
                 "fingerprint",
             )
         )
+        from pyspark.errors import AnalysisException
+
         spark_l = batch_df.sparkSession
         try:
+            # missing output = first batch ever; anything else must raise
             seen = spark_l.read.parquet(out_dir).select("fingerprint")
-        except Exception:
+        except AnalysisException:
             seen = None
         if seen is not None:
             batch = batch.join(seen, "fingerprint", "left_anti")

@@ -655,3 +655,16 @@ def token_budget(documents: DataFrame, by: str = "lang") -> DataFrame:
             )
         ).cast("int").alias("rank"),
     )
+
+
+def decontaminate(
+    documents: DataFrame, probe: DataFrame, k: int = 3, min_shared: int = 2
+) -> DataFrame:
+    """The PRODUCING half of contamination_check (RefinedWeb/GPT-3-style
+    n-gram decontamination): return the corpus with probe docs and every
+    doc sharing >= min_shared distinct k-gram shingles with the probe
+    set removed. One extra anti-join over the check — the hit list is
+    O(contaminated), tiny next to the corpus."""
+    hits = contamination_check(documents, probe, k, min_shared).select("doc_id")
+    clean = documents.join(probe.select("doc_id"), "doc_id", "left_anti")
+    return clean.join(hits, "doc_id", "left_anti")

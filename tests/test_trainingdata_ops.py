@@ -554,3 +554,15 @@ def test_pagerank_matches_pure_python(spark):
     want = {v: round(p, 6) for v, p in pr.items()}
     assert got == want
     assert max(got, key=got.get) == "hub"  # the link hub outranks spokes
+
+
+def test_decontaminate_removes_probe_and_hits(spark):
+    rows = [
+        (0, "benchmark question one two three"),   # the probe itself
+        (1, "benchmark question one two plus"),    # shares 2 shingles -> dropped
+        (2, "completely unrelated text here now"), # kept
+    ]
+    d = spark.createDataFrame(rows, ["doc_id", "text"])
+    probe = d.filter(d.doc_id == 0)
+    out = [r["doc_id"] for r in textops.decontaminate(d, probe).collect()]
+    assert out == [2]
