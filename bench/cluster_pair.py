@@ -346,6 +346,13 @@ def main() -> None:
         for lv in levels:  # interleaved: never two reps of a level adjacent
             r = run_fn(lv, cores, corpus, pyz)
             r["mem_mb"] = mem_mb  # record the per-executor shape of this run
+            # wall-clock stamp: lets the renderer pair runs by machine-noise
+            # window (the VM's perf regime drifts across sessions, so
+            # cross-session best-ofs can pair a fast-window numerator with a
+            # slow-window denominator — see NOTES_r4 scaling revision)
+            import time as _time
+
+            r["ts"] = round(_time.time(), 1)
             runs[key].setdefault(str(lv), []).append(r)
             save()
             print(json.dumps({"mode": mode, "executors": lv, "cores": cores, **r}),
