@@ -32,6 +32,46 @@ SHOW = [
 ]
 
 
+def iterative_stage_plans(spark, sf_dir: str, out: list) -> None:
+    """t25/t28 checkpoint each iteration, so their gate plans show only
+    the post-checkpoint ExistingRDD scan. Dump the interesting
+    pre-iteration stages here: the LSH candidate+verify pairs plan
+    (t25's per-round cost) and one PageRank iteration's join+agg (t28's
+    per-iteration cost)."""
+    from pyspark.sql import functions as F
+
+    from crawlspark import dedup, graph, plans
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    pairs = dedup.minhash_lsh_pairs(docs, n_hashes=8, bands=4, k=3,
+                                    threshold=0.2, max_df=100)
+    out.append("\n## t25 pre-iteration stage: LSH candidates + exact-Jaccard verify\n")
+    out.append("```\n" + plans.explain_str(pairs, "formatted")[:6000] + "\n```\n")
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    edges = graph.transition_edges(ev)
+    nodes = (
+        edges.select(F.col("src").alias("node"))
+        .unionByName(edges.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    outw = edges.groupBy("src").agg(F.sum("weight").alias("out_w"))
+    shares = edges.join(outw, "src").select(
+        "src", "dst", (F.col("weight") / F.col("out_w")).alias("share")
+    )
+    pr = nodes.withColumn("pagerank", F.lit(0.2))
+    contrib = (
+        shares.join(pr, shares.src == pr.node)
+        .groupBy("dst")
+        .agg(F.sum(F.col("pagerank") * F.col("share")).alias("c"))
+    )
+    one_iter = nodes.join(contrib, nodes.node == contrib.dst, "left").select(
+        "node", (F.lit(0.15) + F.lit(0.85) * F.coalesce(F.col("c"), F.lit(0.0))).alias("pagerank")
+    )
+    out.append("\n## t28 one PageRank iteration: edge join + hash agg\n")
+    out.append("```\n" + plans.explain_str(one_iter, "formatted")[:6000] + "\n```\n")
+
+
 def crawl_round_plans(spark, out: list) -> None:
     """Dump the crawl round's own plans (judge r2 #5): the max_by frontier
     resolve, the salted two-phase pop, and the F1 fetch join in BOTH gate
@@ -103,6 +143,7 @@ def main() -> None:
         df = QUERIES[name](spark, sf_dir)
         out.append(f"\n## {name}\n")
         out.append("```\n" + plans.explain_str(df, "formatted")[:6000] + "\n```\n")
+    iterative_stage_plans(spark, sf_dir, out)
     crawl_round_plans(spark, out)
     with open(os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "PLANS.md"), "w") as f:
         f.write("".join(out))
