@@ -29,6 +29,8 @@ SHOW = [
     "t22_window_dup_stats",
     "t25_fuzzy_dedup_removals",
     "t28_transition_pagerank",
+    "t30_url_filter",
+    "t32_sequence_packing",
 ]
 
 

@@ -24,6 +24,7 @@ from . import dedup as dd
 from . import graph as gr
 from . import similarity as sim
 from . import textops as tx
+from . import urlfilter as uf
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -722,6 +723,81 @@ def t29_decontaminate(spark, sf_dir):
     )
 
 
+def _synth_urls(d: DataFrame) -> DataFrame:
+    """Deterministic URL column for the url-filter gate (the driver's
+    tables carry no URLs): doc_id-keyed so Spark and the SQL oracle
+    build byte-identical strings, with mod-classes that exercise every
+    rule — blocked host (%19), media extension (%17), long path (%23),
+    param spam (%13), digit-heavy path (%29)."""
+    did = F.col("doc_id")
+    return d.select(
+        "doc_id",
+        F.concat(
+            F.lit("https://"),
+            F.when(did % 19 == 0, F.lit("ads.example.com")).otherwise(
+                F.concat(F.col("source"), F.lit(".example.com"))
+            ),
+            F.lit("/"),
+            F.col("lang"),
+            F.lit("/"),
+            F.when(
+                did % 29 == 0,
+                F.substring(F.repeat(did.cast("string"), 40), 1, 40),
+            ).otherwise(F.md5(did.cast("string"))),
+            F.when(did % 17 == 0, F.lit(".jpg")).otherwise(F.lit("")),
+            F.when(
+                did % 23 == 0, F.concat(F.lit("/"), F.repeat(F.lit("x"), 300))
+            ).otherwise(F.lit("")),
+            F.when(did % 13 == 0, F.lit("?a=1&b=2&c=3&d=4&e=5")).otherwise(
+                F.lit("")
+            ),
+        ).alias("url"),
+    )
+
+
+def t30_url_filter(spark, sf_dir):
+    """URL-level filtering (RefinedWeb/UT1 shape) — the first, cheapest
+    attrition stage of a web corpus: blocklisted domain, media/binary
+    extension, over-long URL, query-param spam, digit-heavy path, with
+    FIRST-FAIL attribution per URL. Stateless projection + filter (zero
+    shuffles; the verdict runs inside the scan's codegen stage)."""
+    d = _t(spark, sf_dir, "documents")
+    filtered = uf.url_filter(
+        _synth_urls(d),
+        blocked_hosts=["ads.example.com"],
+        max_len=120,
+        max_params=4,
+        max_digit_ratio=0.5,
+    )
+    return filtered.select("doc_id", "host", "first_fail", "keep")
+
+
+def t31_filter_funnel(spark, sf_dir):
+    """First-fail quality funnel (C4/Gopher/FineWeb lineage): every doc
+    charged to the first rejecting rule; one hash-agg collapses the
+    corpus to <=6 report rows (verdict, docs, tokens, shares). All six
+    verdicts non-empty at the gate SFs — a discriminating gate."""
+    d = _t(spark, sf_dir, "documents")
+    return tx.quality_funnel(
+        d,
+        min_tokens=20,
+        max_tokens=90,
+        allowed_langs=("en", "es", "fr", "zh"),
+        min_quality=0.6,
+        min_distinct_ratio=0.4,
+    )
+
+
+def t32_sequence_packing(spark, sf_dir):
+    """Packed-sequence assembly plan (causal-LM training prep): docs
+    concatenated in deterministic shard order, cut every 256 tokens,
+    each doc assigned to the sequence where it starts. Sharded by
+    (lang, md5-bucket) so the cumsum window never globally sorts the
+    corpus; the md5 coin makes the plan engine-independent."""
+    d = _t(spark, sf_dir, "documents")
+    return tx.sequence_packing(d, budget_tokens=256, n_buckets=4)
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_filter_project": q02_filter_project,
@@ -782,6 +858,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "t27_incremental_dedup": t27_incremental_dedup,
     "t28_transition_pagerank": t28_transition_pagerank,
     "t29_decontaminate": t29_decontaminate,
+    "t30_url_filter": t30_url_filter,
+    "t31_filter_funnel": t31_filter_funnel,
+    "t32_sequence_packing": t32_sequence_packing,
 }
 
 # ---------------------------------------------------------------------------
@@ -1587,6 +1666,111 @@ ORACLES["t29_decontaminate"] = _SHINGLES + """
     )
     SELECT doc_id, lang, source FROM documents
     WHERE doc_id % 20 != 0 AND doc_id NOT IN (SELECT doc_id FROM hits)
+"""
+
+# engine-independent uniform from 4 md5 hex digits — the SQL twin of
+# textops.sample_fraction_col's conv(substr(md5, 1, 4), 16, 10)
+_HEX4 = """(4096 * (strpos('0123456789abcdef', substr({h}, 1, 1)) - 1)
+         + 256 * (strpos('0123456789abcdef', substr({h}, 2, 1)) - 1)
+         + 16 * (strpos('0123456789abcdef', substr({h}, 3, 1)) - 1)
+         + (strpos('0123456789abcdef', substr({h}, 4, 1)) - 1))"""
+
+ORACLES["t30_url_filter"] = """
+    WITH urls AS (
+        SELECT doc_id,
+               'https://'
+               || CASE WHEN doc_id % 19 = 0 THEN 'ads.example.com'
+                       ELSE source || '.example.com' END
+               || '/' || lang || '/'
+               || CASE WHEN doc_id % 29 = 0
+                       THEN substr(repeat(CAST(doc_id AS VARCHAR), 40), 1, 40)
+                       ELSE md5(CAST(doc_id AS VARCHAR)) END
+               || CASE WHEN doc_id % 17 = 0 THEN '.jpg' ELSE '' END
+               || CASE WHEN doc_id % 23 = 0 THEN '/' || repeat('x', 300)
+                       ELSE '' END
+               || CASE WHEN doc_id % 13 = 0 THEN '?a=1&b=2&c=3&d=4&e=5'
+                       ELSE '' END AS url
+        FROM documents
+    ), feat AS (
+        SELECT doc_id, url,
+               regexp_extract(url, '^[a-z][a-z0-9+.-]*://([^/?#]+)', 1)
+                   AS host,
+               regexp_extract(url, '^[a-z][a-z0-9+.-]*://[^/?#]*([^?#]*)', 1)
+                   AS path,
+               regexp_extract(url, '\\?([^#]*)', 1) AS q
+        FROM urls
+    ), v AS (
+        SELECT doc_id, host,
+               CASE WHEN host = 'ads.example.com' THEN 'blocked_domain'
+                    WHEN regexp_matches(path,
+                        '\\.(jpg|jpeg|png|gif|webp|svg|ico|css|js|woff2?|mp3|mp4|avi|mov|pdf|zip|gz|tar|rar|7z|exe|dmg|iso)$')
+                        THEN 'bad_extension'
+                    WHEN length(url) > 120 THEN 'too_long'
+                    WHEN (CASE WHEN q = '' THEN 0
+                               ELSE len(string_split(q, '&')) END) > 4
+                        THEN 'too_many_params'
+                    WHEN length(regexp_replace(url, '[^0-9]', '', 'g'))::DOUBLE
+                         / length(url) > 0.5 THEN 'digit_heavy'
+                    ELSE 'kept' END AS first_fail
+        FROM feat
+    )
+    SELECT doc_id, host, first_fail, first_fail = 'kept' AS keep FROM v
+"""
+
+ORACLES["t31_filter_funnel"] = """
+    WITH x AS (
+        SELECT lang,
+               len(string_split(text, ' ')) AS nt,
+               len(list_distinct(string_split(text, ' ')))::DOUBLE
+                   / len(string_split(text, ' ')) AS dr,
+               round(least(CAST(len(string_split(text, ' ')) AS DOUBLE) / 100.0, 1.0) * 0.6
+                     + (1.0 - least(CAST(length(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS DOUBLE)
+                                    / length(text) * 10.0, 1.0)) * 0.4, 4) AS q
+        FROM documents
+    ), v AS (
+        SELECT CASE WHEN nt < 20 THEN 'too_short'
+                    WHEN nt > 90 THEN 'too_long'
+                    WHEN lang NOT IN ('en', 'es', 'fr', 'zh')
+                        THEN 'lang_filtered'
+                    WHEN q < 0.6 THEN 'low_quality'
+                    WHEN dr < 0.4 THEN 'repetitive'
+                    ELSE 'kept' END AS verdict,
+               nt
+        FROM x
+    ), agg AS (
+        SELECT verdict, count(*) AS n_docs,
+               CAST(sum(nt) AS BIGINT) AS n_tokens
+        FROM v GROUP BY verdict
+    )
+    SELECT verdict, n_docs, n_tokens,
+           round(n_docs / sum(n_docs) OVER (), 6) AS doc_share,
+           round(n_tokens / sum(n_tokens) OVER (), 6) AS token_share
+    FROM agg
+"""
+
+ORACLES["t32_sequence_packing"] = f"""
+    WITH rows_t AS (
+        SELECT lang AS shard,
+               CAST({_HEX4.format(h="md5('pack:' || CAST(doc_id AS VARCHAR))")}
+                    % 4 AS INTEGER) AS bucket,
+               doc_id,
+               CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+        FROM documents
+    ), placed AS (
+        SELECT shard, bucket, doc_id, n_tok,
+               CAST(floor((sum(n_tok) OVER (PARTITION BY shard, bucket
+                         ORDER BY doc_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                     - n_tok) / 256) AS BIGINT) AS seq_id
+        FROM rows_t
+    )
+    SELECT shard, bucket, seq_id,
+           count(*) AS n_docs,
+           CAST(sum(n_tok) AS BIGINT) AS seq_tokens,
+           min(doc_id) AS first_doc,
+           max(doc_id) AS last_doc
+    FROM placed
+    GROUP BY shard, bucket, seq_id
 """
 
 ORACLES = {k: v for k, v in ORACLES.items() if v is not None}

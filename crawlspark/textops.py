@@ -668,3 +668,146 @@ def decontaminate(
     hits = contamination_check(documents, probe, k, min_shared).select("doc_id")
     clean = documents.join(probe.select("doc_id"), "doc_id", "left_anti")
     return clean.join(hits, "doc_id", "left_anti")
+
+
+# -- first-fail quality funnel (round 4) ---------------------------------------
+
+FUNNEL_RULES = (
+    "too_short",
+    "too_long",
+    "lang_filtered",
+    "low_quality",
+    "repetitive",
+)
+
+
+def quality_funnel(
+    documents: DataFrame,
+    min_tokens: int = 20,
+    max_tokens: int = 100_000,
+    allowed_langs: tuple[str, ...] | None = None,
+    min_quality: float = 0.3,
+    min_distinct_ratio: float = 0.3,
+) -> DataFrame:
+    """Composed heuristic filter with FIRST-FAIL attribution — the
+    attrition funnel a production pipeline (C4 -> Gopher -> FineWeb
+    lineage) publishes next to the cleaned corpus: every document is
+    charged to the first rule that rejects it (fixed order
+    ``FUNNEL_RULES``), so the report is a partition of the corpus and
+    the rule counts sum to the input count. Reported per verdict:
+    document count, token count (the tokens the rule costs), and shares.
+
+    Scale shape: every rule is a within-row column expression
+    (length / language / quality-score / distinct-token ratio — no
+    cross-doc state), so the verdict stage is a stateless projection
+    fully inside whole-stage codegen; ONE hash-agg collapses the corpus
+    to <=6 rows and the share windows run over that aggregate. A
+    cross-doc rule (e.g. dup clusters) composes by anti-joining its
+    removal list before this funnel.
+
+    Output: (verdict, n_docs, n_tokens, doc_share, token_share),
+    verdict in FUNNEL_RULES + 'kept'."""
+    text = F.col("text")
+    toks = tokens_col(text)
+    n_tok = F.size(toks)
+    distinct_ratio = (
+        F.size(F.array_distinct(toks)).cast("double") / n_tok
+    )
+    checks = [
+        ("too_short", n_tok < min_tokens),
+        ("too_long", n_tok > max_tokens),
+        (
+            "lang_filtered",
+            ~F.col("lang").isin(list(allowed_langs))
+            if allowed_langs is not None
+            else F.lit(False),
+        ),
+        ("low_quality", quality_score(text) < min_quality),
+        ("repetitive", distinct_ratio < min_distinct_ratio),
+    ]
+    verdict = None
+    for name, cond in checks:
+        verdict = (
+            F.when(cond, F.lit(name))
+            if verdict is None
+            else verdict.when(cond, F.lit(name))
+        )
+    marked = documents.select(
+        verdict.otherwise(F.lit("kept")).alias("verdict"),
+        n_tok.cast("long").alias("n_tok"),
+    )
+    agg = marked.groupBy("verdict").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_tok").alias("n_tokens"),
+    )
+    w_all = Window.partitionBy()
+    return agg.select(
+        "verdict",
+        "n_docs",
+        "n_tokens",
+        F.round(F.col("n_docs") / F.sum("n_docs").over(w_all), 6).alias(
+            "doc_share"
+        ),
+        F.round(
+            F.col("n_tokens") / F.sum("n_tokens").over(w_all), 6
+        ).alias("token_share"),
+    )
+
+
+# -- sequence packing (round 4) ------------------------------------------------
+
+
+def sequence_packing(
+    documents: DataFrame,
+    budget_tokens: int = 512,
+    n_buckets: int = 4,
+    shard_col: str = "lang",
+) -> DataFrame:
+    """GPT-style packed-sequence assembly plan: concatenate documents in
+    a deterministic order and cut every ``budget_tokens`` tokens; each
+    document is assigned to the sequence where it STARTS (documents may
+    straddle boundaries — the standard causal-LM packing). This emits
+    the assembly PLAN (which docs land in which sequence), the
+    shuffle-free metadata half of packing; materializing token tensors
+    is the trainer's job.
+
+    Scale shape: a single global concatenation order would be one giant
+    sort, so packing is sharded — by ``shard_col`` (keep languages
+    unmixed, the common policy) crossed with an md5-derived bucket of
+    the doc id (``n_buckets`` >> executor count at scale). The
+    cumulative-token window sorts WITHIN a shard only; shards are
+    embarrassingly parallel. The coin is the same engine-independent
+    md5 arithmetic as stratified_sample, so the plan is bit-stable
+    across engines, reruns, and partition layouts.
+
+    Output per (shard, bucket, seq_id): n_docs, seq_tokens, first/last
+    doc id — the manifest a packing writer consumes."""
+    n_tok = token_count(F.col("text")).cast("long")
+    bucket = (
+        F.conv(F.substring(F.md5(F.concat(F.lit("pack:"),
+                                          F.col("doc_id").cast("string"))), 1, 4),
+               16, 10).cast("long") % n_buckets
+    ).cast("int")
+    rows = documents.select(
+        F.col(shard_col).alias("shard"),
+        bucket.alias("bucket"),
+        F.col("doc_id"),
+        n_tok.alias("n_tok"),
+    )
+    w = (
+        Window.partitionBy("shard", "bucket")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    placed = rows.withColumn(
+        "seq_id",
+        F.floor(
+            (F.sum("n_tok").over(w) - F.col("n_tok")) / budget_tokens
+        ).cast("long"),
+    )
+    return placed.groupBy("shard", "bucket", "seq_id").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_tok").alias("seq_tokens"),
+        F.min("doc_id").alias("first_doc"),
+        F.max("doc_id").alias("last_doc"),
+    )

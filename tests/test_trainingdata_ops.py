@@ -566,3 +566,115 @@ def test_decontaminate_removes_probe_and_hits(spark):
     probe = d.filter(d.doc_id == 0)
     out = [r["doc_id"] for r in textops.decontaminate(d, probe).collect()]
     assert out == [2]
+
+
+def test_url_filter_first_fail_attribution(spark):
+    from crawlspark import urlfilter
+
+    rows = [
+        (0, "https://ads.example.com/a/" + "9" * 40),  # blocked wins over digits
+        (1, "https://ok.example.com/img/photo.jpg"),
+        (2, "https://ok.example.com/" + "x" * 300),
+        (3, "https://ok.example.com/p?a=1&b=2&c=3&d=4&e=5"),
+        (4, "https://ok.example.com/" + "7" * 40),
+        (5, "https://ok.example.com/fine/page"),
+    ]
+    d = spark.createDataFrame(rows, ["doc_id", "url"])
+    got = {
+        r["doc_id"]: (r["host"], r["first_fail"], r["keep"])
+        for r in urlfilter.url_filter(
+            d, blocked_hosts=["ads.example.com"], max_len=120, max_params=4
+        ).collect()
+    }
+    assert got[0] == ("ads.example.com", "blocked_domain", False)
+    assert got[1] == ("ok.example.com", "bad_extension", False)
+    assert got[2] == ("ok.example.com", "too_long", False)
+    assert got[3] == ("ok.example.com", "too_many_params", False)
+    assert got[4] == ("ok.example.com", "digit_heavy", False)
+    assert got[5] == ("ok.example.com", "kept", True)
+
+
+def test_url_filter_blocklist_df_matches_literal_path(spark):
+    from crawlspark import urlfilter
+
+    rows = [
+        (0, "https://ads.example.com/x"),
+        (1, "https://fine.example.com/x"),
+    ]
+    d = spark.createDataFrame(rows, ["doc_id", "url"])
+    lit = urlfilter.url_filter(d, blocked_hosts=["ads.example.com"])
+    bdf = urlfilter.url_filter(
+        d, blocked_hosts_df=spark.createDataFrame(
+            [("ads.example.com",)], ["host"]
+        )
+    )
+    cols = ["doc_id", "host", "first_fail", "keep"]
+    assert sorted(map(tuple, lit.select(cols).collect())) == sorted(
+        map(tuple, bdf.select(cols).collect())
+    )
+
+
+def test_url_filter_report_shares_sum_to_one(spark):
+    from crawlspark import urlfilter
+
+    rows = [(i, f"https://h{i % 2}.example.com/p") for i in range(3)] + [
+        (9, "https://h0.example.com/a.zip")
+    ]
+    d = spark.createDataFrame(rows, ["doc_id", "url"])
+    rep = urlfilter.url_filter_report(urlfilter.url_filter(d)).collect()
+    by = {r["first_fail"]: r for r in rep}
+    assert by["kept"]["n_urls"] == 3 and by["bad_extension"]["n_urls"] == 1
+    assert abs(sum(r["share"] for r in rep) - 1.0) < 1e-9
+
+
+def test_quality_funnel_first_fail_partition(spark):
+    rows = [
+        (0, "short doc", "en"),                                # too_short (2 tokens)
+        (1, " ".join(f"w{i}" for i in range(40)), "de"),       # lang_filtered
+        (2, " ".join(f"w{i}" for i in range(41)), "en"),       # kept (distinct ratio 1.0)
+        (3, " ".join(["dup"] * 40), "en"),                     # repetitive (ratio 1/40)
+    ]
+    d = spark.createDataFrame(rows, ["doc_id", "text", "lang"])
+    got = {
+        r["verdict"]: (r["n_docs"], r["n_tokens"])
+        for r in textops.quality_funnel(
+            d,
+            min_tokens=10,
+            max_tokens=1000,
+            allowed_langs=("en",),
+            min_quality=0.0,
+            min_distinct_ratio=0.3,
+        ).collect()
+    }
+    assert got["too_short"] == (1, 2)
+    assert got["lang_filtered"] == (1, 40)
+    assert got["repetitive"] == (1, 40)
+    assert got["kept"] == (1, 41)
+    assert sum(n for n, _ in got.values()) == 4  # a partition of the corpus
+
+
+def test_sequence_packing_straddle_and_shards(spark):
+    # one shard, one bucket: doc order 0,1,2 with 3/3/3 tokens, budget 4:
+    # cumsum-starts 0,3,6 -> seqs 0,0,1 (doc 1 straddles the boundary and
+    # stays in the sequence where it STARTS)
+    rows = [(i, "a b c", "en") for i in range(3)]
+    d = spark.createDataFrame(rows, ["doc_id", "text", "lang"])
+    got = {
+        (r["shard"], r["bucket"], r["seq_id"]): (
+            r["n_docs"], r["seq_tokens"], r["first_doc"], r["last_doc"]
+        )
+        for r in textops.sequence_packing(
+            d, budget_tokens=4, n_buckets=1
+        ).collect()
+    }
+    assert got[("en", 0, 0)] == (2, 6, 0, 1)
+    assert got[("en", 0, 1)] == (1, 3, 2, 2)
+    # different langs never pack together
+    d2 = spark.createDataFrame(
+        [(0, "a b", "en"), (1, "a b", "fr")], ["doc_id", "text", "lang"]
+    )
+    shards = {
+        r["shard"]
+        for r in textops.sequence_packing(d2, budget_tokens=4, n_buckets=1).collect()
+    }
+    assert shards == {"en", "fr"}
