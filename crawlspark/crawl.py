@@ -254,6 +254,68 @@ def ingest_urls(
     return {"ingested": n}
 
 
+def rescore_frontier(
+    store: FrontierStore, scores: DataFrame, round_no: int | None = None
+) -> dict:
+    """Re-prioritize QUEUED frontier rows from a score table — the
+    OPIC/PageRank application (Abiteboul et al. 2003; graph.pagerank
+    produces the scores from the crawl's own transition graph): big
+    crawlers periodically re-rank their queue so link-important URLs
+    pop first. The reference's analog is the priority field its
+    dispatcher assigns per URL (/root/reference/url_dispatcher/
+    url_dispatcher.py:176-179) — here the whole queue re-ranks in one
+    pass.
+
+    ``scores``: (url, priority) with canonical urls (they normally come
+    from the engine's own frontier/fetch_log, already canonical) and an
+    integer priority (higher pops sooner). Unmatched queued rows keep
+    their current priority; non-queued rows are never touched.
+
+    Mechanics: resolve state, join scores, OVERWRITE the frontier —
+    the compaction shape, content-preserving except the priority
+    column, so op_seq arithmetic is untouched (a rescore delta row
+    cannot be expressed in the 4r+k op_seq lattice without colliding
+    with insert/mark slots). Cost is O(frontier-state) like any
+    compaction; run it every k rounds, not per round. The commit is
+    meta-flagged a rewrite, so added_since() consumers skip it, and the
+    queued_after hint carries across (the queued COUNT is unchanged by
+    construction — only priorities move)."""
+    state = store.frontier_state()
+    if state is None:
+        return {"rescored": 0}
+    last = store.last_committed_round()
+    if round_no is None:
+        round_no = last if last is not None else 0
+    elif last is not None and round_no < last:
+        raise ValueError(
+            f"rescore_frontier round_no={round_no} < last committed round "
+            f"{last}: committing behind the frontier breaks resume; omit "
+            "round_no to use the current round"
+        )
+    s = scores.select(
+        F.col("url"), F.col("priority").cast("int").alias("_new_prio")
+    ).dropDuplicates(["url"])
+    joined = state.join(s, "url", "left")
+    rescored = joined.withColumn(
+        "priority",
+        F.when(
+            (F.col("status") == STATUS_QUEUED) & F.col("_new_prio").isNotNull(),
+            F.col("_new_prio"),
+        ).otherwise(F.col("priority")),
+    ).drop("_new_prio")
+    n_changed = rescored.filter(
+        (F.col("status") == STATUS_QUEUED)
+    ).join(s, "url", "left_semi").count()
+    meta: dict = {"rescore": True}
+    hint = store.queued_after_hint()
+    if hint is not None:
+        meta["queued_after"] = hint
+    store.frontier.overwrite(
+        rescored.select(*_FRONTIER_COLS), round_no, meta=meta
+    )
+    return {"rescored": n_changed}
+
+
 def run_round(
     spark: SparkSession,
     store: FrontierStore,

@@ -177,11 +177,16 @@ class SnapshotStore:
         m = self.manifest(snapshot_id)
         if m is None or not m["files"]:
             return None
+        return self._read_files(m["files"])
+
+    def _read_files(self, files: list[dict]) -> DataFrame | None:
         # narrow files (own-schema writes, compactions) and wide files (the
         # round tee) can coexist in one snapshot; read each group with its
         # own physical schema, prune to the declared columns, union.
-        narrow = [f for f in m["files"] if not f.get("wide")]
-        wide = [f for f in m["files"] if f.get("wide")]
+        if not files:
+            return None
+        narrow = [f for f in files if not f.get("wide")]
+        wide = [f for f in files if f.get("wide")]
         dfs = []
         if narrow:
             df = self.spark.read.parquet(*[self._full_path(f["path"]) for f in narrow])
@@ -199,6 +204,67 @@ class SnapshotStore:
         for d in dfs[1:]:
             out = out.unionByName(d)
         return out
+
+    def added_since(
+        self, since_id: int | None, to_id: int | None = None
+    ) -> DataFrame | None:
+        """Incremental (CDC-style) read: the rows APPENDED after snapshot
+        ``since_id``, up to ``to_id`` (default CURRENT). The consumer
+        contract of a continuously-fed table (the emit_text corpus feeding
+        incremental dedup, metrics feeding a monitor): checkpoint the
+        snapshot id, read added_since(ckpt) next cycle, see every appended
+        row exactly once — reading O(delta) files, never O(table).
+
+        Walks the manifest PARENT chain (rollback-safe: a rollback moves
+        CURRENT behind orphaned newer manifests, and the chain never
+        visits orphans). Per commit, the appended files are
+        files(child) - files(parent); rewrite commits (compaction /
+        rescore — content-preserving by contract, meta-flagged) replace
+        the file set without appending rows, so their files are skipped.
+        ``since_id=None`` means "from the beginning". Raises ValueError if
+        since_id is not an ancestor of to_id or the chain's manifests were
+        expired (expire_snapshots/vacuum) — the consumer must then fall
+        back to a full read."""
+        end = self._current_id() if to_id is None else to_id
+        if end is None:
+            return None
+        chain: list[dict] = []
+        sid: int | None = end
+        while sid is not None and sid != since_id:
+            try:
+                m = self.manifest(sid)
+            except FileNotFoundError:
+                raise ValueError(
+                    f"snapshot {sid} expired at {self.path}: incremental "
+                    "history is gone; re-read the full table"
+                ) from None
+            chain.append(m)
+            sid = m.get("parent_id")
+        if since_id is not None and sid != since_id:
+            raise ValueError(
+                f"snapshot {since_id} is not an ancestor of {end} at {self.path}"
+            )
+        added: list[dict] = []
+        for m in reversed(chain):
+            pid = m.get("parent_id")
+            if pid is None:
+                parent_paths: set[str] = set()
+            else:
+                try:
+                    parent_paths = {
+                        f["path"] for f in (self.manifest(pid) or {}).get("files", [])
+                    }
+                except FileNotFoundError:
+                    raise ValueError(
+                        f"snapshot {pid} expired at {self.path}: incremental "
+                        "history is gone; re-read the full table"
+                    ) from None
+            cur_paths = {f["path"] for f in m["files"]}
+            if parent_paths <= cur_paths:  # append commit
+                added.extend(f for f in m["files"] if f["path"] not in parent_paths)
+            # else: rewrite commit (compaction/rescore) — content-preserving,
+            # nothing appended; skip its files
+        return self._read_files(added)
 
     def commit_external(
         self, abs_path: str, rows: int, round_no: int, meta: dict | None = None
@@ -409,6 +475,16 @@ class FrontierStore:
         """The emit_text product table (url, text, crawl_round) —
         append-only, so state = read, like fetch_log."""
         return self.corpus.read()
+
+    def corpus_added_since(
+        self, since_id: int | None, to_id: int | None = None
+    ) -> DataFrame | None:
+        """Incremental corpus feed: the (url, text, crawl_round) rows the
+        crawl appended after corpus snapshot ``since_id`` — the O(delta)
+        input to dedup.incremental_exact_dedup / the streaming dedup
+        sink, without re-reading crawl history. Checkpoint
+        ``store.corpus._current_id()`` after each consumption cycle."""
+        return self.corpus.added_since(since_id, to_id)
 
     # -- single-job round commit ------------------------------------------------
 
