@@ -398,3 +398,53 @@ def stream_corpus_dedup(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def stream_quality_funnel(
+    spark: SparkSession,
+    input_dir: str,
+    checkpoint: str,
+    query_name: str = "funnel_live",
+    max_files: int = 8,
+    **funnel_kwargs,
+):
+    """Live attrition funnel over a corpus landing zone — the streaming
+    monitor of the continuous crawl-to-corpus pipeline: as (url, text,
+    crawl_round) rows land (the emit_text product shape), every document
+    is charged to its first failing rule via the SAME
+    ``textops.funnel_verdict_col`` expression the batch funnel uses, and
+    a running (verdict, n_docs, n_tokens) aggregate is kept in an
+    in-memory table named ``query_name``.
+
+    Scale shape: the verdict is a stateless projection inside the
+    stream's scan stage; the running aggregate's state is bounded at
+    <=6 rows regardless of corpus size (complete output mode over a
+    6-key groupBy — the one case where complete mode is free). Shares
+    are left to the reader (monitor.py-style) since a streaming window
+    over the aggregate would need another shuffle per trigger.
+
+    Returns the started StreamingQuery; read results via
+    ``spark.table(query_name)``.
+    """
+    from .textops import funnel_verdict_col, token_count
+
+    src = (
+        spark.readStream.schema("url string, text string, crawl_round int")
+        .option("maxFilesPerTrigger", max_files)
+        .parquet(input_dir)
+    )
+    marked = src.select(
+        funnel_verdict_col(**funnel_kwargs).alias("verdict"),
+        token_count(F.col("text")).cast("long").alias("n_tok"),
+    )
+    agg = marked.groupBy("verdict").agg(
+        F.count("*").alias("n_docs"), F.sum("n_tok").alias("n_tokens")
+    )
+    return (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(query_name)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -681,6 +681,45 @@ FUNNEL_RULES = (
 )
 
 
+def funnel_verdict_col(
+    min_tokens: int = 20,
+    max_tokens: int = 100_000,
+    allowed_langs: tuple[str, ...] | None = None,
+    min_quality: float = 0.3,
+    min_distinct_ratio: float = 0.3,
+) -> Column:
+    """The first-fail verdict as a pure column expression over ``text``
+    (and ``lang`` when ``allowed_langs`` is set) — shared by the batch
+    funnel and the streaming funnel so both charge a document to the
+    identical rule."""
+    text = F.col("text")
+    toks = tokens_col(text)
+    n_tok = F.size(toks)
+    distinct_ratio = (
+        F.size(F.array_distinct(toks)).cast("double") / n_tok
+    )
+    checks = [
+        ("too_short", n_tok < min_tokens),
+        ("too_long", n_tok > max_tokens),
+        (
+            "lang_filtered",
+            ~F.col("lang").isin(list(allowed_langs))
+            if allowed_langs is not None
+            else F.lit(False),
+        ),
+        ("low_quality", quality_score(text) < min_quality),
+        ("repetitive", distinct_ratio < min_distinct_ratio),
+    ]
+    verdict = None
+    for name, cond in checks:
+        verdict = (
+            F.when(cond, F.lit(name))
+            if verdict is None
+            else verdict.when(cond, F.lit(name))
+        )
+    return verdict.otherwise(F.lit("kept"))
+
+
 def quality_funnel(
     documents: DataFrame,
     min_tokens: int = 20,
@@ -707,34 +746,12 @@ def quality_funnel(
 
     Output: (verdict, n_docs, n_tokens, doc_share, token_share),
     verdict in FUNNEL_RULES + 'kept'."""
-    text = F.col("text")
-    toks = tokens_col(text)
-    n_tok = F.size(toks)
-    distinct_ratio = (
-        F.size(F.array_distinct(toks)).cast("double") / n_tok
-    )
-    checks = [
-        ("too_short", n_tok < min_tokens),
-        ("too_long", n_tok > max_tokens),
-        (
-            "lang_filtered",
-            ~F.col("lang").isin(list(allowed_langs))
-            if allowed_langs is not None
-            else F.lit(False),
-        ),
-        ("low_quality", quality_score(text) < min_quality),
-        ("repetitive", distinct_ratio < min_distinct_ratio),
-    ]
-    verdict = None
-    for name, cond in checks:
-        verdict = (
-            F.when(cond, F.lit(name))
-            if verdict is None
-            else verdict.when(cond, F.lit(name))
-        )
     marked = documents.select(
-        verdict.otherwise(F.lit("kept")).alias("verdict"),
-        n_tok.cast("long").alias("n_tok"),
+        funnel_verdict_col(
+            min_tokens, max_tokens, allowed_langs, min_quality,
+            min_distinct_ratio,
+        ).alias("verdict"),
+        token_count(F.col("text")).cast("long").alias("n_tok"),
     )
     agg = marked.groupBy("verdict").agg(
         F.count("*").alias("n_docs"),

@@ -276,3 +276,45 @@ def test_stream_corpus_dedup_restart_idempotent(spark, tmp_path):
     # anti-join must absorb the replay with zero new rows
     st.stream_corpus_dedup(spark, src, out, str(tmp_path / "c2")).awaitTermination()
     assert spark.read.parquet(out).count() == n1 == 2
+
+
+def test_stream_quality_funnel_matches_batch_and_accumulates(spark, tmp_path):
+    src = str(tmp_path / "landing_qf")
+    ckpt = str(tmp_path / "ckpt_qf")
+    batch1 = [
+        ("http://a/1", "one two", 0),                             # too_short
+        ("http://a/2", " ".join(f"w{i}" for i in range(30)), 0),  # kept
+    ]
+    spark.createDataFrame(
+        batch1, "url string, text string, crawl_round int"
+    ).write.mode("append").parquet(src)
+    st.stream_quality_funnel(
+        spark, src, ckpt, query_name="qf_t",
+        min_tokens=10, min_quality=0.0, min_distinct_ratio=0.1,
+    ).awaitTermination()
+    got = {r["verdict"]: (r["n_docs"], r["n_tokens"])
+           for r in spark.table("qf_t").collect()}
+    assert got == {"too_short": (1, 2), "kept": (1, 30)}
+
+    # the same rows through the BATCH funnel charge identical rules
+    from crawlspark import textops
+    bat = {r["verdict"]: (r["n_docs"], r["n_tokens"])
+           for r in textops.quality_funnel(
+               spark.createDataFrame(batch1, "url string, text string, crawl_round int"),
+               min_tokens=10, min_quality=0.0, min_distinct_ratio=0.1,
+           ).collect()}
+    assert {k: v for k, v in bat.items()} == got
+
+    # a later drop accumulates into the running totals (state carries
+    # across restarts via the checkpoint)
+    spark.createDataFrame(
+        [("http://b/1", " ".join(["dup"] * 40), 1)],              # repetitive
+        "url string, text string, crawl_round int",
+    ).write.mode("append").parquet(src)
+    st.stream_quality_funnel(
+        spark, src, ckpt, query_name="qf_t2",
+        min_tokens=10, min_quality=0.0, min_distinct_ratio=0.1,
+    ).awaitTermination()
+    got2 = {r["verdict"]: (r["n_docs"], r["n_tokens"])
+            for r in spark.table("qf_t2").collect()}
+    assert got2 == {"too_short": (1, 2), "kept": (1, 30), "repetitive": (1, 40)}
