@@ -798,6 +798,21 @@ def t32_sequence_packing(spark, sf_dir):
     return tx.sequence_packing(d, budget_tokens=256, n_buckets=4)
 
 
+def t33_packed_text(spark, sf_dir):
+    """The PRODUCING half of t32: one row per packed sequence with the
+    member docs' text concatenated in doc_id order. The gate carries
+    md5(packed text) instead of the text itself so the value hash
+    verifies the packed BYTES without hauling the corpus through the
+    compare; one exchange total (the groupBy reuses the window
+    shuffle)."""
+    d = _t(spark, sf_dir, "documents")
+    p = tx.packed_sequences(d, budget_tokens=256, n_buckets=4)
+    return p.select(
+        "shard", "bucket", "seq_id", "n_docs", "seq_tokens", "first_doc",
+        F.md5(F.col("text")).alias("text_md5"),
+    )
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_filter_project": q02_filter_project,
@@ -861,6 +876,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "t30_url_filter": t30_url_filter,
     "t31_filter_funnel": t31_filter_funnel,
     "t32_sequence_packing": t32_sequence_packing,
+    "t33_packed_text": t33_packed_text,
 }
 
 # ---------------------------------------------------------------------------
@@ -1769,6 +1785,32 @@ ORACLES["t32_sequence_packing"] = f"""
            CAST(sum(n_tok) AS BIGINT) AS seq_tokens,
            min(doc_id) AS first_doc,
            max(doc_id) AS last_doc
+    FROM placed
+    GROUP BY shard, bucket, seq_id
+"""
+
+ORACLES["t33_packed_text"] = f"""
+    WITH rows_t AS (
+        SELECT lang AS shard,
+               CAST({_HEX4.format(h="md5('pack:' || CAST(doc_id AS VARCHAR))")}
+                    % 4 AS INTEGER) AS bucket,
+               doc_id,
+               text,
+               CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+        FROM documents
+    ), placed AS (
+        SELECT shard, bucket, doc_id, text, n_tok,
+               CAST(floor((sum(n_tok) OVER (PARTITION BY shard, bucket
+                         ORDER BY doc_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                     - n_tok) / 256) AS BIGINT) AS seq_id
+        FROM rows_t
+    )
+    SELECT shard, bucket, seq_id,
+           count(*) AS n_docs,
+           CAST(sum(n_tok) AS BIGINT) AS seq_tokens,
+           min(doc_id) AS first_doc,
+           md5(string_agg(text, ' ' ORDER BY doc_id)) AS text_md5
     FROM placed
     GROUP BY shard, bucket, seq_id
 """

@@ -774,19 +774,18 @@ def quality_funnel(
 # -- sequence packing (round 4) ------------------------------------------------
 
 
-def sequence_packing(
+def assign_sequences(
     documents: DataFrame,
     budget_tokens: int = 512,
     n_buckets: int = 4,
     shard_col: str = "lang",
+    carry_cols: tuple[str, ...] = (),
 ) -> DataFrame:
-    """GPT-style packed-sequence assembly plan: concatenate documents in
-    a deterministic order and cut every ``budget_tokens`` tokens; each
-    document is assigned to the sequence where it STARTS (documents may
-    straddle boundaries — the standard causal-LM packing). This emits
-    the assembly PLAN (which docs land in which sequence), the
-    shuffle-free metadata half of packing; materializing token tensors
-    is the trainer's job.
+    """Doc-level sequence assignment shared by the packing plan and the
+    packing writer: every document gets (shard, bucket, seq_id) — the
+    sequence where it STARTS (docs may straddle boundaries, the standard
+    causal-LM packing). ``carry_cols`` rides extra columns (e.g. text)
+    through the one window shuffle so the writer never re-joins.
 
     Scale shape: a single global concatenation order would be one giant
     sort, so packing is sharded — by ``shard_col`` (keep languages
@@ -795,10 +794,7 @@ def sequence_packing(
     cumulative-token window sorts WITHIN a shard only; shards are
     embarrassingly parallel. The coin is the same engine-independent
     md5 arithmetic as stratified_sample, so the plan is bit-stable
-    across engines, reruns, and partition layouts.
-
-    Output per (shard, bucket, seq_id): n_docs, seq_tokens, first/last
-    doc id — the manifest a packing writer consumes."""
+    across engines, reruns, and partition layouts."""
     n_tok = token_count(F.col("text")).cast("long")
     bucket = (
         F.conv(F.substring(F.md5(F.concat(F.lit("pack:"),
@@ -810,21 +806,109 @@ def sequence_packing(
         bucket.alias("bucket"),
         F.col("doc_id"),
         n_tok.alias("n_tok"),
+        *[F.col(c) for c in carry_cols],
     )
     w = (
         Window.partitionBy("shard", "bucket")
         .orderBy("doc_id")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    placed = rows.withColumn(
+    return rows.withColumn(
         "seq_id",
         F.floor(
             (F.sum("n_tok").over(w) - F.col("n_tok")) / budget_tokens
         ).cast("long"),
     )
+
+
+def sequence_packing(
+    documents: DataFrame,
+    budget_tokens: int = 512,
+    n_buckets: int = 4,
+    shard_col: str = "lang",
+) -> DataFrame:
+    """GPT-style packed-sequence assembly plan: concatenate documents in
+    a deterministic order and cut every ``budget_tokens`` tokens; each
+    document is assigned to the sequence where it STARTS. This emits
+    the assembly PLAN (which docs land in which sequence), the
+    shuffle-free metadata half of packing; ``packed_sequences`` /
+    ``write_packed_sequences`` are the producing half.
+
+    Output per (shard, bucket, seq_id): n_docs, seq_tokens, first/last
+    doc id — the manifest a packing writer consumes. Scale shape: see
+    ``assign_sequences`` (one within-shard window, no global sort)."""
+    placed = assign_sequences(documents, budget_tokens, n_buckets, shard_col)
     return placed.groupBy("shard", "bucket", "seq_id").agg(
         F.count("*").alias("n_docs"),
         F.sum("n_tok").alias("seq_tokens"),
         F.min("doc_id").alias("first_doc"),
         F.max("doc_id").alias("last_doc"),
+    )
+
+
+def packed_sequences(
+    documents: DataFrame,
+    budget_tokens: int = 512,
+    n_buckets: int = 4,
+    shard_col: str = "lang",
+) -> DataFrame:
+    """The PRODUCING half of sequence packing: one row per packed
+    sequence with the member documents' text concatenated in doc_id
+    order (space-joined — the same separator tokens_col splits on, so
+    seq_tokens is exactly the token count of the packed text). The
+    trainer cuts tensors every ``budget_tokens`` from this stream;
+    straddle semantics follow ``assign_sequences``.
+
+    Scale shape: the groupBy's clustering keys extend the window's
+    partition keys, so Spark reuses the window shuffle — ONE exchange
+    total, carrying text once. The ordered concat is
+    array_sort(collect_list(struct(doc_id, text))) inside the
+    hash-agg; per-group state is bounded by the token budget (a
+    sequence holds ~budget_tokens tokens by construction), never the
+    corpus."""
+    placed = assign_sequences(
+        documents, budget_tokens, n_buckets, shard_col, carry_cols=("text",)
+    )
+    ordered = F.array_sort(F.collect_list(F.struct("doc_id", "text")))
+    return placed.groupBy("shard", "bucket", "seq_id").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_tok").alias("seq_tokens"),
+        F.min("doc_id").alias("first_doc"),
+        F.array_join(
+            F.transform(ordered, lambda x: x["text"]), " "
+        ).alias("text"),
+    )
+
+
+def write_packed_sequences(
+    documents: DataFrame,
+    out_dir: str,
+    budget_tokens: int = 512,
+    n_buckets: int = 4,
+    shard_col: str = "lang",
+    target_file_mb: int = 128,
+    avg_token_bytes: int = 6,
+) -> None:
+    """Materialize packed sequences as a size-targeted parquet layout —
+    the writer half the assembly plan promises: one directory per shard
+    (``shard=<lang>/``, so a trainer streams one language without
+    listing the rest), files capped near ``target_file_mb`` via
+    maxRecordsPerFile (records/file derived from the per-sequence byte
+    estimate budget_tokens * avg_token_bytes), rows ordered by
+    (bucket, seq_id) within each file so a sequential reader sees the
+    deterministic packing order.
+
+    Scale shape: inherits packed_sequences' single exchange; the write
+    adds zero shuffles (partitionBy redistributes nothing — each task
+    writes its own shard subdirs) and sortWithinPartitions is a
+    per-partition sort of budget-bounded rows."""
+    per_seq_bytes = max(1, budget_tokens * avg_token_bytes)
+    rows_per_file = max(1, (target_file_mb * (1 << 20)) // per_seq_bytes)
+    (
+        packed_sequences(documents, budget_tokens, n_buckets, shard_col)
+        .sortWithinPartitions("bucket", "seq_id")
+        .write.mode("overwrite")
+        .option("maxRecordsPerFile", rows_per_file)
+        .partitionBy("shard")
+        .parquet(out_dir)
     )

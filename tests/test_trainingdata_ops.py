@@ -678,3 +678,43 @@ def test_sequence_packing_straddle_and_shards(spark):
         for r in textops.sequence_packing(d2, budget_tokens=4, n_buckets=1).collect()
     }
     assert shards == {"en", "fr"}
+
+
+def test_packed_sequences_text_and_writer(spark, tmp_path):
+    # same fixture as the plan test: 3 docs x 3 tokens, budget 4 ->
+    # seq 0 holds docs 0,1 (straddle), seq 1 holds doc 2
+    rows = [(i, f"a{i} b{i} c{i}", "en") for i in range(3)]
+    d = spark.createDataFrame(rows, ["doc_id", "text", "lang"])
+    got = {
+        (r["shard"], r["bucket"], r["seq_id"]): (
+            r["n_docs"], r["seq_tokens"], r["first_doc"], r["text"]
+        )
+        for r in textops.packed_sequences(d, budget_tokens=4, n_buckets=1).collect()
+    }
+    # packed text is the member docs space-joined in doc_id order, so
+    # seq_tokens is exactly the token count of the packed text
+    assert got[("en", 0, 0)] == (2, 6, 0, "a0 b0 c0 a1 b1 c1")
+    assert got[("en", 0, 1)] == (1, 3, 2, "a2 b2 c2")
+
+    # the writer: shard=<lang>/ layout, read-back equals the relation,
+    # maxRecordsPerFile honored (per-seq estimate 4 tok x 1 B = 4 B;
+    # 1 MB target -> huge cap; force 1 row/file with a tiny target via
+    # avg_token_bytes making per_seq_bytes > target bytes)
+    out = str(tmp_path / "packed")
+    textops.write_packed_sequences(
+        d, out, budget_tokens=4, n_buckets=1,
+        target_file_mb=1, avg_token_bytes=1 << 20,
+    )
+    import glob
+    assert glob.glob(out + "/shard=en/*.parquet")
+    back = spark.read.parquet(out)
+    got_back = {
+        (r["shard"], r["bucket"], r["seq_id"]): (r["n_docs"], r["text"])
+        for r in back.collect()
+    }
+    assert got_back == {
+        ("en", 0, 0): (2, "a0 b0 c0 a1 b1 c1"),
+        ("en", 0, 1): (1, "a2 b2 c2"),
+    }
+    # rows_per_file floored to 1 -> one sequence per file
+    assert len(glob.glob(out + "/shard=en/*.parquet")) == 2
