@@ -813,6 +813,38 @@ def t33_packed_text(spark, sf_dir):
     )
 
 
+def t34_url_trap_stats(spark, sf_dir):
+    """Crawl-trap detection by URL-template explosion: collapse digit
+    runs in each path to ``D`` and count concrete URLs per (host,
+    template) — calendar mazes and session-id mints light up as one
+    template with an unbounded count. One projection (two regexes in
+    scan codegen) + one hash-agg; the share window runs over the tiny
+    (host, template) aggregate, never raw URLs. URLs synthesized
+    deterministically from doc_id: every third doc mints a
+    calendar-shaped URL (the trap), the rest get md5 paths."""
+    d = _t(spark, sf_dir, "documents")
+    did = F.col("doc_id").cast("bigint")
+    urls = d.select(
+        F.concat(
+            F.lit("https://"),
+            F.col("source"),
+            F.lit(".example.com"),
+            F.when(
+                did % 3 == 0,
+                F.concat(
+                    F.lit("/cal/"),
+                    (did % 97).cast("string"),
+                    F.lit("/day/"),
+                    (did % 31).cast("string"),
+                ),
+            ).otherwise(
+                F.concat(F.lit("/p/"), F.md5(did.cast("string")))
+            ),
+        ).alias("url")
+    )
+    return uf.url_trap_stats(urls, min_urls=5)
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_filter_project": q02_filter_project,
@@ -877,6 +909,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "t31_filter_funnel": t31_filter_funnel,
     "t32_sequence_packing": t32_sequence_packing,
     "t33_packed_text": t33_packed_text,
+    "t34_url_trap_stats": t34_url_trap_stats,
 }
 
 # ---------------------------------------------------------------------------
@@ -1813,6 +1846,33 @@ ORACLES["t33_packed_text"] = f"""
            md5(string_agg(text, ' ' ORDER BY doc_id)) AS text_md5
     FROM placed
     GROUP BY shard, bucket, seq_id
+"""
+
+ORACLES["t34_url_trap_stats"] = """
+    WITH urls AS (
+        SELECT 'https://' || source || '.example.com'
+               || CASE WHEN doc_id % 3 = 0
+                       THEN '/cal/' || CAST(doc_id % 97 AS VARCHAR)
+                            || '/day/' || CAST(doc_id % 31 AS VARCHAR)
+                       ELSE '/p/' || md5(CAST(doc_id AS VARCHAR)) END AS url
+        FROM documents
+    ), feat AS (
+        SELECT regexp_extract(url, '^[a-z][a-z0-9+.-]*://([^/?#]+)', 1)
+                   AS host,
+               regexp_replace(
+                   regexp_extract(url,
+                       '^[a-z][a-z0-9+.-]*://[^/?#]*([^?#]*)', 1),
+                   '[0-9]+', 'D', 'g') AS template
+        FROM urls
+    ), agg AS (
+        SELECT host, template, count(*) AS n_urls
+        FROM feat GROUP BY 1, 2
+    )
+    SELECT host, template, n_urls,
+           round(n_urls / sum(n_urls) OVER (PARTITION BY host), 6)
+               AS host_share,
+           n_urls >= 5 AS is_trap
+    FROM agg
 """
 
 ORACLES = {k: v for k, v in ORACLES.items() if v is not None}

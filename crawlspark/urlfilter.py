@@ -118,6 +118,54 @@ def url_filter(
     return out.drop("_blocked") if blocked_hosts_df is not None else out
 
 
+def url_trap_stats(
+    frontier: DataFrame,
+    url_col: str = "url",
+    min_urls: int = 100,
+) -> DataFrame:
+    """Crawl-trap (spider-trap) detection by URL-template explosion —
+    the frontier-hygiene pass big crawlers run between link discovery
+    and the frontier MERGE. Calendar pages, session-id mints, and
+    faceted-search mazes all share one signature: a single path
+    TEMPLATE (the path with digit runs collapsed to ``D``) expands into
+    an unbounded set of concrete URLs on one host, starving every other
+    host's budget. The reference hits the same failure through its
+    per-domain politeness window (/root/reference/url_dispatcher/
+    url_dispatcher.py:143-200 paces hosts but never notices the queue
+    behind one host is infinite); this operator makes it observable so
+    admission can cap or drop the template.
+
+    Output per (host, template): n_urls, host_share (this template's
+    fraction of the host's frontier), is_trap (n_urls >= min_urls).
+
+    Scale shape: one projection (two regexes, whole-stage codegen) +
+    one hash-agg — within-template duplicates collapse map-side, so the
+    shuffle carries |distinct (host, template)| rows, not the frontier.
+    The share window runs over that aggregate partitioned by host,
+    never over raw URLs. No corpus-derived broadcast anywhere."""
+    url = F.col(url_col)
+    template = F.regexp_replace(path_col(url), r"[0-9]+", "D")
+    agg = (
+        frontier.select(
+            host_col(url).alias("host"), template.alias("template")
+        )
+        .groupBy("host", "template")
+        .agg(F.count("*").alias("n_urls"))
+    )
+    from pyspark.sql import Window
+
+    host_total = F.sum("n_urls").over(Window.partitionBy("host"))
+    return agg.select(
+        "host",
+        "template",
+        "n_urls",
+        F.round(F.col("n_urls") / host_total.cast("double"), 6).alias(
+            "host_share"
+        ),
+        (F.col("n_urls") >= min_urls).alias("is_trap"),
+    )
+
+
 def url_filter_report(filtered: DataFrame) -> DataFrame:
     """Attrition funnel: rows per first-failing rule + corpus share.
     One hash-agg collapses the corpus to <=|RULES|+1 rows; the share

@@ -614,6 +614,31 @@ def test_url_filter_blocklist_df_matches_literal_path(spark):
     )
 
 
+def test_url_trap_stats_template_explosion(spark):
+    from crawlspark import urlfilter
+
+    rows = [
+        (0, "https://a.example.com/cal/1"),
+        (1, "https://a.example.com/cal/2"),
+        (2, "https://a.example.com/cal/37"),
+        (3, "https://a.example.com/about"),
+        (4, "https://b.example.com/x"),
+    ]
+    d = spark.createDataFrame(rows, ["doc_id", "url"])
+    got = {
+        (r["host"], r["template"]): (
+            r["n_urls"], r["host_share"], r["is_trap"]
+        )
+        for r in urlfilter.url_trap_stats(d, min_urls=3).collect()
+    }
+    # digit runs of any length collapse to one D: /cal/1, /cal/2, /cal/37
+    # all share template /cal/D and flag as the trap
+    assert got[("a.example.com", "/cal/D")] == (3, 0.75, True)
+    assert got[("a.example.com", "/about")] == (1, 0.25, False)
+    assert got[("b.example.com", "/x")] == (1, 1.0, False)
+    assert len(got) == 3
+
+
 def test_url_filter_report_shares_sum_to_one(spark):
     from crawlspark import urlfilter
 
