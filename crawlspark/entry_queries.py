@@ -845,6 +845,30 @@ def t34_url_trap_stats(spark, sf_dir):
     return uf.url_trap_stats(urls, min_urls=5)
 
 
+def t35_domain_stats(spark, sf_dir):
+    """Domain-level quality aggregation (FineWeb shape): per source
+    domain — doc count, corpus-wide exact-duplicate rate, mean tokens,
+    mean quality, keep verdict. The synthetic corpus has no exact
+    duplicates, so the gate injects a deterministic mirror-boilerplate
+    text into every third doc of the first ten sources (doc_id is
+    round-robin over sources), making dup_rate — and the verdict —
+    discriminate between the two source halves."""
+    d = _t(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    injected = d.withColumn(
+        "text",
+        F.when(
+            (did % 20 < 10) & (did % 3 == 0),
+            F.concat(
+                F.lit("mirror boilerplate page for "), F.col("source")
+            ),
+        ).otherwise(F.col("text")),
+    )
+    return tx.domain_stats(
+        injected, by="source", max_dup_rate=0.2, min_mean_quality=0.5
+    )
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_filter_project": q02_filter_project,
@@ -910,6 +934,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "t32_sequence_packing": t32_sequence_packing,
     "t33_packed_text": t33_packed_text,
     "t34_url_trap_stats": t34_url_trap_stats,
+    "t35_domain_stats": t35_domain_stats,
 }
 
 # ---------------------------------------------------------------------------
@@ -1873,6 +1898,42 @@ ORACLES["t34_url_trap_stats"] = """
                AS host_share,
            n_urls >= 5 AS is_trap
     FROM agg
+"""
+
+ORACLES["t35_domain_stats"] = """
+    WITH docs2 AS (
+        SELECT doc_id, source,
+               CASE WHEN doc_id % 20 < 10 AND doc_id % 3 = 0
+                    THEN 'mirror boilerplate page for ' || source
+                    ELSE text END AS text
+        FROM documents
+    ), base AS (
+        SELECT source AS stratum,
+               md5(lower(regexp_replace(text, '\\s+', ' ', 'g'))) AS fp,
+               len(string_split(text, ' ')) AS n_tok,
+               round(least(CAST(len(string_split(text, ' ')) AS double)
+                           / 100.0, 1.0) * 0.6
+                     + (1.0 - least(
+                           CAST(length(regexp_replace(
+                               text, '[^.,;:!?]', '', 'g')) AS double)
+                           / length(text) * 10.0, 1.0)) * 0.4, 4) AS q
+        FROM docs2
+    ), fpc AS (
+        SELECT fp, count(*) AS n_fp FROM base GROUP BY 1
+    ), per AS (
+        SELECT stratum, count(*) AS n_docs,
+               CAST(sum(CASE WHEN n_fp > 1 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_dup_docs,
+               round(avg(n_tok), 6) AS mean_tokens,
+               round(avg(q), 6) AS mean_quality
+        FROM base JOIN fpc USING (fp) GROUP BY 1
+    )
+    SELECT stratum, n_docs, n_dup_docs,
+           round(n_dup_docs / n_docs, 6) AS dup_rate,
+           mean_tokens, mean_quality,
+           (round(n_dup_docs / n_docs, 6) <= 0.2
+            AND mean_quality >= 0.5) AS keep
+    FROM per
 """
 
 ORACLES = {k: v for k, v in ORACLES.items() if v is not None}

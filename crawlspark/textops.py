@@ -657,6 +657,63 @@ def token_budget(documents: DataFrame, by: str = "lang") -> DataFrame:
     )
 
 
+def domain_stats(
+    documents: DataFrame,
+    by: str = "source",
+    max_dup_rate: float = 0.5,
+    min_mean_quality: float = 0.5,
+) -> DataFrame:
+    """FineWeb-style domain-level quality aggregation: per stratum
+    (default source domain) the doc count, exact-duplicate rate, mean
+    token count, mean quality score, and a keep verdict — the table a
+    corpus pipeline uses to drop whole spam/mirror domains BEFORE
+    per-document filtering (a domain whose docs are mostly copies of
+    each other, or mostly low-quality, is cheaper to cut at the domain
+    level than doc by doc).
+
+    dup_rate counts a doc as duplicated when its content fingerprint
+    appears more than once CORPUS-WIDE (mirrors count against both
+    domains), the same md5-normalized fingerprint as exact_dedup/t03.
+
+    Scale shape: one hash-agg collapses the corpus to |distinct
+    fingerprint| counts (within-domain copies collapse map-side), one
+    equi-join back on fingerprint (O(corpus), never corpus²), one final
+    hash-agg to |strata| rows. No windows over raw docs, no broadcast of
+    corpus-derived sets. Quality is the HeuristicScorer expression —
+    oracle-exact in DuckDB (t02's twin)."""
+    text = F.col("text")
+    base = documents.select(
+        F.col(by).alias("stratum"),
+        doc_fingerprint(text).alias("fingerprint"),
+        token_count(text).alias("n_tok"),
+        quality_score(text).alias("q"),
+    )
+    fp_counts = base.groupBy("fingerprint").agg(F.count("*").alias("n_fp"))
+    per = (
+        base.join(fp_counts, "fingerprint")
+        .groupBy("stratum")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum((F.col("n_fp") > 1).cast("long")).alias("n_dup_docs"),
+            F.round(F.avg("n_tok"), 6).alias("mean_tokens"),
+            F.round(F.avg("q"), 6).alias("mean_quality"),
+        )
+    )
+    dup_rate = F.round(F.col("n_dup_docs") / F.col("n_docs"), 6)
+    return per.select(
+        "stratum",
+        "n_docs",
+        "n_dup_docs",
+        dup_rate.alias("dup_rate"),
+        "mean_tokens",
+        "mean_quality",
+        (
+            (dup_rate <= max_dup_rate)
+            & (F.col("mean_quality") >= min_mean_quality)
+        ).alias("keep"),
+    )
+
+
 def decontaminate(
     documents: DataFrame, probe: DataFrame, k: int = 3, min_shared: int = 2
 ) -> DataFrame:

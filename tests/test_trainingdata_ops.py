@@ -614,6 +614,30 @@ def test_url_filter_blocklist_df_matches_literal_path(spark):
     )
 
 
+def test_domain_stats_dup_rate_and_verdict(spark):
+    rows = [
+        (0, "a", "dup dup"),      # corpus-wide fp appears 3x (incl. b's)
+        (1, "a", "dup dup"),
+        (2, "a", "solo"),
+        (3, "b", "dup dup"),      # mirror: counts as dup for b too
+        (4, "b", "other"),
+    ]
+    d = spark.createDataFrame(rows, ["doc_id", "source", "text"])
+    got = {
+        r["stratum"]: r.asDict()
+        for r in textops.domain_stats(
+            d, by="source", max_dup_rate=0.5, min_mean_quality=0.0
+        ).collect()
+    }
+    a, b = got["a"], got["b"]
+    assert (a["n_docs"], a["n_dup_docs"]) == (3, 2)
+    assert abs(a["dup_rate"] - 0.666667) < 1e-9 and a["keep"] is False
+    assert (b["n_docs"], b["n_dup_docs"]) == (2, 1)
+    assert abs(b["dup_rate"] - 0.5) < 1e-9 and b["keep"] is True
+    assert abs(a["mean_tokens"] - 1.666667) < 1e-9
+    assert abs(b["mean_tokens"] - 1.5) < 1e-9
+
+
 def test_url_trap_stats_template_explosion(spark):
     from crawlspark import urlfilter
 
