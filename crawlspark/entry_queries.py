@@ -22,6 +22,7 @@ from pyspark.sql import functions as F
 
 from . import dedup as dd
 from . import graph as gr
+from . import scheduler as sched
 from . import similarity as sim
 from . import textops as tx
 from . import urlfilter as uf
@@ -869,6 +870,52 @@ def t35_domain_stats(spark, sf_dir):
     )
 
 
+def t36_resolve_redirects(spark, sf_dir):
+    """Redirect-chain resolution via pointer doubling (3 self-joins for
+    8 hops, never a per-hop loop). Edges synthesized from doc_id:
+    u{i} -> u{i+1} except every 12th node (chains of 11 — longer than
+    the 8-hop cap, so capped/unresolved rows appear alongside resolved
+    ones), plus a second fork edge every 50th node to exercise the
+    min(dst) determinize step."""
+    d = _t(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    u = lambda c: F.concat(F.lit("u"), c.cast("string"))  # noqa: E731
+    chain = d.filter(did % 12 != 11).select(
+        u(did).alias("src"), u(did + 1).alias("dst")
+    )
+    fork = d.filter(did % 50 == 0).select(
+        u(did).alias("src"), u(did + 2).alias("dst")
+    )
+    return gr.resolve_redirects(chain.unionAll(fork), max_hops=8)
+
+
+def t37_revisit_schedule(spark, sf_dir):
+    """Freshness-driven revisit scheduling (Cho & Garcia-Molina):
+    change rate + next re-crawl interval per URL from a synthetic fetch
+    history (100 urls x 5 rounds; a third change every round, a third
+    never, a third every other round — so all three policy branches
+    produce rows: rate-proportional, exponential backoff, clamp)."""
+    d = _t(spark, sf_dir, "documents")
+    did = F.col("doc_id").cast("long")
+    uid = did % 100
+    rnd = F.floor(did / 100).cast("long")
+    fp = (
+        F.when(uid % 3 == 0, F.concat(F.lit("c"), rnd.cast("string")))
+        .when(uid % 3 == 1, F.lit("s"))
+        .otherwise(
+            F.concat(
+                F.lit("h"), F.floor(rnd / 2).cast("long").cast("string")
+            )
+        )
+    )
+    hist = d.select(
+        F.concat(F.lit("u"), uid.cast("string")).alias("url"),
+        rnd.alias("round"),
+        fp.alias("fingerprint"),
+    )
+    return sched.revisit_schedule(hist, base_interval=1, max_interval=8)
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_filter_project": q02_filter_project,
@@ -935,6 +982,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "t33_packed_text": t33_packed_text,
     "t34_url_trap_stats": t34_url_trap_stats,
     "t35_domain_stats": t35_domain_stats,
+    "t36_resolve_redirects": t36_resolve_redirects,
+    "t37_revisit_schedule": t37_revisit_schedule,
 }
 
 # ---------------------------------------------------------------------------
@@ -1934,6 +1983,80 @@ ORACLES["t35_domain_stats"] = """
            (round(n_dup_docs / n_docs, 6) <= 0.2
             AND mean_quality >= 0.5) AS keep
     FROM per
+"""
+
+ORACLES["t36_resolve_redirects"] = """
+    WITH RECURSIVE m AS (
+        SELECT src, min(dst) AS dst FROM (
+            SELECT 'u' || CAST(doc_id AS VARCHAR) AS src,
+                   'u' || CAST(doc_id + 1 AS VARCHAR) AS dst
+            FROM documents WHERE doc_id % 12 <> 11
+            UNION ALL
+            SELECT 'u' || CAST(doc_id AS VARCHAR),
+                   'u' || CAST(doc_id + 2 AS VARCHAR)
+            FROM documents WHERE doc_id % 50 = 0
+        ) GROUP BY 1
+    ), walk AS (
+        SELECT src, dst AS cur, 1 AS n_hops FROM m
+        UNION ALL
+        SELECT w.src, m.dst, w.n_hops + 1
+        FROM walk w JOIN m ON w.cur = m.src
+        WHERE w.n_hops < 8
+    ), fin AS (
+        SELECT src, cur, n_hops,
+               row_number() OVER (PARTITION BY src ORDER BY n_hops DESC)
+                   AS rn
+        FROM walk
+    )
+    SELECT f.src, f.cur AS final_url, CAST(f.n_hops AS INT) AS n_hops,
+           (m2.src IS NULL) AS resolved
+    FROM fin f LEFT JOIN m m2 ON f.cur = m2.src
+    WHERE f.rn = 1
+"""
+
+ORACLES["t37_revisit_schedule"] = """
+    WITH hist AS (
+        SELECT 'u' || CAST(doc_id % 100 AS VARCHAR) AS url,
+               CAST(floor(doc_id / 100) AS BIGINT) AS round,
+               CASE
+                   WHEN (doc_id % 100) % 3 = 0 THEN
+                       'c' || CAST(CAST(floor(doc_id / 100) AS BIGINT)
+                                   AS VARCHAR)
+                   WHEN (doc_id % 100) % 3 = 1 THEN 's'
+                   ELSE 'h' || CAST(CAST(floor(floor(doc_id / 100) / 2)
+                                         AS BIGINT) AS VARCHAR)
+               END AS fingerprint
+        FROM documents
+    ), steps AS (
+        SELECT url, round, fingerprint,
+               lag(fingerprint) OVER (PARTITION BY url ORDER BY round)
+                   AS pfp
+        FROM hist
+    ), per AS (
+        SELECT url, count(*) AS n_fetches,
+               CAST(sum(CASE WHEN pfp IS NOT NULL AND fingerprint <> pfp
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_changes,
+               max(round) AS last_round
+        FROM steps GROUP BY 1
+    ), iv AS (
+        SELECT *,
+               CASE WHEN n_fetches <= 1 THEN 1
+                    WHEN n_changes = 0 THEN
+                        least(8, CAST(power(2.0, n_fetches - 1) AS BIGINT))
+                    ELSE greatest(1, least(8, CAST(ceil(
+                        1.0 / (n_changes / (n_fetches - 1.0)))
+                        AS BIGINT)))
+               END AS nxt
+        FROM per
+    )
+    SELECT url, n_fetches, n_changes,
+           round(CASE WHEN n_fetches > 1
+                      THEN n_changes / (n_fetches - 1.0) END, 6)
+               AS change_rate,
+           last_round,
+           CAST(nxt AS INT) AS next_interval,
+           last_round + nxt AS next_round
+    FROM iv
 """
 
 ORACLES = {k: v for k, v in ORACLES.items() if v is not None}

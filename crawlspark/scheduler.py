@@ -305,3 +305,79 @@ def link_priority(url: str, t1: int = 100, t2: int = 200) -> int:
         return 0
     r = int(m.group(1))
     return 1 if r <= t1 else (0 if r <= t2 else -1)
+
+
+def revisit_schedule(
+    history: DataFrame,
+    base_interval: int = 1,
+    max_interval: int = 64,
+) -> DataFrame:
+    """Freshness-driven revisit scheduling (Cho & Garcia-Molina 2003):
+    from a fetch history of (url, round, fingerprint) rows, estimate
+    each URL's change rate and emit the next re-crawl interval — the
+    incremental-crawl policy that spends budget on pages that actually
+    change. The reference crawls each URL once (its dupefilter never
+    expires); a continuous 10^10-URL crawl must instead re-visit, and
+    this table IS the priority input for that (feed through
+    crawl.rescore_frontier or ingest_urls).
+
+    Policy (deterministic, SQL-replayable): change_rate = observed
+    content changes / revisit opportunities (consecutive fetch pairs);
+    next_interval doubles per fully-static history — exponential
+    backoff, clamped to [base_interval, max_interval] — and is
+    inverse-proportional to change_rate otherwise
+    (ceil(base/change_rate), same clamp). Single-fetch URLs get
+    base_interval (no evidence yet). next_round = last_round +
+    next_interval.
+
+    Scale shape: one lag window sharded by url (10^10 urls shard on the
+    key; no global sort) + one hash-agg to |urls| rows. Fingerprints
+    compare as strings — any content hash (t03's md5, the seen-set
+    sha1) plugs in."""
+    w = Window.partitionBy("url").orderBy("round")
+    steps = history.select(
+        "url",
+        F.col("round"),
+        "fingerprint",
+        F.lag("fingerprint").over(w).alias("_prev_fp"),
+    )
+    per = steps.groupBy("url").agg(
+        F.count("*").alias("n_fetches"),
+        F.sum(
+            (
+                F.col("_prev_fp").isNotNull()
+                & (F.col("fingerprint") != F.col("_prev_fp"))
+            ).cast("long")
+        ).alias("n_changes"),
+        F.max("round").alias("last_round"),
+    )
+    opp = F.col("n_fetches") - 1
+    rate = F.when(opp > 0, F.col("n_changes") / opp).otherwise(F.lit(None))
+    backoff = F.least(
+        F.lit(max_interval),
+        F.lit(base_interval)
+        * F.pow(F.lit(2.0), opp.cast("double")).cast("long"),
+    )
+    interval = (
+        F.when(opp <= 0, F.lit(base_interval))
+        .when(F.col("n_changes") == 0, backoff)
+        .otherwise(
+            F.greatest(
+                F.lit(base_interval),
+                F.least(
+                    F.lit(max_interval),
+                    F.ceil(F.lit(float(base_interval)) / rate),
+                ),
+            )
+        )
+        .cast("int")
+    )
+    return per.select(
+        "url",
+        "n_fetches",
+        "n_changes",
+        F.round(rate, 6).alias("change_rate"),
+        "last_round",
+        interval.alias("next_interval"),
+        (F.col("last_round") + interval).alias("next_round"),
+    )

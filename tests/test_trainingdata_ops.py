@@ -519,6 +519,68 @@ def test_incremental_dedup_anti_joins_history(spark):
     assert [r["doc_id"] for r in out] == [11]
 
 
+def test_resolve_redirects_chain_cycle_fork(spark):
+    from crawlspark import graph
+
+    edges = [
+        ("a", "b"), ("b", "c"),          # chain: a -2-> c, b -1-> c
+        ("x", "y"), ("y", "x"),          # 2-cycle: bounces, caps at 4
+        ("f", "zz"), ("f", "ab"),        # fork: min(dst) = 'ab' wins
+    ]
+    d = spark.createDataFrame(edges, ["src", "dst"])
+    got = {
+        r["src"]: (r["final_url"], r["n_hops"], r["resolved"])
+        for r in graph.resolve_redirects(d, max_hops=4).collect()
+    }
+    assert got["a"] == ("c", 2, True)
+    assert got["b"] == ("c", 1, True)
+    # after exactly 4 hops the 2-cycle is back where it started
+    assert got["x"] == ("x", 4, False)
+    assert got["y"] == ("y", 4, False)
+    assert got["f"] == ("ab", 1, True)
+    assert len(got) == 5  # 'c' has no outgoing edge -> not a src row
+
+
+def test_resolve_redirects_rejects_non_power_of_two(spark):
+    from crawlspark import graph
+
+    d = spark.createDataFrame([("a", "b")], ["src", "dst"])
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        graph.resolve_redirects(d, max_hops=6)
+
+
+def test_revisit_schedule_policy_branches(spark):
+    from crawlspark import scheduler
+
+    rows = [
+        # hot: changes every fetch -> interval = base
+        ("hot", 0, "a"), ("hot", 1, "b"), ("hot", 2, "c"),
+        # cold: never changes over 5 fetches -> backoff 2^4 clamped to 8
+        ("cold", 0, "x"), ("cold", 1, "x"), ("cold", 2, "x"),
+        ("cold", 3, "x"), ("cold", 4, "x"),
+        # half: 1 change in 2 opportunities -> ceil(1/0.5) = 2
+        ("half", 0, "p"), ("half", 1, "p"), ("half", 2, "q"),
+        # new: single fetch, no evidence -> base
+        ("new", 7, "z"),
+    ]
+    d = spark.createDataFrame(rows, ["url", "round", "fingerprint"])
+    got = {
+        r["url"]: (
+            r["n_fetches"], r["n_changes"], r["change_rate"],
+            r["next_interval"], r["next_round"],
+        )
+        for r in scheduler.revisit_schedule(
+            d, base_interval=1, max_interval=8
+        ).collect()
+    }
+    assert got["hot"] == (3, 2, 1.0, 1, 3)
+    assert got["cold"] == (5, 0, 0.0, 8, 12)
+    assert got["half"] == (3, 1, 0.5, 2, 4)
+    assert got["new"] == (1, 0, None, 1, 8)
+
+
 def test_transition_edges_weights(spark):
     from crawlspark import graph
 
