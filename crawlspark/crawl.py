@@ -316,6 +316,76 @@ def rescore_frontier(
     return {"rescored": n_changed}
 
 
+def requeue_urls(
+    store: FrontierStore, urls: DataFrame, round_no: int | None = None
+) -> dict:
+    """Flip DONE frontier rows back to QUEUED — the revisit application
+    (scheduler.revisit_schedule decides WHICH urls are due; this makes
+    the decision actionable). The reference never re-crawls (its
+    RFPDupeFilter set never expires, /root/reference/dupefilter.py —
+    same default here); a continuous crawl re-visits changing pages, and
+    the seen-set must keep suppressing duplicate INSERTS while the
+    existing row re-enters the queue — so requeue is a status
+    transition on the frontier row, not a seen-set mutation.
+
+    ``urls``: (url[, priority]) — already-canonical urls (they come from
+    the engine's own fetch history). Rows not currently DONE are
+    ignored (queued rows are already in line; unknown urls go through
+    ingest_urls, which owns the insert lattice). When a priority column
+    is present it replaces the row's priority (revisit_schedule callers
+    typically boost fast-changing urls).
+
+    Mechanics: same shape as rescore_frontier — resolve state, flip
+    matching rows, OVERWRITE (content-rewrite commit; added_since
+    consumers skip it structurally). op_seq stays: the next pop marks
+    done at op_seq 4r+2 with the NEW round r, which resolves above the
+    kept value exactly like any re-mark. The queued_after hint grows by
+    the number of flipped rows, so drain detection and zero-job resume
+    stay exact; runner.run() then continues a "finished" crawl."""
+    state = store.frontier_state()
+    if state is None:
+        return {"requeued": 0}
+    last = store.last_committed_round()
+    if round_no is None:
+        round_no = last if last is not None else 0
+    elif last is not None and round_no < last:
+        raise ValueError(
+            f"requeue_urls round_no={round_no} < last committed round "
+            f"{last}: committing behind the frontier breaks resume; omit "
+            "round_no to use the current round"
+        )
+    cols = [F.col("url"), F.lit(True).alias("_req")]
+    if "priority" in urls.columns:
+        cols.append(F.col("priority").cast("int").alias("_new_prio"))
+    s = urls.select(*cols).dropDuplicates(["url"])
+    joined = state.join(s, "url", "left")
+    flip = (F.col("status") == STATUS_DONE) & F.col("_req").isNotNull()
+    n_requeued = state.filter(F.col("status") == STATUS_DONE).join(
+        s, "url", "left_semi"
+    ).count()
+    # priority first: ``flip`` reads the status column, which the status
+    # rewrite below replaces
+    requeued = joined
+    if "_new_prio" in requeued.columns:
+        requeued = requeued.withColumn(
+            "priority",
+            F.when(
+                flip & F.col("_new_prio").isNotNull(), F.col("_new_prio")
+            ).otherwise(F.col("priority")),
+        )
+    requeued = requeued.withColumn(
+        "status", F.when(flip, F.lit(STATUS_QUEUED)).otherwise(F.col("status"))
+    ).drop("_req", "_new_prio")
+    meta: dict = {"requeue": True}
+    hint = store.queued_after_hint()
+    if hint is not None:
+        meta["queued_after"] = hint + n_requeued
+    store.frontier.overwrite(
+        requeued.select(*_FRONTIER_COLS), round_no, meta=meta
+    )
+    return {"requeued": n_requeued}
+
+
 def run_round(
     spark: SparkSession,
     store: FrontierStore,

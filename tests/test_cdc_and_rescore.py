@@ -165,3 +165,114 @@ def test_rescore_noop_on_done_rows(spark, tmp_path):
         map(tuple, store.frontier_state().select("fp", "priority", "status").collect())
     )
     assert before == after
+
+
+def test_requeue_urls_recrawls_exactly_the_flipped_rows(spark, tmp_path):
+    from crawlspark.crawl import requeue_urls
+
+    site = _site()
+    pages, seeds, robots = _dfs(spark, site)
+    runner = CrawlRunner(spark, str(tmp_path / "s"), CFG)
+    runner.init(seeds)
+    runner.run(pages, robots)  # crawl to completion: nothing queued
+
+    store = runner.store
+    log0 = store.fetch_log_state()
+    max_round = log0.agg(F.max("round")).collect()[0][0]
+    fetched_once = {r["url"] for r in log0.select("url").collect()}
+    pick = sorted(fetched_once)[:2]
+
+    hint_before = store.queued_after_hint()
+    assert hint_before == 0  # drained
+    out = requeue_urls(
+        store, spark.createDataFrame([(u, 99) for u in pick], ["url", "priority"])
+    )
+    assert out["requeued"] == 2
+    assert store.queued_after_hint() == 2
+    st = {
+        r["url"]: (r["status"], r["priority"])
+        for r in store.frontier_state().collect()
+    }
+    for u in pick:
+        assert st[u] == ("queued", 99)
+
+    # a resumed runner picks up the "finished" crawl and re-fetches
+    # exactly the requeued urls, then drains again
+    resumed = CrawlRunner(spark, str(tmp_path / "s"), CFG)
+    res = resumed.run(pages, robots)
+    assert res.total_fetched == 2
+    relog = resumed.store.fetch_log_state().filter(F.col("round") > max_round)
+    assert sorted(r["url"] for r in relog.collect()) == pick
+    assert resumed.store.queued_after_hint() == 0
+    # the requeued rows are DONE again; nothing is left in line
+    # (exhausted/robots_denied rows keep their terminal statuses)
+    final = {
+        r["url"]: r["status"]
+        for r in resumed.store.frontier_state().collect()
+    }
+    assert all(final[u] == "done" for u in pick)
+    assert "queued" not in set(final.values())
+
+
+def test_requeue_ignores_unknown_and_queued_rows(spark, tmp_path):
+    from crawlspark.crawl import requeue_urls
+
+    site = _site()
+    pages, seeds, robots = _dfs(spark, site)
+    runner = CrawlRunner(spark, str(tmp_path / "s"), CFG)
+    runner.init(seeds)
+    runner.run(pages, robots, stop_after_round=0)  # round 0 only: rows queued
+
+    store = runner.store
+    queued_url = (
+        store.frontier_state().filter(F.col("status") == "queued").limit(1)
+    ).collect()[0]["url"]
+    before = sorted(
+        map(tuple, store.frontier_state().select("fp", "status", "priority").collect())
+    )
+    hint = store.queued_after_hint()
+    out = requeue_urls(
+        store,
+        spark.createDataFrame(
+            [(queued_url,), ("https://nowhere.example/x",)], ["url"]
+        ),
+    )
+    assert out["requeued"] == 0
+    assert store.queued_after_hint() == hint
+    after = sorted(
+        map(tuple, store.frontier_state().select("fp", "status", "priority").collect())
+    )
+    assert before == after
+
+
+def test_revisit_schedule_feeds_requeue(spark, tmp_path):
+    """The production revisit loop: fetch history -> revisit_schedule ->
+    due urls -> requeue_urls -> the next run re-crawls them."""
+    from crawlspark.crawl import requeue_urls
+    from crawlspark.scheduler import revisit_schedule
+
+    site = _site()
+    pages, seeds, robots = _dfs(spark, site)
+    runner = CrawlRunner(spark, str(tmp_path / "s"), CFG)
+    runner.init(seeds)
+    runner.run(pages, robots)
+
+    store = runner.store
+    # history from the engine's own corpus (emit_text): content hash per fetch
+    hist = store.corpus_state().select(
+        "url",
+        F.col("crawl_round").alias("round"),
+        F.md5("text").alias("fingerprint"),
+    )
+    sched_out = revisit_schedule(hist, base_interval=1, max_interval=8)
+    cur = store.last_committed_round()
+    due = sched_out.filter(F.col("next_round") <= cur + 1).select("url")
+    n_due = due.count()
+    assert n_due > 0  # single-fetch urls are due after base_interval
+    out = requeue_urls(store, due)
+    assert out["requeued"] == n_due
+
+    resumed = CrawlRunner(spark, str(tmp_path / "s"), CFG)
+    res = resumed.run(pages, robots)
+    assert res.total_fetched == n_due
+    assert resumed.store.queued_after_hint() == 0
