@@ -916,6 +916,33 @@ def t37_revisit_schedule(spark, sf_dir):
     return sched.revisit_schedule(hist, base_interval=1, max_interval=8)
 
 
+def t38_host_link_graph(spark, sf_dir):
+    """Host-level link graph from raw HTML (the PageRank/OPIC input a
+    crawler maintains over its own corpus): href extraction via
+    regexp_extract_all in scan codegen, explode, one hash-agg. Pages
+    synthesized from doc_id with one absolute link, one
+    protocol-relative link, and one relative (self-host, dropped)
+    link each; every-10th doc's computed targets land on its own host
+    and exercise the self-loop filter."""
+    d = _t(spark, sf_dir, "documents")
+    did = F.col("doc_id").cast("long")
+    url = F.concat(
+        F.lit("https://"),
+        F.col("source"),
+        F.lit(".example.com/d/"),
+        did.cast("string"),
+    )
+    html = F.concat(
+        F.lit('<a href="https://src'),
+        ((did + 1) % 20).cast("string"),
+        F.lit('.example.com/a">x</a><a href="//src'),
+        ((did * 7) % 20).cast("string"),
+        F.lit('.example.com/b">y</a><a href="/nav">z</a>'),
+    )
+    pages = d.select(url.alias("url"), html.alias("html"))
+    return gr.host_link_graph(pages)
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_filter_project": q02_filter_project,
@@ -984,6 +1011,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "t35_domain_stats": t35_domain_stats,
     "t36_resolve_redirects": t36_resolve_redirects,
     "t37_revisit_schedule": t37_revisit_schedule,
+    "t38_host_link_graph": t38_host_link_graph,
 }
 
 # ---------------------------------------------------------------------------
@@ -2057,6 +2085,36 @@ ORACLES["t37_revisit_schedule"] = """
            CAST(nxt AS INT) AS next_interval,
            last_round + nxt AS next_round
     FROM iv
+"""
+
+ORACLES["t38_host_link_graph"] = """
+    WITH pages AS (
+        SELECT 'https://' || source || '.example.com/d/'
+                   || CAST(doc_id AS VARCHAR) AS url,
+               '<a href="https://src' || CAST((doc_id + 1) % 20 AS VARCHAR)
+                   || '.example.com/a">x</a><a href="//src'
+                   || CAST((doc_id * 7) % 20 AS VARCHAR)
+                   || '.example.com/b">y</a><a href="/nav">z</a>' AS html
+        FROM documents
+    ), ex AS (
+        SELECT regexp_extract(url, '^[a-z][a-z0-9+.-]*://([^/?#]+)', 1)
+                   AS src_host,
+               unnest(regexp_extract_all(html, 'href="([^"]+)"', 1))
+                   AS href
+        FROM pages
+    ), e AS (
+        SELECT src_host,
+               CASE WHEN regexp_matches(href, '^https?://')
+                        THEN regexp_extract(href,
+                                            '^https?://([^/?#]+)', 1)
+                    WHEN href LIKE '//%'
+                        THEN regexp_extract(href, '^//([^/?#]+)', 1)
+                    ELSE src_host END AS dst_host
+        FROM ex
+    )
+    SELECT src_host, dst_host, count(*) AS n_links
+    FROM e WHERE src_host <> dst_host
+    GROUP BY 1, 2
 """
 
 ORACLES = {k: v for k, v in ORACLES.items() if v is not None}

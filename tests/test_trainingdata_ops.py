@@ -581,6 +581,36 @@ def test_revisit_schedule_policy_branches(spark):
     assert got["new"] == (1, 0, None, 1, 8)
 
 
+def test_host_link_graph_resolution_and_weights(spark):
+    from crawlspark import graph
+
+    rows = [
+        (
+            "https://a.com/p1",
+            '<a href="https://b.com/x">1</a><a href="https://b.com/y">2</a>'
+            '<a href="/local">3</a><a href="//c.com/z">4</a>',
+        ),
+        ("https://a.com/p2", '<a href="http://b.com/w">5</a>'),
+        ("https://b.com/p3", '<a href="https://a.com/">6</a>no links here'),
+    ]
+    d = spark.createDataFrame(rows, ["url", "html"])
+    got = {
+        (r["src_host"], r["dst_host"]): r["n_links"]
+        for r in graph.host_link_graph(d).collect()
+    }
+    # /local resolves to a.com (self) and is dropped; b.com repeats sum
+    assert got == {
+        ("a.com", "b.com"): 3,
+        ("a.com", "c.com"): 1,
+        ("b.com", "a.com"): 1,
+    }
+    with_self = {
+        (r["src_host"], r["dst_host"]): r["n_links"]
+        for r in graph.host_link_graph(d, include_self=True).collect()
+    }
+    assert with_self[("a.com", "a.com")] == 1
+
+
 def test_transition_edges_weights(spark):
     from crawlspark import graph
 
