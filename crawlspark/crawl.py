@@ -276,7 +276,11 @@ def rescore_frontier(
     column, so op_seq arithmetic is untouched (a rescore delta row
     cannot be expressed in the 4r+k op_seq lattice without colliding
     with insert/mark slots). Cost is O(frontier-state) like any
-    compaction; run it every k rounds, not per round. The commit is
+    compaction; run it every k rounds, not per round, and BETWEEN
+    rounds on the driver thread — the overwrite has no compare-and-swap,
+    so a concurrent run_round commit would be clobbered (streaming
+    ingest_urls is the only operation with a concurrent-commit
+    contract). The commit is
     meta-flagged a rewrite, so added_since() consumers skip it, and the
     queued_after hint carries across (the queued COUNT is unchanged by
     construction — only priorities move)."""
@@ -337,7 +341,11 @@ def requeue_urls(
 
     Mechanics: same shape as rescore_frontier — resolve state, flip
     matching rows, OVERWRITE (content-rewrite commit; added_since
-    consumers skip it structurally). op_seq stays: the next pop marks
+    consumers skip it structurally). Like rescore, run it BETWEEN
+    rounds on the driver thread: the overwrite is read-state-then-
+    replace with no compare-and-swap, so a run_round commit landing
+    inside the window would be clobbered (streaming ingest_urls is the
+    only operation with a concurrent-commit contract). op_seq stays: the next pop marks
     done at op_seq 4r+2 with the NEW round r, which resolves above the
     kept value exactly like any re-mark. The queued_after hint grows by
     the number of flipped rows, so drain detection and zero-job resume
