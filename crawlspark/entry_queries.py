@@ -22,6 +22,7 @@ from pyspark.sql import functions as F
 
 from . import dedup as dd
 from . import graph as gr
+from . import robots as rb
 from . import scheduler as sched
 from . import similarity as sim
 from . import textops as tx
@@ -943,6 +944,40 @@ def t38_host_link_graph(spark, sf_dir):
     return gr.host_link_graph(pages)
 
 
+def t39_sitemap_discovery(spark, sf_dir):
+    """Sitemap discovery from robots.txt pages: one synthetic robots.txt
+    per source host (two Sitemap lines, one lowercase — the field is
+    case-insensitive per spec) plus decoy pages whose Sitemap lines must
+    be ignored because the url is not /robots.txt."""
+    d = _t(spark, sf_dir, "documents")
+    did = F.col("doc_id").cast("long")
+    is_r = did < 20
+    url = F.when(
+        is_r,
+        F.concat(
+            F.lit("https://"), F.col("source"),
+            F.lit(".example.com/robots.txt"),
+        ),
+    ).otherwise(
+        F.concat(
+            F.lit("https://"), F.col("source"), F.lit(".example.com/d/"),
+            did.cast("string"),
+        )
+    )
+    body = F.when(
+        is_r,
+        F.concat(
+            F.lit("User-agent: *\nDisallow: /private\nSitemap: https://"),
+            F.col("source"),
+            F.lit(".example.com/sitemap.xml\nsitemap: https://"),
+            F.col("source"),
+            F.lit(".example.com/news.xml"),
+        ),
+    ).otherwise(F.lit("Sitemap: https://decoy.example.com/s.xml"))
+    pages = d.select(url.alias("url"), body.alias("text"))
+    return rb.sitemap_urls(pages)
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_filter_project": q02_filter_project,
@@ -1012,6 +1047,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "t36_resolve_redirects": t36_resolve_redirects,
     "t37_revisit_schedule": t37_revisit_schedule,
     "t38_host_link_graph": t38_host_link_graph,
+    "t39_sitemap_discovery": t39_sitemap_discovery,
 }
 
 # ---------------------------------------------------------------------------
@@ -2115,6 +2151,33 @@ ORACLES["t38_host_link_graph"] = """
     SELECT src_host, dst_host, count(*) AS n_links
     FROM e WHERE src_host <> dst_host
     GROUP BY 1, 2
+"""
+
+ORACLES["t39_sitemap_discovery"] = """
+    WITH pages AS (
+        SELECT CASE WHEN doc_id < 20
+                    THEN 'https://' || source || '.example.com/robots.txt'
+                    ELSE 'https://' || source || '.example.com/d/'
+                         || CAST(doc_id AS VARCHAR) END AS url,
+               CASE WHEN doc_id < 20
+                    THEN 'User-agent: *' || chr(10)
+                         || 'Disallow: /private' || chr(10)
+                         || 'Sitemap: https://' || source
+                         || '.example.com/sitemap.xml' || chr(10)
+                         || 'sitemap: https://' || source
+                         || '.example.com/news.xml'
+                    ELSE 'Sitemap: https://decoy.example.com/s.xml'
+               END AS text
+        FROM documents
+    ), r AS (
+        SELECT regexp_extract(url, '^[a-z][a-z0-9+.-]*://([^/?#]+)', 1)
+                   AS host,
+               unnest(regexp_extract_all(text,
+                   '(?i)sitemap:[ \\t]*([^ \\t\\r\\n]+)', 1)) AS sitemap_url
+        FROM pages
+        WHERE regexp_matches(url, '^https?://[^/]+/robots\\.txt$')
+    )
+    SELECT DISTINCT host, sitemap_url FROM r
 """
 
 ORACLES = {k: v for k, v in ORACLES.items() if v is not None}

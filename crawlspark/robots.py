@@ -116,3 +116,30 @@ def robots_from_pages(
             )
 
     return rpages.mapInPandas(_run, schema=_ROBOTS_OUT)
+
+
+def sitemap_urls(
+    pages: DataFrame, url_col: str = "url", text_col: str = "text"
+) -> DataFrame:
+    """Sitemap discovery: (host, sitemap_url) from the corpus' own
+    ``/robots.txt`` pages — the frontier bootstrap every big crawl seeds
+    from (Sitemap: lines are robots.txt spec; stdlib robotparser exposes
+    them as ``site_maps()``, the reference never reads them). Feed the
+    output to crawl.ingest_urls as high-priority seeds.
+
+    Pure column algebra, no Python: the robots filter + a
+    case-insensitive regexp_extract_all run inside scan codegen, one
+    explode, one distinct hash-agg (a host's robots.txt repeats across
+    snapshots; duplicates collapse map-side). Per robots.txt spec the
+    field name is case-insensitive and the URL absolute."""
+    is_robots = F.col(url_col).rlike(r"^https?://[^/]+/robots\.txt$")
+    maps = F.expr(
+        f"regexp_extract_all({text_col}, "
+        r"'(?i)sitemap:[ \\t]*([^ \\t\\r\\n]+)', 1)"
+    )
+    return (
+        pages.filter(is_robots)
+        .select(host_col(F.col(url_col)).alias("host"),
+                F.explode(maps).alias("sitemap_url"))
+        .distinct()
+    )

@@ -581,6 +581,34 @@ def test_revisit_schedule_policy_branches(spark):
     assert got["new"] == (1, 0, None, 1, 8)
 
 
+def test_sitemap_urls_case_and_page_filter(spark):
+    from crawlspark import robots
+
+    rows = [
+        (
+            "https://a.com/robots.txt",
+            "User-agent: *\nDisallow: /x\nSitemap: https://a.com/s1.xml\n"
+            "sitemap:\thttps://a.com/s2.xml\nSITEMAP: https://a.com/s3.xml",
+        ),
+        # a content page mentioning Sitemap: must be ignored
+        ("https://a.com/page", "Sitemap: https://nope.com/s.xml"),
+        # robots without sitemap lines contributes nothing
+        ("https://b.com/robots.txt", "User-agent: *\nAllow: /"),
+        # duplicate robots snapshot: distinct collapses it
+        (
+            "https://a.com/robots.txt",
+            "Sitemap: https://a.com/s1.xml",
+        ),
+    ]
+    d = spark.createDataFrame(rows, ["url", "text"])
+    got = sorted(map(tuple, robots.sitemap_urls(d).collect()))
+    assert got == [
+        ("a.com", "https://a.com/s1.xml"),
+        ("a.com", "https://a.com/s2.xml"),
+        ("a.com", "https://a.com/s3.xml"),
+    ]
+
+
 def test_host_link_graph_resolution_and_weights(spark):
     from crawlspark import graph
 
