@@ -541,6 +541,38 @@ def test_resolve_redirects_chain_cycle_fork(spark):
     assert len(got) == 5  # 'c' has no outgoing edge -> not a src row
 
 
+def test_resolve_redirects_matches_python_walk_on_random_graphs(spark):
+    """50 seeded random graphs (self-loops, cycles, forks, dangling
+    chains all arise naturally), namespaced per case and resolved in ONE
+    distributed call, against a sequential pure-Python chain walker."""
+    import random
+
+    from crawlspark import graph
+
+    rng = random.Random(7)
+    edges, expect = [], {}
+    for case in range(50):
+        es = [
+            (f"c{case}:n{rng.randint(0, 9)}", f"c{case}:n{rng.randint(0, 9)}")
+            for _ in range(rng.randint(1, 12))
+        ]
+        edges += es
+        m: dict = {}
+        for s, t in es:
+            m[s] = min(m.get(s, t), t)
+        for s in m:
+            cur, hops = m[s], 1
+            while hops < 8 and cur in m:
+                cur, hops = m[cur], hops + 1
+            expect[s] = (cur, hops, cur not in m)
+    d = spark.createDataFrame(edges, ["src", "dst"])
+    got = {
+        r["src"]: (r["final_url"], r["n_hops"], r["resolved"])
+        for r in graph.resolve_redirects(d, max_hops=8).collect()
+    }
+    assert got == expect
+
+
 def test_resolve_redirects_rejects_non_power_of_two(spark):
     from crawlspark import graph
 
