@@ -1,0 +1,78 @@
+"""CDX-style URL index over the crawled corpus (Common Crawl's lookup
+artifact).
+
+Common Crawl publishes a CDX(J) index next to every crawl: one line per
+capture, keyed by the SURT-canonicalized URL and sorted, so any URL's
+captures are found by binary search over range-sorted shards. The
+reference engine has no index plane (its corpus is a 250-row SQLite
+table); at 10^10 URLs the index IS how anyone reads the crawl back, so
+this module builds it engine-native.
+
+Spark-first shape: the key and digest are pure column algebra inside
+scan codegen (no Python); the global ordering is Spark's range-partitioned
+total sort (``orderBy`` = sample-based range exchange + per-partition
+sort), which is exactly how CDX shards are produced at scale — each
+output partition is one range-sorted shard, and the shard boundaries
+form the secondary (cluster) index.
+
+Determinism contract: digest is md5 of the raw content bytes (real CDX
+uses sha1-b32; md5 keeps the column oracle-able in DuckDB — same
+precedent as the DNS stand-in resolver, both equally arbitrary);
+SURT here lowercases, strips the scheme and fragment, reverses host
+labels comma-joined, and keeps port/query verbatim — the www-stripping
+and session-param-dropping of pywb's canonicalizer are POLICY layers a
+deployment adds on top, deliberately not baked into the deterministic
+core.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+_HOST_RE = r"^[a-z][a-z0-9+.-]*://([^/?#]+)"
+_PATH_RE = r"^[a-z][a-z0-9+.-]*://[^/?#]+([^#]*)"
+
+
+def surt_key_col(url: Column) -> Column:
+    """SURT sort key for a URL column: ``com,example,www)/path?q=1``.
+
+    Lowercase; scheme and fragment dropped; host labels reversed and
+    comma-joined; empty path becomes ``/``. Pure column algebra
+    (codegen), no Python.
+    """
+    low = F.lower(url)
+    host = F.regexp_extract(low, _HOST_RE, 1)
+    path = F.regexp_extract(low, _PATH_RE, 1)
+    return F.concat(
+        F.array_join(F.reverse(F.split(host, r"\.")), ","),
+        F.lit(")"),
+        F.when(path == "", F.lit("/")).otherwise(path),
+    )
+
+
+def cdx_index(
+    pages: DataFrame,
+    url_col: str = "url",
+    ts_col: str = "warc_ts",
+    content_col: str = "html",
+    sort: bool = True,
+) -> DataFrame:
+    """Build the CDX index relation: (surt_key, ts, url, digest, length),
+    range-sorted by (surt_key, ts) when ``sort=True``.
+
+    ``ts`` is the CDX 14-digit capture timestamp (yyyyMMddHHmmss);
+    ``digest`` is md5-hex of the content bytes; ``length`` is the
+    content byte length. ``sort=False`` skips the total sort for
+    callers that re-sort downstream (e.g. a writer that range-buckets
+    by its own shard plan).
+    """
+    c = F.col(content_col)
+    out = pages.select(
+        surt_key_col(F.col(url_col)).alias("surt_key"),
+        F.date_format(F.col(ts_col), "yyyyMMddHHmmss").alias("ts"),
+        F.col(url_col).alias("url"),
+        F.md5(c).alias("digest"),
+        F.length(c).cast("long").alias("length"),
+    )
+    return out.orderBy("surt_key", "ts") if sort else out

@@ -978,6 +978,112 @@ def t39_sitemap_discovery(spark, sf_dir):
     return rb.sitemap_urls(pages)
 
 
+def t40_cdx_index(spark, sf_dir):
+    """CDX URL index over a synthetic capture set: mixed-case hosts
+    (lowercasing), query strings kept, fragments stripped, empty path ->
+    '/', md5 digest + byte length, 14-digit capture ts."""
+    from . import cdx
+
+    d = _t(spark, sf_dir, "documents")
+    did = F.col("doc_id").cast("long")
+    url = F.concat(
+        F.lit("https://WWW."), F.col("source"), F.lit(".Example.COM"),
+        F.when(did % 9 == 0, F.lit("")).otherwise(
+            F.concat(F.lit("/d/"), did.cast("string"))
+        ),
+        F.when(did % 4 == 0,
+               F.concat(F.lit("?q="), (did % 7).cast("string"))
+               ).otherwise(F.lit("")),
+        F.when(did % 5 == 0, F.lit("#frag")).otherwise(F.lit("")),
+    )
+    ts = F.expr(
+        "timestamp'2024-01-01 00:00:00' + make_interval(0,0,0,0,0,0,doc_id)"
+    )
+    pages = d.select(
+        url.alias("url"), ts.alias("warc_ts"),
+        F.col("text").cast("binary").alias("html"),
+    )
+    return cdx.cdx_index(pages)
+
+
+def t41_anchor_text(spark, sf_dir):
+    """Anchor-text aggregation per link target: absolute / protocol-
+    relative / root-relative hrefs resolve; fragment + directory-relative
+    + empty-text anchors drop; winner = most frequent text, lexicographic
+    tiebreak."""
+    d = _t(spark, sf_dir, "documents")
+    did = F.col("doc_id").cast("long")
+    topic = (did % 10).cast("string")
+    vote = F.when(did % 3 < 2, F.lit("AAA")).otherwise(F.lit("BBB"))
+    tie = F.when(did % 2 == 0, F.lit("tie-b")).otherwise(F.lit("tie-a"))
+    html = F.concat(
+        F.lit('<a href="https://hub.example.com/t/'), topic,
+        F.lit('">Topic '), topic, F.lit("</a>"),
+        F.lit('<a href="//cdn'), (did % 3).cast("string"),
+        F.lit('.example.com/x">cdn asset</a>'),
+        F.lit('<a href="/about">About Us</a>'),
+        F.lit('<a href="https://hub.example.com/top">'), vote,
+        F.lit("</a>"),
+        F.lit('<a href="https://hub.example.com/tie">'), tie,
+        F.lit("</a>"),
+        F.lit('<a href="#top">skip-frag</a>'),
+        F.lit('<a href="rel/path">skip-rel</a>'),
+        F.lit('<a href="https://hub.example.com/t/1"></a>'),
+    )
+    pages = d.select(
+        F.concat(
+            F.lit("https://"), F.col("source"), F.lit(".example.com/p/"),
+            did.cast("string"),
+        ).alias("url"),
+        html.alias("html"),
+    )
+    return gr.anchor_text(pages)
+
+
+def t42_crawl_delta(spark, sf_dir):
+    """Recrawl delta between two rounds: added / removed / changed /
+    unchanged from one conditional-max hash-agg over the (url, round,
+    fingerprint) history shape."""
+    d = _t(spark, sf_dir, "documents")
+    did = F.col("doc_id").cast("long")
+    pair = F.expr("doc_id div 2")
+    hist = d.select(
+        F.concat(F.lit("https://ex.com/u/"), pair.cast("string"))
+        .alias("url"),
+        (did % 2).cast("int").alias("round"),
+        F.when(pair % 3 == 0, F.lit("same"))
+        .otherwise(did.cast("string")).alias("fingerprint"),
+    ).filter(
+        ~((did % 10 == 2) & (did % 2 == 0))  # these urls become 'added'
+        & ~((did % 10 == 5) & (did % 2 == 1))  # these become 'removed'
+    )
+    return sched.crawl_delta(hist, 0, 1)
+
+
+def t43_host_boilerplate(spark, sf_dir):
+    """Per-host boilerplate-line removal: NAV (every doc of the host,
+    frac 1.0) and HALF (13/25 = 0.52) lines are removed; THIRD (9/25 =
+    0.36) and the unique line survive."""
+    d = _t(spark, sf_dir, "documents")
+    did = F.col("doc_id").cast("long")
+    half = F.expr("(doc_id div 20) % 2 = 0")
+    third = F.expr("(doc_id div 20) % 3 = 0")
+    text = F.concat(
+        F.lit("NAV "), F.col("source"),
+        F.when(
+            half, F.concat(F.lit("\nHALF "), F.col("source"))
+        ).otherwise(F.lit("")),
+        F.when(
+            third, F.concat(F.lit("\nTHIRD "), F.col("source"))
+        ).otherwise(F.lit("")),
+        F.lit("\nonly "), did.cast("string"),
+    )
+    pages = d.select(
+        "doc_id", F.col("source").alias("host"), text.alias("text")
+    )
+    return tx.host_boilerplate_removal(pages)
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_filter_project": q02_filter_project,
@@ -1048,6 +1154,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "t37_revisit_schedule": t37_revisit_schedule,
     "t38_host_link_graph": t38_host_link_graph,
     "t39_sitemap_discovery": t39_sitemap_discovery,
+    "t40_cdx_index": t40_cdx_index,
+    "t41_anchor_text": t41_anchor_text,
+    "t42_crawl_delta": t42_crawl_delta,
+    "t43_host_boilerplate": t43_host_boilerplate,
 }
 
 # ---------------------------------------------------------------------------
@@ -2178,6 +2288,161 @@ ORACLES["t39_sitemap_discovery"] = """
         WHERE regexp_matches(url, '^https?://[^/]+/robots\\.txt$')
     )
     SELECT DISTINCT host, sitemap_url FROM r
+"""
+
+ORACLES["t40_cdx_index"] = """
+    WITH pages AS (
+        SELECT 'https://WWW.' || source || '.Example.COM'
+               || CASE WHEN doc_id % 9 = 0 THEN ''
+                       ELSE '/d/' || CAST(doc_id AS VARCHAR) END
+               || CASE WHEN doc_id % 4 = 0
+                       THEN '?q=' || CAST(doc_id % 7 AS VARCHAR)
+                       ELSE '' END
+               || CASE WHEN doc_id % 5 = 0 THEN '#frag' ELSE '' END AS url,
+               TIMESTAMP '2024-01-01 00:00:00'
+                   + doc_id * INTERVAL 1 SECOND AS warc_ts,
+               text AS content
+        FROM documents
+    ), k AS (
+        SELECT regexp_extract(lower(url),
+                   '^[a-z][a-z0-9+.-]*://([^/?#]+)', 1) AS host,
+               regexp_extract(lower(url),
+                   '^[a-z][a-z0-9+.-]*://[^/?#]+([^#]*)', 1) AS path,
+               url, warc_ts, content
+        FROM pages
+    )
+    SELECT array_to_string(list_reverse(string_split(host, '.')), ',')
+               || ')'
+               || CASE WHEN path = '' THEN '/' ELSE path END AS surt_key,
+           strftime(warc_ts, '%Y%m%d%H%M%S') AS ts,
+           url,
+           md5(content) AS digest,
+           CAST(strlen(content) AS BIGINT) AS length
+    FROM k
+"""
+
+ORACLES["t41_anchor_text"] = """
+    WITH pages AS (
+        SELECT 'https://' || source || '.example.com/p/'
+                   || CAST(doc_id AS VARCHAR) AS url,
+               '<a href="https://hub.example.com/t/'
+                   || CAST(doc_id % 10 AS VARCHAR) || '">Topic '
+                   || CAST(doc_id % 10 AS VARCHAR) || '</a>'
+               || '<a href="//cdn' || CAST(doc_id % 3 AS VARCHAR)
+                   || '.example.com/x">cdn asset</a>'
+               || '<a href="/about">About Us</a>'
+               || '<a href="https://hub.example.com/top">'
+                   || CASE WHEN doc_id % 3 < 2 THEN 'AAA' ELSE 'BBB' END
+                   || '</a>'
+               || '<a href="https://hub.example.com/tie">'
+                   || CASE WHEN doc_id % 2 = 0
+                           THEN 'tie-b' ELSE 'tie-a' END || '</a>'
+               || '<a href="#top">skip-frag</a>'
+               || '<a href="rel/path">skip-rel</a>'
+               || '<a href="https://hub.example.com/t/1"></a>' AS html
+        FROM documents
+    ), ex AS (
+        SELECT regexp_extract(url,
+                   '^[a-z][a-z0-9+.-]*://([^/?#]+)', 1) AS src_host,
+               unnest(regexp_extract_all(html,
+                   '<a href="[^"]+"[^>]*>[^<]*</a>', 0)) AS a
+        FROM pages
+    ), p AS (
+        SELECT src_host,
+               regexp_extract(a, 'href="([^"]+)"', 1) AS href,
+               trim(regexp_extract(a, '>([^<]*)</a>', 1)) AS text
+        FROM ex
+    ), resolved AS (
+        SELECT CASE
+                   WHEN regexp_matches(href, '^https?://') THEN href
+                   WHEN href LIKE '//%' THEN 'https:' || href
+                   WHEN href LIKE '/%' THEN 'https://' || src_host || href
+               END AS dst_url,
+               text
+        FROM p
+        WHERE text <> ''
+    ), counted AS (
+        SELECT dst_url, text, COUNT(*) AS n
+        FROM resolved WHERE dst_url IS NOT NULL
+        GROUP BY 1, 2
+    ), ranked AS (
+        SELECT dst_url, text, n,
+               row_number() OVER (PARTITION BY dst_url
+                                  ORDER BY n DESC, text ASC) AS rk
+        FROM counted
+    )
+    SELECT c.dst_url,
+           CAST(SUM(c.n) AS BIGINT) AS n_anchors,
+           CAST(COUNT(*) AS BIGINT) AS n_texts,
+           MAX(r.text) AS top_text
+    FROM counted c
+    JOIN ranked r ON r.dst_url = c.dst_url AND r.rk = 1
+    GROUP BY c.dst_url
+"""
+
+ORACLES["t42_crawl_delta"] = """
+    WITH hist AS (
+        SELECT 'https://ex.com/u/' || CAST(doc_id // 2 AS VARCHAR) AS url,
+               CAST(doc_id % 2 AS INT) AS round,
+               CASE WHEN (doc_id // 2) % 3 = 0 THEN 'same'
+                    ELSE CAST(doc_id AS VARCHAR) END AS fingerprint
+        FROM documents
+        WHERE NOT (doc_id % 10 = 2 AND doc_id % 2 = 0)
+          AND NOT (doc_id % 10 = 5 AND doc_id % 2 = 1)
+    ), g AS (
+        SELECT url,
+               MAX(CASE WHEN round = 0 THEN fingerprint END) AS fp_a,
+               MAX(CASE WHEN round = 1 THEN fingerprint END) AS fp_b
+        FROM hist
+        GROUP BY url
+    )
+    SELECT url,
+           CASE WHEN fp_a IS NULL THEN 'added'
+                WHEN fp_b IS NULL THEN 'removed'
+                WHEN fp_a <> fp_b THEN 'changed'
+                ELSE 'unchanged' END AS status,
+           fp_a, fp_b
+    FROM g
+"""
+
+ORACLES["t43_host_boilerplate"] = """
+    WITH pages AS (
+        SELECT doc_id, source AS host,
+               'NAV ' || source
+               || CASE WHEN (doc_id // 20) % 2 = 0
+                       THEN chr(10) || 'HALF ' || source ELSE '' END
+               || CASE WHEN (doc_id // 20) % 3 = 0
+                       THEN chr(10) || 'THIRD ' || source ELSE '' END
+               || chr(10) || 'only ' || CAST(doc_id AS VARCHAR) AS text
+        FROM documents
+    ), ls AS (
+        SELECT doc_id, host, string_split(text, chr(10)) AS ts FROM pages
+    ), lines AS (
+        SELECT doc_id, host, i AS pos, ts[i] AS line,
+               len(trim(ts[i])) >= 1 AS eligible
+        FROM ls, unnest(range(1, len(ts) + 1)) AS t(i)
+    ), dfreq AS (
+        SELECT host, line, count(DISTINCT doc_id) AS n_docs_with_line
+        FROM lines WHERE eligible GROUP BY 1, 2
+    ), hosts AS (
+        SELECT host, count(*) AS n_host_docs FROM pages GROUP BY 1
+    ), boiler AS (
+        SELECT dfreq.host, dfreq.line
+        FROM dfreq JOIN hosts USING (host)
+        WHERE n_docs_with_line >= 2
+          AND n_docs_with_line >= 0.5 * n_host_docs
+    ), kept AS (
+        SELECT l.doc_id, l.pos, l.line,
+               ((NOT l.eligible) OR b.line IS NULL) AS keep
+        FROM lines l
+        LEFT JOIN boiler b ON b.host = l.host AND b.line = l.line
+    )
+    SELECT doc_id,
+           coalesce(string_agg(line, chr(10) ORDER BY pos)
+                    FILTER (WHERE keep), '') AS text_cleaned,
+           count(*) FILTER (WHERE keep) AS n_lines_kept,
+           count(*) FILTER (WHERE NOT keep) AS n_lines_dropped
+    FROM kept GROUP BY doc_id
 """
 
 ORACLES = {k: v for k, v in ORACLES.items() if v is not None}

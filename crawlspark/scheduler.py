@@ -381,3 +381,42 @@ def revisit_schedule(
         interval.alias("next_interval"),
         (F.col("last_round") + interval).alias("next_round"),
     )
+
+
+def crawl_delta(
+    history: DataFrame,
+    round_a: int,
+    round_b: int,
+    url_col: str = "url",
+    round_col: str = "round",
+    fp_col: str = "fingerprint",
+) -> DataFrame:
+    """Per-URL delta between two crawl rounds: (url, status, fp_a, fp_b)
+    with status in {added, removed, changed, unchanged} — the recrawl
+    audit every continuous crawl publishes (what changed since the last
+    snapshot?) and the direct input to revisit_schedule's change-rate
+    estimate. Consumes the same (url, round, fingerprint) history shape
+    revisit_schedule reads — emit_text's corpus table with the t03 md5
+    plugs straight in.
+
+    Scale shape: ONE filter + ONE hash-agg, no join — both rounds'
+    fingerprints come out of the same conditional-max partial
+    aggregation, so the shuffle carries |urls| rows once, not a
+    round-x-round join. Duplicate rows within a round (a URL fetched
+    twice) resolve deterministically via max(fingerprint).
+    """
+    r = F.col(round_col)
+    fp_a = F.max(F.when(r == round_a, F.col(fp_col))).alias("fp_a")
+    fp_b = F.max(F.when(r == round_b, F.col(fp_col))).alias("fp_b")
+    g = (
+        history.filter(r.isin([round_a, round_b]))
+        .groupBy(F.col(url_col).alias("url"))
+        .agg(fp_a, fp_b)
+    )
+    status = (
+        F.when(F.col("fp_a").isNull(), F.lit("added"))
+        .when(F.col("fp_b").isNull(), F.lit("removed"))
+        .when(F.col("fp_a") != F.col("fp_b"), F.lit("changed"))
+        .otherwise(F.lit("unchanged"))
+    )
+    return g.select("url", status.alias("status"), "fp_a", "fp_b")

@@ -399,6 +399,96 @@ def line_dedup_corpus(
     )
 
 
+def host_boilerplate_removal(
+    pages: DataFrame,
+    min_doc_frac: float = 0.5,
+    min_docs: int = 2,
+    min_chars: int = 1,
+    delimiter: str = "\n",
+    joiner: str | None = None,
+    host: str = "host",
+) -> DataFrame:
+    """Per-host boilerplate-line removal: a line that appears in >=
+    ``min_doc_frac`` of a host's documents (and in >= ``min_docs`` of
+    them) is site furniture — nav bars, footers, cookie banners — and is
+    removed from EVERY document of that host; documents are rebuilt from
+    the surviving lines in original order. This is the host-scoped
+    frequency rule web pipelines run before content filters (the
+    remove-if-common half; ``line_dedup_corpus`` is C4's keep-first
+    global rule — complementary, not overlapping: boilerplate must not
+    survive even once).
+
+    Scale shape: document frequency per (host, line) comes from an
+    IN-ROW distinct (``array_distinct`` before the explode — a doc's
+    repeated line counts once, with no corpus-wide distinct shuffle,
+    the same trick as shingle_index) followed by one hash-agg; host doc
+    counts are one hash-agg to |hosts| rows; both joins are equi-joins
+    whose build sides are aggregates (1 row per (host, line_hash) /
+    per host — AQE skew-split absorbs hot hosts). The rebuild is the
+    line_dedup_corpus shape: left join + per-doc hash-agg, no windows
+    over raw lines.
+
+    Lines shorter than ``min_chars`` after trim are exempt (always
+    kept) — with the default 1, only empty/whitespace lines, so blank
+    separators never count as "shared across the site".
+
+    Input: (doc_id, <host>, text). Output: (doc_id, text_cleaned,
+    n_lines_kept, n_lines_dropped)."""
+    joiner = delimiter if joiner is None else joiner
+    split = F.split(F.col("text"), delimiter)
+    eligible = F.length(F.trim(F.col("line"))) >= min_chars
+
+    per_doc = (
+        pages.select(
+            F.col(host).alias("_host"),
+            F.explode(F.array_distinct(split)).alias("line"),
+        )
+        .filter(eligible)
+        .select("_host", F.md5(F.col("line")).alias("line_hash"))
+    )
+    df_counts = per_doc.groupBy("_host", "line_hash").agg(
+        F.count("*").alias("_n_docs_with_line")
+    )
+    docs_per_host = pages.groupBy(F.col(host).alias("_host")).agg(
+        F.count("*").alias("_n_host_docs")
+    )
+    boiler = (
+        df_counts.join(docs_per_host, "_host")
+        .filter(
+            (F.col("_n_docs_with_line") >= min_docs)
+            & (
+                F.col("_n_docs_with_line")
+                >= F.lit(min_doc_frac) * F.col("_n_host_docs")
+            )
+        )
+        .select("_host", "line_hash", F.lit(True).alias("_bp"))
+    )
+
+    lines = pages.select(
+        "doc_id",
+        F.col(host).alias("_host"),
+        F.posexplode(split).alias("pos", "line"),
+    ).withColumn("line_hash", F.md5(F.col("line")))
+    marked = lines.join(boiler, ["_host", "line_hash"], "left")
+    keep = (~eligible) | F.col("_bp").isNull()
+    kept = marked.withColumn("keep", keep)
+    return kept.groupBy("doc_id").agg(
+        F.concat_ws(
+            joiner,
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.when(F.col("keep"), F.struct("pos", "line"))
+                    )
+                ),
+                lambda s: s["line"],
+            ),
+        ).alias("text_cleaned"),
+        F.sum(F.when(F.col("keep"), 1).otherwise(0)).alias("n_lines_kept"),
+        F.sum(F.when(F.col("keep"), 0).otherwise(1)).alias("n_lines_dropped"),
+    )
+
+
 # -- deterministic domain-mixture sampling (round 4) ---------------------------
 
 

@@ -92,11 +92,14 @@ def _open_warc_stream(path: str, opener: Callable[[str], io.IOBase]):
         raw.close()
 
 
-def _parse_one(stream) -> dict | None:
+def _parse_one(stream, record_types: tuple[str, ...] = ("response",)) -> dict | None:
     """Parse the next record starting after its ``WARC/`` version line has
-    been consumed by the caller. Returns a row dict for ``response``
-    records, None for skipped record types. Raises WarcRecordError on a
-    malformed record (framing is preserved when content-length was valid)."""
+    been consumed by the caller. Returns a row dict for records whose
+    ``WARC-Type`` is in ``record_types`` (``response``: payload = body
+    after the HTTP head; ``conversion``: payload = the whole block, the
+    WET layout), None for skipped record types. Raises WarcRecordError on
+    a malformed record (framing is preserved when content-length was
+    valid)."""
     import datetime as dt
 
     headers: dict[str, str] = {}
@@ -115,7 +118,7 @@ def _parse_one(stream) -> dict | None:
     block = stream.read(length)
     if len(block) < length:
         raise WarcRecordError("truncated record block")
-    if headers.get("warc-type") != "response":
+    if headers.get("warc-type") not in record_types:
         return None
     url = headers.get("warc-target-uri")
     ts_raw = headers.get("warc-date")
@@ -125,6 +128,9 @@ def _parse_one(stream) -> dict | None:
             ts = dt.datetime.strptime(ts_raw, "%Y-%m-%dT%H:%M:%SZ")
         except ValueError:
             raise WarcRecordError(f"bad WARC-Date {ts_raw!r}")
+    if headers.get("warc-type") == "conversion":
+        # WET record: the block IS the payload (no HTTP head)
+        return {"url": url, "warc_ts": ts, "html": block, "http_status": None}
     # split the HTTP response head from the payload
     sep = block.find(b"\r\n\r\n")
     if sep < 0:
@@ -152,7 +158,8 @@ def _parse_one(stream) -> dict | None:
     return {"url": url, "warc_ts": ts, "html": payload, "http_status": status}
 
 
-def _iter_with_tally(stream, strict: bool, max_errors: int | None):
+def _iter_with_tally(stream, strict: bool, max_errors: int | None,
+                     record_types: tuple[str, ...] = ("response",)):
     """Incremental record iterator over an open (decompressed) WARC stream,
     returned with its running tally dict. ``strict=True``: the first
     malformed record raises. ``strict=False``: malformed records are
@@ -168,7 +175,7 @@ def _iter_with_tally(stream, strict: bool, max_errors: int | None):
             if not line.startswith(b"WARC/"):
                 continue
             try:
-                row = _parse_one(stream)
+                row = _parse_one(stream, record_types)
             except WarcRecordError:
                 if strict:
                     raise
@@ -184,11 +191,12 @@ def _iter_with_tally(stream, strict: bool, max_errors: int | None):
 
 
 def parse_warc_stream(
-    stream, strict: bool = True, max_errors: int | None = None
+    stream, strict: bool = True, max_errors: int | None = None,
+    record_types: tuple[str, ...] = ("response",),
 ) -> tuple[list[dict], dict]:
     """Parse a whole open stream; returns (rows, tally) where tally counts
     parsed records and skipped errors."""
-    gen, tally = _iter_with_tally(stream, strict, max_errors)
+    gen, tally = _iter_with_tally(stream, strict, max_errors, record_types)
     return list(gen), tally
 
 
@@ -211,6 +219,7 @@ def read_warc(
     batch_bytes: int = 64 << 20,
     max_error_ratio: float = 0.01,
     opener: Callable[[str], io.IOBase] | None = None,
+    record_types: tuple[str, ...] = ("response",),
 ) -> DataFrame:
     """Distributed WARC read -> (url, warc_ts, html, http_status).
 
@@ -241,7 +250,8 @@ def read_warc(
                 nbytes = 0
                 with _open_warc_stream(str(p), _opener) as stream:
                     gen, tally = _iter_with_tally(stream, strict=False,
-                                                  max_errors=None)
+                                                  max_errors=None,
+                                                  record_types=record_types)
                     for row in gen:
                         rows.append(row)
                         nbytes += len(row["html"] or b"")
@@ -277,3 +287,96 @@ def warc_to_pages(spark: SparkSession, path: str, **kwargs) -> DataFrame:
         "html",
         extract_text(F.col("html")).alias("text"),
     ).withColumn("lang", lang_id(F.col("text")))
+
+
+# ---------------------------------------------------------------------------
+# WET (extracted-text) plane: the producing half of the WARC pair
+# ---------------------------------------------------------------------------
+
+def format_wet_record(url: str, ts, text: str) -> bytes:
+    """One WET ``conversion`` record (WARC/1.0), byte-deterministic:
+    fixed header order, CRLF line endings, Content-Length over the
+    utf-8 payload, two trailing CRLFs. ``ts`` is a naive-UTC datetime
+    (the reader's contract)."""
+    payload = text.encode("utf-8")
+    head = (
+        "WARC/1.0\r\n"
+        "WARC-Type: conversion\r\n"
+        f"WARC-Target-URI: {url}\r\n"
+        f"WARC-Date: {ts.strftime('%Y-%m-%dT%H:%M:%SZ')}\r\n"
+        "Content-Type: text/plain\r\n"
+        f"Content-Length: {len(payload)}\r\n"
+        "\r\n"
+    ).encode("utf-8")
+    return head + payload + b"\r\n\r\n"
+
+
+WET_MANIFEST = T.StructType(
+    [
+        T.StructField("path", T.StringType(), False),
+        T.StructField("n_records", T.LongType(), False),
+        T.StructField("n_bytes", T.LongType(), False),
+    ]
+)
+
+
+def write_wet(df: DataFrame, out_dir: str) -> DataFrame:
+    """Write a corpus relation (url, warc_ts, text) as WET segment files —
+    Common Crawl's extracted-text distribution format and the publishing
+    half of ``emit_text``'s corpus table. Returns the (lazy) shard
+    manifest (path, n_records, n_bytes); consuming it (collect/write)
+    triggers the distributed write, exactly like ``df.write``.
+
+    Layout matches what ``read_wet`` / Common Crawl tooling expects: one
+    gzip member PER RECORD, concatenated into one ``.warc.wet.gz`` file
+    per task partition — members stream-decompress record-at-a-time with
+    O(record) memory, and a shard is re-split by member boundary without
+    decompressing. Bytes are deterministic (fixed header order,
+    ``mtime=0`` gzip members), so a re-run of the same partitioning
+    yields identical shards — the resume/replay contract the rest of the
+    engine keeps. Shard names are 1:1 with task partitions
+    (``wet-{partition:05d}.warc.wet.gz``); repartition upstream to
+    choose shard count/size (sequence_packing's size-targeted planner
+    composes here).
+    """
+    import os
+
+    os.makedirs(out_dir, exist_ok=True)
+
+    def _run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from pyspark import TaskContext
+
+        pid = TaskContext.get().partitionId()
+        path = os.path.join(out_dir, f"wet-{pid:05d}.warc.wet.gz")
+        n = 0
+        nbytes = 0
+        with open(path, "wb") as f:
+            for pdf in batches:
+                for url, ts, text in zip(
+                    pdf["url"], pdf["warc_ts"], pdf["text"]
+                ):
+                    rec = format_wet_record(str(url), ts, str(text))
+                    member = gzip.compress(rec, mtime=0)
+                    f.write(member)
+                    n += 1
+                    nbytes += len(member)
+        if n == 0:
+            os.remove(path)  # empty partition -> no empty shard
+            return
+        yield pd.DataFrame(
+            [{"path": path, "n_records": n, "n_bytes": nbytes}]
+        )
+
+    return df.select("url", "warc_ts", "text").mapInPandas(
+        _run, schema=WET_MANIFEST
+    )
+
+
+def read_wet(spark: SparkSession, path: str, **kwargs) -> DataFrame:
+    """Distributed WET read -> (url, warc_ts, text): the same streaming,
+    error-budgeted reader as ``read_warc`` filtered to ``conversion``
+    records, payload decoded as utf-8 text."""
+    raw = read_warc(spark, path, record_types=("conversion",), **kwargs)
+    return raw.select(
+        "url", "warc_ts", F.col("html").cast("string").alias("text")
+    )

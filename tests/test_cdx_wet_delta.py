@@ -1,0 +1,167 @@
+"""CDX index, anchor-text aggregation, crawl delta, and the WET
+write/read roundtrip — hand-computed semantics for the r4 batch-2
+operators."""
+
+from __future__ import annotations
+
+import datetime as dt
+import gzip
+import hashlib
+import io
+
+import pytest
+from pyspark.sql import functions as F
+
+from crawlspark import cdx, graph, scheduler, warc
+
+TS = dt.datetime(2024, 3, 5, 12, 30, 45)
+
+
+def test_surt_key_edge_cases(spark):
+    rows = [
+        ("https://WWW.Example.COM/Path?Q=1#frag",),
+        ("http://example.com",),  # empty path -> '/'
+        ("https://a.b.c.example.org/x/y",),
+        ("https://example.com/?utm=z",),
+    ]
+    df = spark.createDataFrame(rows, ["url"])
+    got = [r[0] for r in df.select(cdx.surt_key_col(F.col("url"))).collect()]
+    assert got == [
+        "com,example,www)/path?q=1",
+        "com,example)/",
+        "org,example,c,b,a)/x/y",
+        "com,example)/?utm=z",
+    ]
+
+
+def test_cdx_index_digest_and_sort(spark):
+    pages = spark.createDataFrame(
+        [
+            ("https://b.com/x", TS, b"hello"),
+            ("https://a.com/y", TS, b"world!"),
+            ("https://a.com/y", TS + dt.timedelta(seconds=1), b"world2"),
+        ],
+        ["url", "warc_ts", "html"],
+    )
+    out = cdx.cdx_index(pages).collect()
+    # range-sorted by (surt_key, ts)
+    assert [(r.surt_key, r.ts) for r in out] == [
+        ("com,a)/y", "20240305123045"),
+        ("com,a)/y", "20240305123046"),
+        ("com,b)/x", "20240305123045"),
+    ]
+    assert out[0].digest == hashlib.md5(b"world!").hexdigest()
+    assert out[0].length == 6
+    assert out[2].url == "https://b.com/x"
+
+
+def test_anchor_text_winner_and_drops(spark):
+    mk = (
+        '<a href="https://t.com/page">{t}</a>'
+        '<a href="#x">frag</a><a href="rel/p">rel</a>'
+        '<a href="https://t.com/page"></a>'
+        '<a href="/local">  Local  </a>'
+    )
+    pages = spark.createDataFrame(
+        [
+            ("https://s1.com/a", mk.format(t="Click")),
+            ("https://s1.com/b", mk.format(t="Click")),
+            ("https://s2.com/c", mk.format(t="zz-once")),
+            # count tie at 1-1 on /tie: lexicographically smaller wins
+            ("https://s1.com/d", '<a href="//t.com/tie">beta</a>'),
+            ("https://s2.com/e", '<a href="//t.com/tie">alpha</a>'),
+        ],
+        ["url", "html"],
+    )
+    got = {r.dst_url: r for r in graph.anchor_text(pages).collect()}
+    page = got["https://t.com/page"]
+    assert (page.n_anchors, page.n_texts, page.top_text) == (3, 2, "Click")
+    tie = got["https://t.com/tie"]
+    assert (tie.n_anchors, tie.top_text) == (2, "alpha")
+    # root-relative resolves per source host; anchor text trimmed
+    assert got["https://s1.com/local"].top_text == "Local"
+    assert got["https://s2.com/local"].n_anchors == 1
+    # fragment / directory-relative / empty-text anchors never surface
+    assert all("#" not in k and "rel" not in k for k in got)
+
+
+def test_crawl_delta_statuses_and_dup_resolution(spark):
+    hist = spark.createDataFrame(
+        [
+            ("u/add", 1, "f1"),
+            ("u/rm", 0, "f2"),
+            ("u/chg", 0, "f3"), ("u/chg", 1, "f4"),
+            ("u/same", 0, "f5"), ("u/same", 1, "f5"),
+            # duplicate rows within round 0 resolve via max(fingerprint)
+            ("u/dup", 0, "a"), ("u/dup", 0, "b"), ("u/dup", 1, "b"),
+            # rows from other rounds are ignored entirely
+            ("u/other", 7, "zz"),
+        ],
+        ["url", "round", "fingerprint"],
+    )
+    got = {r.url: r for r in scheduler.crawl_delta(hist, 0, 1).collect()}
+    assert got["u/add"].status == "added" and got["u/add"].fp_a is None
+    assert got["u/rm"].status == "removed"
+    assert got["u/chg"].status == "changed"
+    assert got["u/same"].status == "unchanged"
+    assert got["u/dup"].status == "unchanged" and got["u/dup"].fp_a == "b"
+    assert "u/other" not in got
+
+
+def test_format_wet_record_parses_back():
+    rec = warc.format_wet_record("https://e.com/p", TS, "héllo wörld")
+    rows, tally = warc.parse_warc_stream(
+        io.BytesIO(rec), strict=True, record_types=("conversion",)
+    )
+    assert tally == {"errors": 0, "records": 1}
+    assert rows[0]["url"] == "https://e.com/p"
+    assert rows[0]["warc_ts"] == TS
+    assert rows[0]["html"].decode("utf-8") == "héllo wörld"
+    # a response-only reader skips the conversion record silently
+    rows2, _ = warc.parse_warc_stream(io.BytesIO(rec), strict=True)
+    assert rows2 == []
+
+
+def test_wet_roundtrip_distributed(spark, tmp_path):
+    n = 37
+    corpus = spark.range(n).select(
+        F.concat(F.lit("https://e.com/d/"), F.col("id")).alias("url"),
+        F.lit(TS).alias("warc_ts"),
+        F.concat(F.lit("text body "), F.col("id")).alias("text"),
+    ).repartition(3)
+    out = str(tmp_path / "wet")
+    manifest = warc.write_wet(corpus, out).collect()
+    assert sum(m.n_records for m in manifest) == n
+    assert 1 <= len(manifest) <= 3
+    assert all(m.path.endswith(".warc.wet.gz") for m in manifest)
+    back = warc.read_wet(spark, out)
+    got = {r.url: (r.warc_ts, r.text) for r in back.collect()}
+    assert len(got) == n
+    assert got["https://e.com/d/5"] == (TS, "text body 5")
+    # every gzip member is byte-deterministic (mtime=0): rewriting the
+    # same partitioning yields identical shard bytes
+    out2 = str(tmp_path / "wet2")
+    warc.write_wet(corpus, out2).collect()
+    b1 = b"".join(
+        sorted(open(m.path, "rb").read() for m in manifest)
+    )
+    manifest2 = warc.write_wet(corpus, out2).collect()
+    b2 = b"".join(
+        sorted(open(m.path, "rb").read() for m in manifest2)
+    )
+    assert hashlib.md5(b1).hexdigest() == hashlib.md5(b2).hexdigest()
+
+
+def test_wet_empty_partition_writes_no_shard(spark, tmp_path):
+    corpus = spark.range(2).select(
+        F.concat(F.lit("u"), F.col("id")).alias("url"),
+        F.lit(TS).alias("warc_ts"),
+        F.lit("t").alias("text"),
+    ).repartition(8)
+    out = str(tmp_path / "wet")
+    manifest = warc.write_wet(corpus, out).collect()
+    assert sum(m.n_records for m in manifest) == 2
+    import os
+    assert sorted(os.listdir(out)) == sorted(
+        os.path.basename(m.path) for m in manifest
+    )

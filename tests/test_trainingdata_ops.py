@@ -919,3 +919,53 @@ def test_packed_sequences_text_and_writer(spark, tmp_path):
     }
     # rows_per_file floored to 1 -> one sequence per file
     assert len(glob.glob(out + "/shard=en/*.parquet")) == 2
+
+
+def test_host_boilerplate_removal_hand_semantics(spark):
+    rows = [
+        # host A: "Nav" in 3/3 docs (removed), "Often" in 2/3 (removed at
+        # frac 0.5), "Rare" in 1/3 (kept), unique lines kept
+        (1, "a.com", "Nav\nOften\nu1"),
+        (2, "a.com", "Nav\nOften\nRare\nu2"),
+        (3, "a.com", "Nav\nu3\n\nu3b"),  # blank line exempt, kept
+        # host B: same "Nav" text but only 1/2 docs -> frac 0.5 BUT
+        # min_docs=2 not met -> kept; B's own banner removed
+        (4, "b.com", "Nav\nBanner"),
+        (5, "b.com", "Banner\nu5"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "host", "text"])
+    got = {
+        r.doc_id: (r.text_cleaned, r.n_lines_kept, r.n_lines_dropped)
+        for r in textops.host_boilerplate_removal(df).collect()
+    }
+    assert got[1] == ("u1", 1, 2)
+    assert got[2] == ("Rare\nu2", 2, 2)
+    assert got[3] == ("u3\n\nu3b", 3, 1)
+    assert got[4] == ("Nav", 1, 1)  # B's Nav survives (min_docs)
+    assert got[5] == ("u5", 1, 1)
+
+
+def test_host_boilerplate_within_doc_repeat_counts_once(spark):
+    # "X" twice in doc 1, once in doc 2 -> doc frequency 2/3 < min_doc_frac
+    # 0.7 -> kept everywhere (in-row distinct, not occurrence count)
+    rows = [
+        (1, "h", "X\nX\nu1"),
+        (2, "h", "X\nu2"),
+        (3, "h", "u3"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "host", "text"])
+    got = {
+        r.doc_id: r.text_cleaned
+        for r in textops.host_boilerplate_removal(
+            df, min_doc_frac=0.7
+        ).collect()
+    }
+    assert got == {1: "X\nX\nu1", 2: "X\nu2", 3: "u3"}
+    # at 0.5 it crosses the threshold and every occurrence goes
+    got2 = {
+        r.doc_id: r.text_cleaned
+        for r in textops.host_boilerplate_removal(
+            df, min_doc_frac=0.5
+        ).collect()
+    }
+    assert got2 == {1: "u1", 2: "u2", 3: "u3"}
