@@ -1084,6 +1084,73 @@ def t43_host_boilerplate(spark, sf_dir):
     return tx.host_boilerplate_removal(pages)
 
 
+def t44_page_metadata(spark, sf_dir):
+    """WAT-style metadata extraction: title (trimmed, with a multiline
+    variant), meta description, charset via <meta charset> or http-equiv
+    (meta wins), NULLs for missing fields."""
+    d = _t(spark, sf_dir, "documents")
+    did = F.col("doc_id").cast("long")
+    m = did % 4
+    html = (
+        F.when(m == 0, F.concat(
+            F.lit("<html><head><title>  Doc "), did.cast("string"),
+            F.lit(" </title><meta charset=\"UTF-8\">"
+                  "<meta name=\"description\" content=\"summary of doc "),
+            did.cast("string"),
+            F.lit("\"></head><body>x</body></html>"),
+        ))
+        .when(m == 1, F.concat(
+            F.lit("<head><TITLE>upper "), did.cast("string"),
+            F.lit("</TITLE><meta http-equiv=\"Content-Type\" "
+                  "content=\"text/html; charset=ISO-8859-1\"></head>"),
+        ))
+        .when(m == 2, F.concat(
+            F.lit("<meta name=\"description\" content=\"only desc "),
+            did.cast("string"), F.lit("\"><p>body</p>"),
+        ))
+        .otherwise(F.lit("<body>bare page</body>"))
+    )
+    pages = d.select(
+        F.concat(
+            F.lit("https://"), F.col("source"), F.lit(".example.com/m/"),
+            did.cast("string"),
+        ).alias("url"),
+        html.alias("html"),
+    )
+    return tx.page_metadata(pages)
+
+
+def t45_outlink_stats(spark, sf_dir):
+    """Zero-shuffle per-page outlink stats over the t41 anchor corpus:
+    8 hrefs/page, 5 external (4 absolute to hub + 1 protocol-relative
+    cdn), 3 internal (root-relative, fragment, directory-relative)."""
+    d = _t(spark, sf_dir, "documents")
+    did = F.col("doc_id").cast("long")
+    topic = (did % 10).cast("string")
+    html = F.concat(
+        F.lit('<a href="https://hub.example.com/t/'), topic,
+        F.lit('">Topic</a>'),
+        F.lit('<a href="//cdn'), (did % 3).cast("string"),
+        F.lit('.example.com/x">cdn</a>'),
+        F.lit('<a href="/about">About</a>'),
+        F.lit('<a href="https://hub.example.com/top">v</a>'),
+        F.lit('<a href="https://hub.example.com/tie">t</a>'),
+        F.lit('<a href="#top">f</a>'),
+        F.lit('<a href="rel/path">r</a>'),
+        # a self-host absolute link: NOT external
+        F.lit('<a href="https://'), F.col("source"),
+        F.lit('.example.com/self">s</a>'),
+    )
+    pages = d.select(
+        F.concat(
+            F.lit("https://"), F.col("source"), F.lit(".example.com/p/"),
+            did.cast("string"),
+        ).alias("url"),
+        html.alias("html"),
+    )
+    return gr.outlink_stats(pages)
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_filter_project": q02_filter_project,
@@ -1158,6 +1225,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "t41_anchor_text": t41_anchor_text,
     "t42_crawl_delta": t42_crawl_delta,
     "t43_host_boilerplate": t43_host_boilerplate,
+    "t44_page_metadata": t44_page_metadata,
+    "t45_outlink_stats": t45_outlink_stats,
 }
 
 # ---------------------------------------------------------------------------
@@ -2443,6 +2512,95 @@ ORACLES["t43_host_boilerplate"] = """
            count(*) FILTER (WHERE keep) AS n_lines_kept,
            count(*) FILTER (WHERE NOT keep) AS n_lines_dropped
     FROM kept GROUP BY doc_id
+"""
+
+ORACLES["t44_page_metadata"] = """
+    WITH pages AS (
+        SELECT 'https://' || source || '.example.com/m/'
+                   || CAST(doc_id AS VARCHAR) AS url,
+               CASE doc_id % 4
+                   WHEN 0 THEN '<html><head><title>  Doc '
+                       || CAST(doc_id AS VARCHAR)
+                       || ' </title><meta charset="UTF-8">'
+                       || '<meta name="description" content="summary of doc '
+                       || CAST(doc_id AS VARCHAR)
+                       || '"></head><body>x</body></html>'
+                   WHEN 1 THEN '<head><TITLE>upper '
+                       || CAST(doc_id AS VARCHAR)
+                       || '</TITLE><meta http-equiv="Content-Type" '
+                       || 'content="text/html; charset=ISO-8859-1"></head>'
+                   WHEN 2 THEN '<meta name="description" content="only desc '
+                       || CAST(doc_id AS VARCHAR) || '"><p>body</p>'
+                   ELSE '<body>bare page</body>'
+               END AS html
+        FROM documents
+    ), x AS (
+        SELECT url,
+               trim(regexp_extract(html,
+                    '(?is)<title[^>]*>([^<]*)</title>', 1)) AS title_raw,
+               trim(regexp_extract(html,
+                    '(?i)<meta name="description" content="([^"]*)"', 1))
+                   AS desc_raw,
+               regexp_extract(html,
+                    '(?i)<meta charset="?([A-Za-z0-9_\\-]+)', 1) AS meta_cs,
+               regexp_extract(html,
+                    '(?i)charset=([A-Za-z0-9_\\-]+)', 1) AS equiv_cs,
+               strlen(html) AS nb
+        FROM pages
+    )
+    SELECT url,
+           nullif(title_raw, '') AS title,
+           nullif(desc_raw, '') AS meta_description,
+           lower(CASE WHEN meta_cs <> '' THEN meta_cs
+                      WHEN equiv_cs <> '' THEN equiv_cs END) AS charset,
+           CAST(nb AS BIGINT) AS n_bytes
+    FROM x
+"""
+
+ORACLES["t45_outlink_stats"] = """
+    WITH pages AS (
+        SELECT 'https://' || source || '.example.com/p/'
+                   || CAST(doc_id AS VARCHAR) AS url,
+               source || '.example.com' AS src_host,
+               '<a href="https://hub.example.com/t/'
+                   || CAST(doc_id % 10 AS VARCHAR) || '">Topic</a>'
+               || '<a href="//cdn' || CAST(doc_id % 3 AS VARCHAR)
+                   || '.example.com/x">cdn</a>'
+               || '<a href="/about">About</a>'
+               || '<a href="https://hub.example.com/top">v</a>'
+               || '<a href="https://hub.example.com/tie">t</a>'
+               || '<a href="#top">f</a>'
+               || '<a href="rel/path">r</a>'
+               || '<a href="https://' || source
+                   || '.example.com/self">s</a>' AS html
+        FROM documents
+    ), x AS (
+        SELECT url,
+               regexp_extract_all(html, 'href="([^"]+)"', 1) AS hrefs,
+               src_host
+        FROM pages
+    ), c AS (
+        SELECT url,
+               len(hrefs) AS n_links,
+               len(list_filter(hrefs, h ->
+                   CASE
+                       WHEN regexp_matches(h, '^https?://')
+                           THEN regexp_extract(h,
+                                '^https?://([^/?#]+)', 1) <> src_host
+                       WHEN h LIKE '//%'
+                           THEN regexp_extract(h, '^//([^/?#]+)', 1)
+                                <> src_host
+                       ELSE FALSE
+                   END)) AS n_external
+        FROM x
+    )
+    SELECT url,
+           CAST(n_links AS BIGINT) AS n_links,
+           CAST(n_external AS BIGINT) AS n_external,
+           CASE WHEN n_links > 0
+                THEN round(n_external * 1.0 / n_links, 6) END
+               AS external_ratio
+    FROM c
 """
 
 ORACLES = {k: v for k, v in ORACLES.items() if v is not None}

@@ -319,3 +319,56 @@ def anchor_text(
             "text", F.struct((-F.col("n")).alias("nn"), F.col("text"))
         ).alias("top_text"),
     )
+
+
+def outlink_stats(
+    pages: DataFrame,
+    url_col: str = "url",
+    html_col: str = "html",
+) -> DataFrame:
+    """Per-page outlink quality signals: (url, n_links, n_external,
+    external_ratio) — link-farm / doorway pages have extreme link counts
+    and external ratios, and web-quality filters (Gopher-lineage) cut on
+    them. ZERO shuffles: the href array never explodes — counting and
+    the external test run in-row via higher-order functions
+    (``size``/``filter`` over the regexp-extracted array), so the
+    operator is a stateless projection that scales with the scan.
+
+    External = absolute http(s) or protocol-relative href whose host
+    differs from the page's; everything else (root-relative,
+    directory-relative, fragments) is internal. ``external_ratio`` is
+    NULL for pages with no links (not 0 — "no links" and "all internal"
+    are different quality signals), rounded to 6dp for oracle exactness.
+    """
+    from .urlfilter import host_col
+
+    hrefs = F.expr(
+        f"regexp_extract_all(cast({html_col} as string), "
+        "'href=\"([^\"]+)\"', 1)"
+    )
+    src = host_col(F.col(url_col))
+    dst_host = lambda h: F.when(  # noqa: E731
+        h.rlike("^https?://"), F.regexp_extract(h, r"^https?://([^/?#]+)", 1)
+    ).when(h.startswith("//"), F.regexp_extract(h, r"^//([^/?#]+)", 1))
+    with_arr = pages.select(
+        F.col(url_col).alias("url"), src.alias("_src"), hrefs.alias("_hrefs")
+    )
+    n_links = F.size(F.col("_hrefs"))
+    n_ext = F.size(
+        F.filter(
+            F.col("_hrefs"),
+            lambda h: dst_host(h).isNotNull()
+            & (dst_host(h) != F.col("_src")),
+        )
+    )
+    return with_arr.select(
+        "url",
+        n_links.cast("long").alias("n_links"),
+        n_ext.cast("long").alias("n_external"),
+        F.round(
+            F.when(
+                n_links > 0, n_ext.cast("double") / n_links.cast("double")
+            ),
+            6,
+        ).alias("external_ratio"),
+    )

@@ -1059,3 +1059,52 @@ def write_packed_sequences(
         .partitionBy("shard")
         .parquet(out_dir)
     )
+
+
+def page_metadata(
+    pages: DataFrame,
+    url_col: str = "url",
+    html_col: str = "html",
+) -> DataFrame:
+    """WAT-style page-metadata extraction: (url, title, meta_description,
+    charset, n_bytes) straight from raw HTML — the per-page header
+    record Common Crawl publishes as WAT and quality pipelines consume
+    (title/description presence and length are standard document-level
+    quality signals; charset feeds decode policy). Pure column algebra:
+    three case-insensitive regexps inside scan codegen, zero shuffles,
+    no Python.
+
+    Bounded scope, loudly: attributes are matched in their conventional
+    order (``<meta name="description" content="...">``, ``<meta
+    charset=...>``, ``http-equiv`` content-type with ``charset=``) —
+    attribute-order-insensitive parsing needs a real HTML parser, a
+    policy layer the decode kernels own. Missing fields are NULL;
+    charset is lowercased; title/description are trimmed.
+    """
+    h = F.col(html_col).cast("string")
+    title = F.trim(
+        F.regexp_extract(h, r"(?is)<title[^>]*>([^<]*)</title>", 1)
+    )
+    desc = F.trim(
+        F.regexp_extract(
+            h, r'(?i)<meta name="description" content="([^"]*)"', 1
+        )
+    )
+    meta_cs = F.regexp_extract(
+        h, r'(?i)<meta charset="?([A-Za-z0-9_\-]+)', 1
+    )
+    equiv_cs = F.regexp_extract(
+        h, r"(?i)charset=([A-Za-z0-9_\-]+)", 1
+    )
+    charset = F.lower(
+        F.when(meta_cs != "", meta_cs)
+        .when(equiv_cs != "", equiv_cs)
+    )
+    nullif = lambda c: F.when(c != "", c)  # noqa: E731 — '' -> NULL
+    return pages.select(
+        F.col(url_col).alias("url"),
+        nullif(title).alias("title"),
+        nullif(desc).alias("meta_description"),
+        charset.alias("charset"),
+        F.octet_length(h).cast("long").alias("n_bytes"),
+    )

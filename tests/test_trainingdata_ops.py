@@ -969,3 +969,49 @@ def test_host_boilerplate_within_doc_repeat_counts_once(spark):
         ).collect()
     }
     assert got2 == {1: "u1", 2: "u2", 3: "u3"}
+
+
+def test_page_metadata_variants(spark):
+    rows = [
+        ("u1", '<title> Hi </title><meta charset="utf-8">'
+               '<meta name="description" content="d1">'),
+        # http-equiv fallback + uppercase tag, case-insensitive match
+        ("u2", '<TITLE>T2</TITLE><meta http-equiv="Content-Type" '
+               'content="text/html; charset=ISO-8859-1">'),
+        ("u3", "<body>no fields</body>"),
+        # meta charset beats http-equiv when both present
+        ("u4", '<meta charset=WINDOWS-1252><meta http-equiv="Content-Type"'
+               ' content="text/html; charset=utf-8">'),
+    ]
+    df = spark.createDataFrame(rows, ["url", "html"])
+    got = {r.url: r for r in textops.page_metadata(df).collect()}
+    assert (got["u1"].title, got["u1"].meta_description,
+            got["u1"].charset) == ("Hi", "d1", "utf-8")
+    assert (got["u2"].title, got["u2"].charset) == ("T2", "iso-8859-1")
+    assert (got["u3"].title, got["u3"].meta_description,
+            got["u3"].charset) == (None, None, None)
+    assert got["u4"].charset == "windows-1252"
+    assert got["u3"].n_bytes == len(rows[2][1])
+
+
+def test_outlink_stats_zero_shuffle_and_counts(spark):
+    from crawlspark import graph as gr
+    from crawlspark import plans
+
+    rows = [
+        ("https://a.com/p", '<a href="https://b.com/x">e</a>'
+                            '<a href="https://a.com/y">i</a>'
+                            '<a href="//c.com/z">e</a>'
+                            '<a href="/local">i</a>'
+                            '<a href="#f">i</a>'),
+        ("https://a.com/empty", "<p>no links</p>"),
+    ]
+    df = spark.createDataFrame(rows, ["url", "html"])
+    out = gr.outlink_stats(df)
+    got = {r.url: r for r in out.collect()}
+    p = got["https://a.com/p"]
+    assert (p.n_links, p.n_external, p.external_ratio) == (5, 2, 0.4)
+    e = got["https://a.com/empty"]
+    assert (e.n_links, e.n_external, e.external_ratio) == (0, 0, None)
+    # stateless projection: no exchange at all
+    assert plans.shuffle_count(out) == 0
