@@ -448,3 +448,68 @@ def stream_quality_funnel(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def stream_wet_publisher(
+    spark: SparkSession,
+    input_dir: str,
+    out_dir: str,
+    checkpoint: str,
+    base_ts=None,
+    max_files: int = 8,
+):
+    """Continuous WET publishing — the streaming half of
+    ``warc.write_wet``: as corpus rows land (url, text, crawl_round —
+    the emit_text product shape), each micro-batch is published as
+    Common-Crawl-style WET shards under ``out_dir/batch=<id>/`` with a
+    parquet shard manifest under ``out_dir/_manifest/batch=<id>/``.
+
+    Exactly-once per batch directory: the sink clears the batch's own
+    subtree before writing, and shard bytes are deterministic
+    (write_wet's fixed headers + mtime=0 gzip members), so a replayed
+    micro-batch after a crash reproduces its directory instead of
+    duplicating records — idempotency by determinism, the same contract
+    as stream_corpus_dedup's anti-join sink.
+
+    ``warc_ts`` is derived deterministically as ``base_ts +
+    crawl_round`` seconds (default base 2024-01-01), keeping replays
+    byte-identical; a wall-clock capture time would break the resume
+    contract the rest of the engine keeps.
+
+    Returns the started StreamingQuery; read everything back with
+    ``warc.read_wet(spark, out_dir + "/batch=*")``.
+    """
+    import datetime as _dt
+    import os
+    import shutil
+
+    base = base_ts or _dt.datetime(2024, 1, 1)
+    from .warc import write_wet
+
+    src = (
+        spark.readStream.schema("url string, text string, crawl_round int")
+        .option("maxFilesPerTrigger", max_files)
+        .parquet(input_dir)
+    )
+
+    def _sink(batch_df, batch_id):  # noqa: ANN001
+        rows = batch_df.select(
+            "url",
+            (
+                F.lit(base)
+                + F.expr("make_interval(0,0,0,0,0,0,crawl_round)")
+            ).alias("warc_ts"),
+            "text",
+        )
+        sub = os.path.join(out_dir, f"batch={batch_id:06d}")
+        man = os.path.join(out_dir, "_manifest", f"batch={batch_id:06d}")
+        for p in (sub, man):  # replay -> reproduce, never accumulate
+            shutil.rmtree(p, ignore_errors=True)
+        write_wet(rows, sub).write.mode("overwrite").parquet(man)
+
+    return (
+        src.writeStream.foreachBatch(_sink)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )

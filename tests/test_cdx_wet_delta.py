@@ -165,3 +165,22 @@ def test_wet_empty_partition_writes_no_shard(spark, tmp_path):
     assert sorted(os.listdir(out)) == sorted(
         os.path.basename(m.path) for m in manifest
     )
+
+
+def test_cdx_over_synthetic_corpus(spark):
+    """Composition: the synthetic Common-Crawl-style pages table (the
+    engine's input_hint shape) flows straight into cdx_index."""
+    from crawlspark.schema import PAGES
+    from crawlspark.synth import SiteSpec, generate_site
+
+    site = generate_site(SiteSpec(n_hosts=2, lists_per_host=2, per_list=4,
+                                  seed=11))
+    pages = spark.createDataFrame(site["pages"], schema=PAGES)
+    out = cdx.cdx_index(pages).collect()
+    assert len(out) == pages.count()
+    keys = [(r.surt_key, r.ts) for r in out]
+    assert keys == sorted(keys)
+    one = out[0]
+    src = next(p for p in site["pages"] if p["url"] == one.url)
+    assert one.digest == hashlib.md5(src["html"]).hexdigest()
+    assert one.length == len(src["html"])

@@ -318,3 +318,37 @@ def test_stream_quality_funnel_matches_batch_and_accumulates(spark, tmp_path):
     got2 = {r["verdict"]: (r["n_docs"], r["n_tokens"])
             for r in spark.table("qf_t2").collect()}
     assert got2 == {"too_short": (1, 2), "kept": (1, 30), "repetitive": (1, 40)}
+
+
+def test_stream_wet_publisher_and_readback(spark, tmp_path):
+    from crawlspark import warc
+
+    src = str(tmp_path / "landing_wet")
+    out = str(tmp_path / "wet_pub")
+    ckpt = str(tmp_path / "ckpt_wet")
+    rows = [("http://a/1", "alpha body", 0), ("http://a/2", "beta body", 1)]
+    spark.createDataFrame(rows, "url string, text string, crawl_round int") \
+        .write.mode("append").parquet(src)
+    st.stream_wet_publisher(spark, src, out, ckpt).awaitTermination()
+    back = warc.read_wet(spark, out + "/batch=*")
+    got = {r.url: (r.text, r.warc_ts) for r in back.collect()}
+    import datetime as dt
+    assert got == {
+        "http://a/1": ("alpha body", dt.datetime(2024, 1, 1, 0, 0, 0)),
+        "http://a/2": ("beta body", dt.datetime(2024, 1, 1, 0, 0, 1)),
+    }
+    # manifest totals match record count
+    man = spark.read.parquet(out + "/_manifest/batch=*")
+    assert man.agg({"n_records": "sum"}).collect()[0][0] == 2
+
+    # a second drop publishes a NEW batch dir; earlier shards untouched
+    import glob
+    before = sorted(glob.glob(out + "/batch=*/*.warc.wet.gz"))
+    spark.createDataFrame(
+        [("http://c/9", "gamma", 2)],
+        "url string, text string, crawl_round int",
+    ).write.mode("append").parquet(src)
+    st.stream_wet_publisher(spark, src, out, ckpt).awaitTermination()
+    after = sorted(glob.glob(out + "/batch=*/*.warc.wet.gz"))
+    assert set(before) < set(after)
+    assert warc.read_wet(spark, out + "/batch=*").count() == 3
