@@ -1151,6 +1151,23 @@ def t45_outlink_stats(spark, sf_dir):
     return gr.outlink_stats(pages)
 
 
+def t46_politeness_report(spark, sf_dir):
+    """Politeness audit over a synthetic fetch log: every host spreads
+    its 25 fetches over 5 rounds (5/round = budget-compliant at 5),
+    except src0 which crams all 25 into round 0 (violation)."""
+    d = _t(spark, sf_dir, "documents")
+    rnd = F.when(F.col("source") == "src0", F.lit(0)).otherwise(
+        F.expr("(doc_id div 20) % 5")
+    )
+    log = d.select(
+        F.col("source").alias("host"),
+        rnd.cast("int").alias("round"),
+        F.concat(F.lit("https://x/"), F.col("doc_id").cast("string"))
+        .alias("url"),
+    )
+    return sched.politeness_report(log, budget=5)
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_filter_project": q02_filter_project,
@@ -1227,6 +1244,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "t43_host_boilerplate": t43_host_boilerplate,
     "t44_page_metadata": t44_page_metadata,
     "t45_outlink_stats": t45_outlink_stats,
+    "t46_politeness_report": t46_politeness_report,
 }
 
 # ---------------------------------------------------------------------------
@@ -2601,6 +2619,24 @@ ORACLES["t45_outlink_stats"] = """
                 THEN round(n_external * 1.0 / n_links, 6) END
                AS external_ratio
     FROM c
+"""
+
+ORACLES["t46_politeness_report"] = """
+    WITH log AS (
+        SELECT source AS host,
+               CASE WHEN source = 'src0' THEN 0
+                    ELSE CAST((doc_id // 20) % 5 AS INT) END AS round
+        FROM documents
+    ), per_round AS (
+        SELECT host, round, count(*) AS n FROM log GROUP BY 1, 2
+    )
+    SELECT host,
+           count(*) AS n_rounds,
+           CAST(sum(n) AS BIGINT) AS total_fetches,
+           CAST(max(n) AS BIGINT) AS max_round_fetches,
+           5 AS budget,
+           max(n) <= 5 AS compliant
+    FROM per_round GROUP BY host
 """
 
 ORACLES = {k: v for k, v in ORACLES.items() if v is not None}

@@ -420,3 +420,38 @@ def crawl_delta(
         .otherwise(F.lit("unchanged"))
     )
     return g.select("url", status.alias("status"), "fp_a", "fp_b")
+
+
+def politeness_report(
+    fetch_log: DataFrame,
+    budget: int,
+    host_col: str = "host",
+    round_col: str = "round",
+) -> DataFrame:
+    """Politeness-compliance audit over the engine's own fetch_log: per
+    host, how many rounds it was fetched in, total fetches, the busiest
+    round's count, and whether every round stayed within the per-host
+    admission ``budget`` (the N1 rate window this engine enforces
+    instead of wall-clock delays — rounds are the time unit of a batch
+    crawl). The report a crawl operator publishes to prove the run
+    honored its politeness contract; on an all-green engine every row is
+    compliant, so a false row is a regression alarm, not a statistic.
+
+    Scale shape: two partial-aggregatable hash-aggs — (host, round)
+    counts collapse map-side, then |hosts| rows; no windows, no joins.
+    """
+    per_round = fetch_log.groupBy(
+        F.col(host_col).alias("host"), F.col(round_col).alias("round")
+    ).agg(F.count("*").alias("n"))
+    return per_round.groupBy("host").agg(
+        F.count("*").alias("n_rounds"),
+        F.sum("n").alias("total_fetches"),
+        F.max("n").alias("max_round_fetches"),
+    ).select(
+        "host",
+        "n_rounds",
+        "total_fetches",
+        "max_round_fetches",
+        F.lit(int(budget)).alias("budget"),
+        (F.col("max_round_fetches") <= budget).alias("compliant"),
+    )

@@ -184,3 +184,17 @@ def test_cdx_over_synthetic_corpus(spark):
     src = next(p for p in site["pages"] if p["url"] == one.url)
     assert one.digest == hashlib.md5(src["html"]).hexdigest()
     assert one.length == len(src["html"])
+
+
+def test_politeness_report_flags_violation(spark):
+    log = spark.createDataFrame(
+        [("a", 0), ("a", 0), ("a", 1),          # max 2/round
+         ("b", 0), ("b", 0), ("b", 0)],          # 3 in one round
+        ["host", "round"],
+    )
+    got = {r.host: r for r in
+           scheduler.politeness_report(log, budget=2).collect()}
+    a, b = got["a"], got["b"]
+    assert (a.n_rounds, a.total_fetches, a.max_round_fetches,
+            a.budget, a.compliant) == (2, 3, 2, 2, True)
+    assert (b.n_rounds, b.max_round_fetches, b.compliant) == (1, 3, False)
