@@ -76,3 +76,57 @@ def cdx_index(
         F.length(c).cast("long").alias("length"),
     )
     return out.orderBy("surt_key", "ts") if sort else out
+
+
+def revisit_records(
+    pages: DataFrame,
+    url_col: str = "url",
+    ts_col: str = "warc_ts",
+    content_col: str = "html",
+) -> DataFrame:
+    """Common-Crawl-style ``revisit`` detection by payload digest: every
+    capture whose content digest was already seen at an earlier capture
+    becomes a revisit row pointing at the original — the WARC
+    ``revisit`` record CC's deduplicating writer emits instead of
+    storing the payload again (storage drops to one copy per distinct
+    payload; ``bytes_saved`` is the payload length NOT re-stored).
+
+    Original = the lexicographically first (ts, url) per digest, so the
+    mapping is a pure function of the capture relation — reproducible
+    across engines, reruns, and partition layouts (same determinism
+    contract as SemDeDup's lowest-id winner).
+
+    Scale shape: one hash-agg to 1 row per distinct digest (min(struct)
+    partial-aggregates map-side — a mirrored boilerplate page arrives
+    at the reducer as per-mapper minima) + one digest equi-join back,
+    O(corpus) always, never corpus x corpus; AQE broadcasts the digest
+    side when small and skew-splits the probe when one digest floods.
+
+    Reference parity: the reference stores every captured body verbatim
+    (pipelines.py writes each item row); content-level dedup is new
+    surface the 10^10-URL corpus needs.
+    """
+    caps = pages.select(
+        F.col(url_col).alias("url"),
+        F.date_format(F.col(ts_col), "yyyyMMddHHmmss").alias("ts"),
+        F.md5(F.col(content_col)).alias("digest"),
+        F.length(F.col(content_col)).cast("long").alias("bytes_saved"),
+    )
+    firsts = caps.groupBy("digest").agg(
+        F.min(F.struct("ts", "url")).alias("first")
+    )
+    return (
+        caps.join(firsts, "digest")
+        .filter(
+            (F.col("ts") != F.col("first.ts"))
+            | (F.col("url") != F.col("first.url"))
+        )
+        .select(
+            "url",
+            "ts",
+            "digest",
+            F.col("first.url").alias("orig_url"),
+            F.col("first.ts").alias("orig_ts"),
+            "bytes_saved",
+        )
+    )

@@ -1168,6 +1168,40 @@ def t46_politeness_report(spark, sf_dir):
     return sched.politeness_report(log, budget=5)
 
 
+def t47_exactsubstr_removal(spark, sf_dir):
+    """ExactSubstr span removal (the producing half of t22): every
+    8-token window shared across >= 2 docs is cut from the text; the
+    gate returns the cleaned docs with removal counts. Same corpus as
+    t22, so the 45+ docs t22 flags are exactly the docs cut here."""
+    d = _t(spark, sf_dir, "documents")
+    return tx.exactsubstr_removal(d, w=8)
+
+
+def t48_revisit_records(spark, sf_dir):
+    """CDX revisit detection over a synthetic capture set where every
+    source's pages cycle through 25 distinct payloads shared across
+    hosts ('body-<doc_id mod 25>'): all but the first (ts, url) capture
+    per digest become revisit rows pointing at the original."""
+    from . import cdx
+
+    d = _t(spark, sf_dir, "documents")
+    did = F.col("doc_id").cast("long")
+    pages = d.select(
+        F.concat(
+            F.lit("https://"), F.col("source"), F.lit(".example.com/p/"),
+            did.cast("string"),
+        ).alias("url"),
+        F.expr(
+            "timestamp'2024-01-01 00:00:00'"
+            " + make_interval(0,0,0,0,0,0,doc_id)"
+        ).alias("warc_ts"),
+        F.concat(F.lit("body-"), (did % 25).cast("string"))
+        .cast("binary")
+        .alias("html"),
+    )
+    return cdx.revisit_records(pages)
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_filter_project": q02_filter_project,
@@ -1245,6 +1279,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "t44_page_metadata": t44_page_metadata,
     "t45_outlink_stats": t45_outlink_stats,
     "t46_politeness_report": t46_politeness_report,
+    "t47_exactsubstr_removal": t47_exactsubstr_removal,
+    "t48_revisit_records": t48_revisit_records,
 }
 
 # ---------------------------------------------------------------------------
@@ -2637,6 +2673,66 @@ ORACLES["t46_politeness_report"] = """
            5 AS budget,
            max(n) <= 5 AS compliant
     FROM per_round GROUP BY host
+"""
+
+ORACLES["t47_exactsubstr_removal"] = """
+    WITH toks AS (
+        SELECT doc_id, string_split(text, ' ') AS ts FROM documents
+    ), wins AS (
+        SELECT doc_id, i - 1 AS pos,
+               md5(CASE WHEN len(ts) >= 8
+                        THEN array_to_string(ts[i:i+7], ' ')
+                        ELSE array_to_string(ts, ' ') END) AS win_hash
+        FROM toks, unnest(range(1, greatest(len(ts) - 7, 1) + 1)) AS t(i)
+    ), dup AS (
+        SELECT win_hash
+        FROM (SELECT DISTINCT win_hash, doc_id FROM wins)
+        GROUP BY win_hash HAVING count(*) >= 2
+    ), starts AS (
+        SELECT DISTINCT w.doc_id, w.pos FROM wins w JOIN dup USING (win_hash)
+    ), tok AS (
+        SELECT doc_id, unnest(ts) AS tok,
+               generate_subscripts(ts, 1) - 1 AS tpos
+        FROM toks
+    ), kept AS (
+        SELECT t.doc_id, t.tok, t.tpos FROM tok t
+        WHERE NOT EXISTS (
+            SELECT 1 FROM starts s
+            WHERE s.doc_id = t.doc_id
+              AND s.pos <= t.tpos AND t.tpos < s.pos + 8)
+    ), affected AS (
+        SELECT DISTINCT doc_id FROM starts
+    )
+    SELECT d.doc_id,
+           CAST(len(d.ts) AS BIGINT) AS n_tokens,
+           CAST(len(d.ts) - count(k.tok) AS BIGINT) AS n_removed,
+           coalesce(string_agg(k.tok, ' ' ORDER BY k.tpos), '') AS clean_text
+    FROM toks d
+    JOIN affected USING (doc_id)
+    LEFT JOIN kept k ON k.doc_id = d.doc_id
+    GROUP BY d.doc_id, len(d.ts)
+"""
+
+ORACLES["t48_revisit_records"] = """
+    WITH caps AS (
+        SELECT 'https://' || source || '.example.com/p/'
+                   || CAST(doc_id AS VARCHAR) AS url,
+               strftime(TIMESTAMP '2024-01-01 00:00:00'
+                        + doc_id * INTERVAL 1 SECOND,
+                        '%Y%m%d%H%M%S') AS ts,
+               md5('body-' || CAST(doc_id % 25 AS VARCHAR)) AS digest,
+               CAST(strlen('body-' || CAST(doc_id % 25 AS VARCHAR))
+                    AS BIGINT) AS bytes_saved
+        FROM documents
+    ), firsts AS (
+        -- ts is unique per capture (1s per doc_id), so min(ts) IS the
+        -- struct-min's ts and min_by(url, ts) its url (no tie possible)
+        SELECT digest, min(ts) AS orig_ts, min_by(url, ts) AS orig_url
+        FROM caps GROUP BY digest
+    )
+    SELECT c.url, c.ts, c.digest, f.orig_url, f.orig_ts, c.bytes_saved
+    FROM caps c JOIN firsts f USING (digest)
+    WHERE c.ts <> f.orig_ts OR c.url <> f.orig_url
 """
 
 ORACLES = {k: v for k, v in ORACLES.items() if v is not None}

@@ -1108,3 +1108,76 @@ def page_metadata(
         charset.alias("charset"),
         F.octet_length(h).cast("long").alias("n_bytes"),
     )
+
+
+# -- ExactSubstr span REMOVAL — the producing half of window_dup_stats ----------
+
+
+def exactsubstr_removal(documents: DataFrame, w: int = 8) -> DataFrame:
+    """Remove cross-document duplicated spans from document text — the
+    producing half of :func:`window_dup_stats` (which only audits).
+    Lee et al. 2022's ExactSubstr pass CUTS every substring that also
+    appears in another document; at fixed ``w``-token-window granularity
+    the same semantics become shuffle-engine-shaped: a token is removed
+    iff some window starting at position ``s`` with ``s <= i < s + w``
+    occurs in >= 2 distinct documents.
+
+    Scale shape (two explode passes, both single-consumer):
+
+    - pass 1 aggregates the exploded windows to the duplicated-hash set
+      (two hash-aggs; within-doc repeats collapse map-side, so a
+      boilerplate window arrives at the reducer as per-mapper counts,
+      never a row flood);
+    - pass 2 joins the exploded (doc_id, pos, hash) relation to that
+      1-row-per-hash set (AQE handles the skewed probe) and aggregates
+      dup window STARTS per doc — bounded by the doc's own window
+      count, never corpus-wide;
+    - the cut itself is row-local column algebra on the original row:
+      ``filter(tokens, (t, i) -> !exists(starts, s -> s <= i < s+w))``
+      — no second shuffle of the corpus, no Python.
+
+    Unlike the audit, positions must survive to the join, so the
+    unique-complement trick that lets window_dup_stats run on ONE
+    explode does not apply; the two passes are the honest cost of
+    reconstruction. Output: (doc_id, n_tokens, n_removed, clean_text)
+    for documents that lost at least one token (a dup window always
+    covers >= 1 token, so the inner join IS that filter).
+
+    Reference parity: the reference engine has no sub-document dedup at
+    all (its dedup plane is the URL dupefilter, dupefilter.py); this is
+    training-data surface the north rule's corpus consumer needs.
+    """
+    wins = documents.select(
+        "doc_id",
+        F.posexplode(shingles_col(F.col("text"), w)).alias("pos", "win"),
+    ).select("doc_id", "pos", F.md5(F.col("win")).alias("win_hash"))
+    dup_hashes = (
+        wins.groupBy("win_hash", "doc_id")
+        .agg(F.lit(1))
+        .groupBy("win_hash")
+        .agg(F.count("*").alias("n_docs"))
+        .filter(F.col("n_docs") >= 2)
+        .select("win_hash")
+    )
+    starts = (
+        wins.join(dup_hashes, "win_hash")
+        .groupBy("doc_id")
+        .agg(F.sort_array(F.collect_set("pos")).alias("starts"))
+    )
+    toks = F.split(F.col("text"), " ")
+    kept = F.filter(
+        toks,
+        lambda t, i: ~F.exists(
+            F.col("starts"), lambda s: (s <= i) & (i < s + w)
+        ),
+    )
+    return (
+        documents.select("doc_id", "text")
+        .join(starts, "doc_id")
+        .select(
+            "doc_id",
+            F.size(toks).cast("long").alias("n_tokens"),
+            (F.size(toks) - F.size(kept)).cast("long").alias("n_removed"),
+            F.array_join(kept, " ").alias("clean_text"),
+        )
+    )

@@ -198,3 +198,45 @@ def test_politeness_report_flags_violation(spark):
     assert (a.n_rounds, a.total_fetches, a.max_round_fetches,
             a.budget, a.compliant) == (2, 3, 2, 2, True)
     assert (b.n_rounds, b.max_round_fetches, b.compliant) == (1, 3, False)
+
+
+def test_revisit_records_hand_computed(spark):
+    # digest groups: 'AAA' captured 3x (t1 u1 first; t2 u2, t3 u1 are
+    # revisits), 'BBB' once (no revisit row). ts-first ordering decides
+    # the original; bytes_saved is the payload length per revisit.
+    from datetime import datetime
+
+    from crawlspark import cdx
+
+    rows = [
+        ("u1", datetime(2024, 1, 1, 0, 0, 1), bytearray(b"AAA")),
+        ("u2", datetime(2024, 1, 1, 0, 0, 2), bytearray(b"AAA")),
+        ("u1", datetime(2024, 1, 1, 0, 0, 3), bytearray(b"AAA")),
+        ("u3", datetime(2024, 1, 1, 0, 0, 4), bytearray(b"BBB")),
+    ]
+    d = spark.createDataFrame(rows, ["url", "warc_ts", "html"])
+    out = sorted(
+        cdx.revisit_records(d).collect(), key=lambda r: r["ts"]
+    )
+    assert [(r["url"], r["orig_url"], r["orig_ts"], r["bytes_saved"])
+            for r in out] == [
+        ("u2", "u1", "20240101000001", 3),
+        ("u1", "u1", "20240101000001", 3),
+    ]
+
+
+def test_revisit_records_url_breaks_ts_tie(spark):
+    # same digest, same timestamp: the lexicographically smaller url is
+    # the original (min(struct(ts, url)) contract).
+    from datetime import datetime
+
+    from crawlspark import cdx
+
+    t = datetime(2024, 1, 1)
+    d = spark.createDataFrame(
+        [("b", t, bytearray(b"X")), ("a", t, bytearray(b"X"))],
+        ["url", "warc_ts", "html"],
+    )
+    out = cdx.revisit_records(d).collect()
+    assert len(out) == 1
+    assert out[0]["url"] == "b" and out[0]["orig_url"] == "a"

@@ -1015,3 +1015,50 @@ def test_outlink_stats_zero_shuffle_and_counts(spark):
     assert (e.n_links, e.n_external, e.external_ratio) == (0, 0, None)
     # stateless projection: no exchange at all
     assert plans.shuffle_count(out) == 0
+
+
+def test_exactsubstr_removal_hand_computed(spark):
+    # w=3. 'a b c' is shared by docs 0 and 1 (cross-doc dup):
+    #   doc 0: start 0 -> tokens 0..2 cut -> 'd e' survives
+    #   doc 1: start 1 -> tokens 1..3 cut -> 'x y' survives
+    # doc 2 repeats a window WITHIN itself only -> untouched, excluded.
+    # docs 3+4 are short whole-text dups -> fully removed, clean_text ''.
+    rows = [
+        (0, "a b c d e"),
+        (1, "x a b c y"),
+        (2, "p q r p q r p q"),
+        (3, "z z"),
+        (4, "z z"),
+    ]
+    d = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r["doc_id"]: r for r in textops.exactsubstr_removal(d, w=3).collect()}
+    assert set(out) == {0, 1, 3, 4}, "within-doc repeats are not cut"
+    assert (out[0]["clean_text"], out[0]["n_removed"]) == ("d e", 3)
+    assert (out[1]["clean_text"], out[1]["n_removed"]) == ("x y", 3)
+    for i in (3, 4):
+        assert out[i]["clean_text"] == ""
+        assert out[i]["n_removed"] == 2 == out[i]["n_tokens"]
+
+
+def test_exactsubstr_removal_overlapping_spans_union(spark):
+    # Both 3-windows of doc 0 ('a b c' at 0, 'b c d' at 1) are shared,
+    # once with doc 1 and once with doc 2: coverage is the UNION of the
+    # overlapping spans [0,3) and [1,4) -> all 4 tokens cut, not 6.
+    rows = [(0, "a b c d"), (1, "a b c"), (2, "b c d")]
+    d = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r["doc_id"]: r for r in textops.exactsubstr_removal(d, w=3).collect()}
+    assert out[0]["n_tokens"] == 4
+    assert out[0]["n_removed"] == 4
+    assert out[0]["clean_text"] == ""
+    # the witnesses lose their single (whole) window too
+    assert out[1]["clean_text"] == "" and out[2]["clean_text"] == ""
+
+
+def test_exactsubstr_removal_agrees_with_audit(spark):
+    # the producing half and the audit half must flag the SAME doc set
+    # on the real corpus: window_dup_stats(d, 8).doc_id ==
+    # exactsubstr_removal(d, 8).doc_id
+    d = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    audit = {r["doc_id"] for r in textops.window_dup_stats(d, w=8).collect()}
+    cut = {r["doc_id"] for r in textops.exactsubstr_removal(d, w=8).collect()}
+    assert audit == cut and len(cut) > 0
