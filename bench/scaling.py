@@ -331,7 +331,9 @@ def _cluster_md() -> str:
             f"(interleaved best-of, {headline['n1']} and "
             f"{headline['n4']} reps per level). The STEADY-ROUND metric "
             f"{'MEETS' if headline['steady_eff'] >= 0.8 else 'is BELOW'} "
-            f"the >= 0.8 bar; the full-run number additionally carries "
+            f"the >= 0.8 bar and the FULL-RUN metric "
+            f"{'MEETS it too' if headline['eff'] >= 0.8 else 'is below it'}"
+            f"; the full-run number additionally carries "
             f"the level-INDEPENDENT seed + list-round warmup constant "
             f"(quantified in the fixed-cost table), which a 10^10-URL "
             f"crawl — where virtually every fetched byte lands in big "

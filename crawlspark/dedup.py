@@ -628,3 +628,56 @@ def incremental_exact_dedup(new_docs: DataFrame, seen_fps: DataFrame) -> DataFra
     return batch.join(
         seen_fps.select("fingerprint"), "fingerprint", "left_anti"
     ).select("doc_id", "fingerprint")
+
+
+def cluster_best_keeper(clusters: DataFrame, quality: DataFrame) -> DataFrame:
+    """Quality-aware near-dup removal list: per duplicate cluster keep
+    the HIGHEST-quality member (ties -> lowest doc_id) and remove the
+    rest — what production fuzzy-dedup actually ships (keeping the
+    arbitrary min-id doc throws away the best-written copy of every
+    mirrored article; cf. the keep-longest / keep-highest-score policies
+    in C4/RefinedWeb-lineage pipelines). The min-id variant stays as
+    :func:`fuzzy_dedup_removals`'s default; this is its policy layer.
+
+    Inputs: ``clusters`` (doc_id, cluster_id) from :func:`dup_clusters`;
+    ``quality`` (doc_id, quality) — any deterministic score (doc_id must
+    be numeric for the tiebreak). Output, one row per REMOVED doc:
+    (doc_id, cluster_id, quality, keeper_doc_id, keeper_quality,
+    n_members).
+
+    Scale shape: one equi-join (both sides 1 row/doc) + one hash-agg to
+    1 row per cluster — max(struct(quality, -doc_id)) partial-aggregates
+    map-side, so a 10^6-member boilerplate cluster arrives at its
+    reducer as per-mapper maxima — + one cluster_id equi-join back.
+    Never a window over raw docs, never corpus x corpus.
+    """
+    m = clusters.join(quality, "doc_id")
+    keep = (
+        m.groupBy("cluster_id")
+        .agg(
+            F.max(
+                F.struct(
+                    F.col("quality"), (-F.col("doc_id")).alias("neg_id")
+                )
+            ).alias("best"),
+            F.count("*").alias("n_members"),
+        )
+        .select(
+            "cluster_id",
+            (-F.col("best.neg_id")).alias("keeper_doc_id"),
+            F.col("best.quality").alias("keeper_quality"),
+            "n_members",
+        )
+    )
+    return (
+        m.join(keep, "cluster_id")
+        .filter(F.col("doc_id") != F.col("keeper_doc_id"))
+        .select(
+            "doc_id",
+            "cluster_id",
+            "quality",
+            "keeper_doc_id",
+            "keeper_quality",
+            "n_members",
+        )
+    )

@@ -1202,6 +1202,40 @@ def t48_revisit_records(spark, sf_dir):
     return cdx.revisit_records(pages)
 
 
+def t49_cluster_keeper(spark, sf_dir):
+    """Quality-aware near-dup removal: the t13 clusters, but the keeper
+    is the highest-quality member (ties -> lowest doc_id) instead of the
+    min id — the policy production fuzzy-dedup ships. Oracle replays the
+    closure (recursive CTE) + the t01 quality expression + a rank."""
+    d = _t(spark, sf_dir, "documents")
+    pairs = dd.ngram_jaccard_pairs(d, k=3, threshold=0.2, max_df=100)
+    clusters = dd.dup_clusters(pairs)
+    quality = d.select(
+        "doc_id", tx.quality_score(F.col("text")).alias("quality")
+    )
+    return dd.cluster_best_keeper(clusters, quality)
+
+
+def t50_mixture_plan(spark, sf_dir):
+    """Domain-mixture sampling plan with skewed targets (share of srcK
+    proportional to K+1), so the binding stratum and the sub-1.0 rates
+    discriminate: total_max = min(n_s/share_s), quota = floor-capped,
+    rate = quota/n."""
+    d = _t(spark, sf_dir, "documents")
+    targets = (
+        d.select("source")
+        .distinct()
+        .select(
+            "source",
+            (
+                (F.substring("source", 4, 10).cast("double") + 1.0)
+                / F.lit(15.0)
+            ).alias("share"),
+        )
+    )
+    return tx.mixture_plan(d, targets)
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_filter_project": q02_filter_project,
@@ -1281,6 +1315,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "t46_politeness_report": t46_politeness_report,
     "t47_exactsubstr_removal": t47_exactsubstr_removal,
     "t48_revisit_records": t48_revisit_records,
+    "t49_cluster_keeper": t49_cluster_keeper,
+    "t50_mixture_plan": t50_mixture_plan,
 }
 
 # ---------------------------------------------------------------------------
@@ -2733,6 +2769,60 @@ ORACLES["t48_revisit_records"] = """
     SELECT c.url, c.ts, c.digest, f.orig_url, f.orig_ts, c.bytes_saved
     FROM caps c JOIN firsts f USING (digest)
     WHERE c.ts <> f.orig_ts OR c.url <> f.orig_url
+"""
+
+ORACLES["t49_cluster_keeper"] = (
+    "WITH RECURSIVE "
+    + _SHINGLES.strip().removeprefix("WITH")
+    + _T04_PAIRS_BODY
+    + _closure_sql("SELECT doc_a, doc_b FROM jac WHERE jaccard >= 0.2")
+    + """
+    , qual AS (
+        SELECT doc_id,
+               round(least(CAST(len(string_split(text, ' ')) AS double) / 100.0, 1.0) * 0.6
+                     + (1.0 - least(CAST(length(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS double)
+                                    / length(text) * 10.0, 1.0)) * 0.4, 4) AS quality
+        FROM documents
+    )
+    , mm AS (
+        SELECT c.doc_id, c.cluster_id, q.quality
+        FROM cc_labels c JOIN qual q USING (doc_id)
+    )
+    , ranked AS (
+        SELECT mm.*,
+               row_number() OVER (PARTITION BY cluster_id
+                                  ORDER BY quality DESC, doc_id ASC) AS rn,
+               count(*) OVER (PARTITION BY cluster_id) AS n_members
+        FROM mm
+    )
+    , keep AS (
+        SELECT cluster_id, doc_id AS keeper_doc_id,
+               quality AS keeper_quality
+        FROM ranked WHERE rn = 1
+    )
+    SELECT r.doc_id, r.cluster_id, r.quality, k.keeper_doc_id,
+           k.keeper_quality, CAST(r.n_members AS BIGINT) AS n_members
+    FROM ranked r JOIN keep k USING (cluster_id)
+    WHERE r.doc_id <> k.keeper_doc_id
+"""
+)
+
+ORACLES["t50_mixture_plan"] = """
+    WITH counts AS (
+        SELECT source, count(*) AS n_docs FROM documents GROUP BY source
+    ), t AS (
+        SELECT source, n_docs,
+               (CAST(substr(source, 4, 10) AS DOUBLE) + 1.0) / 15.0 AS share
+        FROM counts
+    ), tm AS (
+        SELECT min(n_docs / share) AS total_max FROM t
+    )
+    SELECT source, CAST(n_docs AS BIGINT) AS n_docs, share,
+           round(total_max, 6) AS total_max,
+           CAST(least(floor(share * total_max), n_docs) AS BIGINT) AS quota,
+           round(CAST(least(floor(share * total_max), n_docs) AS BIGINT)
+                 / n_docs, 6) AS rate
+    FROM t, tm
 """
 
 ORACLES = {k: v for k, v in ORACLES.items() if v is not None}

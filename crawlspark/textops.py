@@ -1181,3 +1181,52 @@ def exactsubstr_removal(documents: DataFrame, w: int = 8) -> DataFrame:
             F.array_join(kept, " ").alias("clean_text"),
         )
     )
+
+
+# -- domain-mixture sampling plan (The Pile / DoReMi shape) ----------------------
+
+
+def mixture_plan(
+    documents: DataFrame, targets: DataFrame, stratum_col: str = "source"
+) -> DataFrame:
+    """Data-mixture sampling plan: given TARGET shares per stratum
+    (domain/language/source weights, the knob The Pile and DoReMi tune),
+    compute the largest corpus that preserves the target mixture and the
+    per-stratum sampling rate that realizes it.
+
+    ``total_max = min_s(n_s / share_s)`` — the binding stratum is the one
+    that runs out first; ``quota_s = least(floor(share_s * total_max),
+    n_s)``; ``rate_s = quota_s / n_s``. All double arithmetic is the
+    same IEEE expression tree the SQL oracle evaluates, so quotas are
+    engine-exact including floor boundaries.
+
+    Inputs: ``documents`` with ``stratum_col``; ``targets``
+    (stratum_col, share) with shares summing to 1. Output per stratum:
+    (stratum, n_docs, share, total_max, quota, rate).
+
+    Scale shape: ONE hash-agg collapses the corpus to |strata| rows;
+    the min() and the join back run on that tiny aggregate (a crossJoin
+    against a 1-row relation is a broadcast, not a shuffle). Applying
+    the plan is :func:`stratified_sample` with these rates — the
+    deterministic md5 coin keeps the drawn sample identical across
+    engines and reruns.
+    """
+    counts = documents.groupBy(stratum_col).agg(F.count("*").alias("n_docs"))
+    m = counts.join(targets, stratum_col)
+    total_max = m.select(
+        F.min(F.col("n_docs") / F.col("share")).alias("total_max")
+    )
+    quota = F.least(
+        F.floor(F.col("share") * F.col("total_max")), F.col("n_docs")
+    ).cast("long")
+    return (
+        m.crossJoin(total_max)
+        .select(
+            stratum_col,
+            "n_docs",
+            "share",
+            F.round("total_max", 6).alias("total_max"),
+            quota.alias("quota"),
+            F.round(quota / F.col("n_docs"), 6).alias("rate"),
+        )
+    )

@@ -380,3 +380,89 @@ def read_wet(spark: SparkSession, path: str, **kwargs) -> DataFrame:
     return raw.select(
         "url", "warc_ts", F.col("html").cast("string").alias("text")
     )
+
+
+_HTTP_REASONS = {200: "OK", 301: "Moved Permanently", 302: "Found",
+                 304: "Not Modified", 403: "Forbidden", 404: "Not Found",
+                 500: "Internal Server Error", 503: "Service Unavailable"}
+
+
+def format_warc_response(url: str, ts, payload: bytes, status: int = 200) -> bytes:
+    """One WARC ``response`` record (WARC/1.0), byte-deterministic: the
+    payload wrapped in a minimal de-chunked HTTP/1.1 head (the form
+    Common Crawl stores), fixed header order, CRLF endings, WARC
+    Content-Length over head+payload, two trailing CRLFs — the exact
+    framing ``_parse_one`` reads back."""
+    reason = _HTTP_REASONS.get(status, "")
+    status_line = f"HTTP/1.1 {status} {reason}".rstrip()
+    http_head = (
+        f"{status_line}\r\n"
+        "Content-Type: text/html\r\n"
+        f"Content-Length: {len(payload)}\r\n"
+        "\r\n"
+    ).encode("utf-8")
+    block = http_head + payload
+    head = (
+        "WARC/1.0\r\n"
+        "WARC-Type: response\r\n"
+        f"WARC-Target-URI: {url}\r\n"
+        f"WARC-Date: {ts.strftime('%Y-%m-%dT%H:%M:%SZ')}\r\n"
+        "Content-Type: application/http; msgtype=response\r\n"
+        f"Content-Length: {len(block)}\r\n"
+        "\r\n"
+    ).encode("utf-8")
+    return head + block + b"\r\n\r\n"
+
+
+def write_warc(df: DataFrame, out_dir: str) -> DataFrame:
+    """Write a raw-capture relation (url, warc_ts, html[, http_status])
+    as WARC ``response`` segment files — the archival half the crawl's
+    fetch path would publish at 10^10 URLs (WET carries extracted text;
+    WARC carries the raw HTTP captures the corpus is re-derivable from).
+
+    Same contract as :func:`write_wet`: one gzip member PER RECORD
+    (stream-decompressable, member-boundary splittable), byte-
+    deterministic shards (fixed header order, mtime=0), one
+    ``warc-{partition:05d}.warc.gz`` per task partition, lazy manifest
+    (path, n_records, n_bytes) as the return value. Missing
+    ``http_status`` writes 200. Round-trips through :func:`read_warc`
+    byte-identically (payload, url, ts, status)."""
+    import os
+
+    os.makedirs(out_dir, exist_ok=True)
+    cols = ["url", "warc_ts", "html"]
+    has_status = "http_status" in df.columns
+    if has_status:
+        cols.append("http_status")
+
+    def _run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from pyspark import TaskContext
+
+        pid = TaskContext.get().partitionId()
+        path = os.path.join(out_dir, f"warc-{pid:05d}.warc.gz")
+        n = 0
+        nbytes = 0
+        with open(path, "wb") as f:
+            for pdf in batches:
+                statuses = (
+                    pdf["http_status"] if has_status else [200] * len(pdf)
+                )
+                for url, ts, html, status in zip(
+                    pdf["url"], pdf["warc_ts"], pdf["html"], statuses
+                ):
+                    rec = format_warc_response(
+                        str(url), ts, bytes(html),
+                        200 if status is None else int(status),
+                    )
+                    member = gzip.compress(rec, mtime=0)
+                    f.write(member)
+                    n += 1
+                    nbytes += len(member)
+        if n == 0:
+            os.remove(path)
+            return
+        yield pd.DataFrame(
+            [{"path": path, "n_records": n, "n_bytes": nbytes}]
+        )
+
+    return df.select(*cols).mapInPandas(_run, schema=WET_MANIFEST)

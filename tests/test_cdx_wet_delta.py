@@ -240,3 +240,49 @@ def test_revisit_records_url_breaks_ts_tie(spark):
     out = cdx.revisit_records(d).collect()
     assert len(out) == 1
     assert out[0]["url"] == "b" and out[0]["orig_url"] == "a"
+
+
+def test_warc_write_read_roundtrip(spark, tmp_path):
+    # raw response records: payload bytes, status, url and ts all
+    # round-trip byte-identically through write_warc -> read_warc
+    n = 23
+    corpus = spark.range(n).select(
+        F.concat(F.lit("https://e.com/p/"), F.col("id")).alias("url"),
+        F.lit(TS).alias("warc_ts"),
+        F.concat(F.lit("<html>body "), F.col("id"), F.lit("</html>"))
+        .cast("binary")
+        .alias("html"),
+        F.when(F.col("id") % 7 == 0, F.lit(404))
+        .otherwise(F.lit(200))
+        .cast("int")
+        .alias("http_status"),
+    ).repartition(3)
+    out = str(tmp_path / "warc")
+    manifest = warc.write_warc(corpus, out).collect()
+    assert sum(m.n_records for m in manifest) == n
+    assert all(m.path.endswith(".warc.gz") for m in manifest)
+    back = warc.read_warc(spark, out)
+    got = {r.url: r for r in back.collect()}
+    assert len(got) == n
+    r5 = got["https://e.com/p/5"]
+    assert bytes(r5.html) == b"<html>body 5</html>"
+    assert (r5.warc_ts, r5.http_status) == (TS, 200)
+    assert got["https://e.com/p/7"].http_status == 404
+    # deterministic bytes: same partitioning -> identical shard set
+    out2 = str(tmp_path / "warc2")
+    manifest2 = warc.write_warc(corpus, out2).collect()
+    b1 = b"".join(sorted(open(m.path, "rb").read() for m in manifest))
+    b2 = b"".join(sorted(open(m.path, "rb").read() for m in manifest2))
+    assert hashlib.md5(b1).hexdigest() == hashlib.md5(b2).hexdigest()
+
+
+def test_warc_write_defaults_status_200(spark, tmp_path):
+    corpus = spark.range(3).select(
+        F.concat(F.lit("u"), F.col("id")).alias("url"),
+        F.lit(TS).alias("warc_ts"),
+        F.lit("x").cast("binary").alias("html"),
+    )
+    out = str(tmp_path / "warc")
+    warc.write_warc(corpus, out).collect()
+    back = warc.read_warc(spark, out).collect()
+    assert {r.http_status for r in back} == {200}

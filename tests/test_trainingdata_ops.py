@@ -1062,3 +1062,41 @@ def test_exactsubstr_removal_agrees_with_audit(spark):
     audit = {r["doc_id"] for r in textops.window_dup_stats(d, w=8).collect()}
     cut = {r["doc_id"] for r in textops.exactsubstr_removal(d, w=8).collect()}
     assert audit == cut and len(cut) > 0
+
+
+def test_cluster_best_keeper_quality_wins_and_ties(spark):
+    # cluster 1: quality tie between docs 2 and 3 -> LOWEST id (2) keeps;
+    # docs 1 and 3 are removed. cluster 5: tie -> 5 keeps, 6 removed.
+    clusters = spark.createDataFrame(
+        [(1, 1), (2, 1), (3, 1), (5, 5), (6, 5)], ["doc_id", "cluster_id"]
+    )
+    quality = spark.createDataFrame(
+        [(1, 0.2), (2, 0.9), (3, 0.9), (5, 0.5), (6, 0.5)],
+        ["doc_id", "quality"],
+    )
+    out = {
+        r["doc_id"]: r
+        for r in dedup.cluster_best_keeper(clusters, quality).collect()
+    }
+    assert set(out) == {1, 3, 6}, "keepers never appear as removed rows"
+    assert out[1]["keeper_doc_id"] == 2 and out[1]["n_members"] == 3
+    assert out[3]["keeper_doc_id"] == 2 and out[3]["keeper_quality"] == 0.9
+    assert out[6]["keeper_doc_id"] == 5 and out[6]["n_members"] == 2
+
+
+def test_mixture_plan_binding_stratum_arithmetic(spark):
+    # equal target shares, unequal supply: stratum 'a' (10 docs) binds;
+    # total_max = min(10/.5, 30/.5) = 20 -> quota 10 each; 'b' samples
+    # at 10/30.
+    docs = spark.createDataFrame(
+        [("a",)] * 10 + [("b",)] * 30, ["source"]
+    )
+    targets = spark.createDataFrame(
+        [("a", 0.5), ("b", 0.5)], ["source", "share"]
+    )
+    out = {
+        r["source"]: r for r in textops.mixture_plan(docs, targets).collect()
+    }
+    assert out["a"]["total_max"] == 20.0
+    assert (out["a"]["quota"], out["a"]["rate"]) == (10, 1.0)
+    assert (out["b"]["quota"], out["b"]["rate"]) == (10, 0.333333)
