@@ -31,6 +31,10 @@ SHOW = [
     "t28_transition_pagerank",
     "t30_url_filter",
     "t32_sequence_packing",
+    "t51_incremental_minhash",
+    "t53_host_skew",
+    "t54_shard_plan",
+    "t55_lsh_error_audit",
 ]
 
 

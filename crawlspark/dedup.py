@@ -681,3 +681,213 @@ def cluster_best_keeper(clusters: DataFrame, quality: DataFrame) -> DataFrame:
             "n_members",
         )
     )
+
+
+def signature_buckets(
+    sigs: DataFrame, n_hashes: int, bands: int
+) -> DataFrame:
+    """LSH band buckets from a (doc_id, signature) table — the banding
+    half of :func:`minhash_lsh_pairs`, factored out so INCREMENTAL
+    callers can band a persisted signature table without re-shingling
+    the text it came from. Bucket = md5 of the band's signature slice
+    (bucket equality == slice equality, md5 collisions aside — the same
+    encoding the batch path uses, so both produce identical buckets).
+
+    Output: (doc_id, signature, band, bucket) — the signature array
+    rides along (n_hashes longs/doc) so downstream pair scoring never
+    joins back to the signature table.
+    """
+    rpb = n_hashes // bands
+    band_cols = [
+        F.struct(
+            F.lit(b).alias("band"),
+            F.md5(
+                F.concat_ws(",", *[
+                    F.col("signature")[b * rpb + r].cast("string")
+                    for r in range(rpb)
+                ])
+            ).alias("bucket"),
+        )
+        for b in range(bands)
+    ]
+    return sigs.select(
+        "doc_id", "signature", F.explode(F.array(*band_cols)).alias("bb")
+    ).select(
+        "doc_id",
+        "signature",
+        F.col("bb.band").alias("band"),
+        F.col("bb.bucket").alias("bucket"),
+    )
+
+
+def incremental_minhash_dedup(
+    new_docs: DataFrame,
+    history_sigs: DataFrame,
+    n_hashes: int = 8,
+    bands: int = 4,
+    k: int = 3,
+    est_threshold: float = 0.25,
+) -> DataFrame:
+    """Cross-round INCREMENTAL near-dedup (The-Stack-v2 / BigCode shape):
+    dedup O(batch) NEW documents against the accumulated corpus WITHOUT
+    re-reading history text — only its persisted MinHash signature table
+    (``history_sigs``: (doc_id, signature array<bigint>), as produced by
+    :func:`minhash_signatures` on earlier batches). The near-dup
+    companion of :func:`incremental_exact_dedup`, mirroring the crawl
+    plane's URL seen-set anti-join (/root/reference/dupefilter.py) at
+    near-duplicate-content granularity.
+
+    A new doc is removed when its ESTIMATED Jaccard — the fraction of
+    matching signature components, the standard signature-space verify
+    when history text is gone — reaches ``est_threshold`` against any
+    history doc or any LOWER-id doc of the same batch (keep-first;
+    greedy, chain-free: the lower-id doc counts even if it is itself
+    removed, the standard incremental approximation). Candidates come
+    from the band equi-join, so like all LSH this inherits banding's
+    probabilistic misses — deterministic ones, replayed exactly by the
+    SQL oracle (gate t51).
+
+    Output, one row per removed new doc: (removed_doc_id, witness_id,
+    est_jaccard, vs_history) where the witness is the best-matching doc
+    (max est_jaccard, ties -> lowest id; vs_history = that witness came
+    from history).
+
+    Scale shape: signatures for the BATCH only (2 shuffles); candidates
+    are a band equi-join of O(batch) band rows against the banded
+    history — an equi-join AQE can skew-split, never corpus x corpus and
+    never a re-shingle of history; scoring is in-row array algebra on
+    the carried signatures (zip_with/aggregate, no Python); the witness
+    pick is one partial-aggregatable min(struct) hash-agg on O(matches)
+    rows. At 10^10 docs the banded history is a bucketed table on
+    (band, bucket) and the join co-locates — the same layout store.py
+    ships for URL fingerprints.
+    """
+    new_sigs = minhash_signatures(new_docs, n_hashes, k)
+    nb = signature_buckets(new_sigs, n_hashes, bands)
+    ob = signature_buckets(
+        history_sigs.select("doc_id", "signature"), n_hashes, bands
+    ).withColumn("is_hist", F.lit(True)).unionByName(
+        nb.withColumn("is_hist", F.lit(False))
+    )
+    cand = (
+        nb.alias("n")
+        .join(ob.alias("o"), ["band", "bucket"])
+        .filter(
+            F.col("o.is_hist") | (F.col("o.doc_id") < F.col("n.doc_id"))
+        )
+        .select(
+            F.col("n.doc_id").alias("removed_doc_id"),
+            F.col("o.doc_id").alias("witness_id"),
+            F.col("o.is_hist").alias("vs_history"),
+            F.col("n.signature").alias("sa"),
+            F.col("o.signature").alias("sb"),
+        )
+        # signatures are functionally dependent on the ids, so the
+        # arbitrary-row semantics of dropDuplicates is value-deterministic
+        .dropDuplicates(["removed_doc_id", "witness_id"])
+    )
+    est = (
+        F.expr(
+            "aggregate(zip_with(sa, sb, (x, y) -> cast(x = y as int)), "
+            "0, (acc, v) -> acc + v)"
+        )
+        / F.lit(float(n_hashes))
+    )
+    scored = cand.withColumn("est_jaccard", F.round(est, 6)).filter(
+        F.col("est_jaccard") >= est_threshold
+    )
+    best = (
+        scored.groupBy("removed_doc_id")
+        .agg(
+            F.min(
+                F.struct(
+                    (-F.col("est_jaccard")).alias("neg_est"),
+                    F.col("witness_id"),
+                    F.col("vs_history"),
+                )
+            ).alias("w")
+        )
+        .select(
+            "removed_doc_id",
+            F.col("w.witness_id").alias("witness_id"),
+            (-F.col("w.neg_est")).alias("est_jaccard"),
+            F.col("w.vs_history").alias("vs_history"),
+        )
+    )
+    return best
+
+
+def lsh_estimate_audit(
+    documents: DataFrame,
+    n_hashes: int = 8,
+    bands: int = 4,
+    k: int = 3,
+) -> DataFrame:
+    """LSH calibration audit — per banded candidate pair, the MinHash
+    ESTIMATED Jaccard (matching-component fraction, what the incremental
+    path scores with when history text is gone) next to the TRUE shingle
+    Jaccard (what :func:`verify_jaccard_pairs` computes when text is
+    available), plus the absolute error. This is the measurement that
+    justifies an ``est_threshold`` before pointing
+    :func:`incremental_minhash_dedup` at a corpus: tune n_hashes/bands
+    until the observed error at the decision boundary is acceptable,
+    instead of guessing.
+
+    Output: (doc_a, doc_b, est_jaccard, true_jaccard, abs_err), one row
+    per distinct banded candidate pair; candidates whose true shingle
+    sets are disjoint (pure band collisions) report true_jaccard 0.0.
+
+    Scale shape: everything is candidate-bounded — band equi-join for
+    pairs (never corpus²), in-row signature algebra for the estimate,
+    the semi-joined inverted-index intersection of the verify path for
+    the truth, one left join to stitch them. Runs as a sampled audit at
+    10^10 docs (feed it stratified_sample output); the operators audited
+    run on the full corpus.
+    """
+    sigs = minhash_signatures(documents, n_hashes, k)
+    b = signature_buckets(sigs, n_hashes, bands)
+    cand = (
+        b.alias("x")
+        .join(b.alias("y"), ["band", "bucket"])
+        .filter(F.col("x.doc_id") < F.col("y.doc_id"))
+        .select(
+            F.col("x.doc_id").alias("doc_a"),
+            F.col("y.doc_id").alias("doc_b"),
+            F.col("x.signature").alias("sa"),
+            F.col("y.signature").alias("sb"),
+        )
+        # signatures are functionally dependent on the doc ids, so
+        # dropDuplicates' arbitrary-row pick is value-deterministic
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+    est = (
+        F.expr(
+            "aggregate(zip_with(sa, sb, (x, y) -> cast(x = y as int)), "
+            "0, (acc, v) -> acc + v)"
+        )
+        / F.lit(float(n_hashes))
+    )
+    estimated = cand.select(
+        "doc_a", "doc_b", F.round(est, 6).alias("est_jaccard")
+    )
+    truth = verify_jaccard_pairs(
+        documents, estimated.select("doc_a", "doc_b"), k, threshold=0.0
+    ).select("doc_a", "doc_b", F.col("jaccard").alias("true_jaccard"))
+    return (
+        estimated.join(truth, ["doc_a", "doc_b"], "left")
+        .select(
+            "doc_a",
+            "doc_b",
+            "est_jaccard",
+            F.coalesce(F.col("true_jaccard"), F.lit(0.0)).alias(
+                "true_jaccard"
+            ),
+            F.round(
+                F.abs(
+                    F.col("est_jaccard")
+                    - F.coalesce(F.col("true_jaccard"), F.lit(0.0))
+                ),
+                6,
+            ).alias("abs_err"),
+        )
+    )

@@ -1236,6 +1236,119 @@ def t50_mixture_plan(spark, sf_dir):
     return tx.mixture_plan(d, targets)
 
 
+def t51_incremental_minhash(spark, sf_dir):
+    """Incremental near-dedup of a NEW batch (odd doc_ids) against the
+    accumulated corpus' persisted MinHash signature table (even
+    doc_ids) — no history text re-read. 8 hashes x 4 bands, removal at
+    estimated Jaccard >= 0.25 vs history or a lower-id batch doc; the
+    oracle replays the identical probabilistic pipeline in SQL (same
+    md5-derived hashes, same band join, same witness pick)."""
+    d = _t(spark, sf_dir, "documents")
+    hist = d.filter(F.col("doc_id") % 2 == 0)
+    new = d.filter(F.col("doc_id") % 2 == 1)
+    hist_sigs = dd.minhash_signatures(hist, n_hashes=8, k=3)
+    return dd.incremental_minhash_dedup(
+        new, hist_sigs, n_hashes=8, bands=4, k=3, est_threshold=0.25
+    )
+
+
+def t52_sitemap_entries(spark, sf_dir):
+    """Sitemap XML parsing (the complement of t39's discovery): one
+    synthetic sitemap.xml per doc_id < 20 host carrying a plain <loc>,
+    an uppercase whitespace-padded <LOC>, and a nested sitemap-index
+    entry; decoy non-sitemap pages whose <loc> tags must be ignored."""
+    d = _t(spark, sf_dir, "documents")
+    did = F.col("doc_id").cast("long")
+    is_sm = did < 20
+    url = F.when(
+        is_sm,
+        F.concat(
+            F.lit("https://"), F.col("source"),
+            F.lit(".example.com/sitemap.xml"),
+        ),
+    ).otherwise(
+        F.concat(
+            F.lit("https://"), F.col("source"), F.lit(".example.com/d/"),
+            did.cast("string"),
+        )
+    )
+    base = F.concat(F.lit("https://"), F.col("source"), F.lit(".example.com/p/"))
+    text = F.when(
+        is_sm,
+        F.concat(
+            F.lit('<?xml version="1.0"?><urlset><url><loc>'),
+            base, did.cast("string"),
+            F.lit("</loc></url><url><LOC>  "),
+            base, (did + 1000).cast("string"),
+            F.lit(" </LOC></url><sitemap><loc>https://"),
+            F.col("source"),
+            F.lit(".example.com/sitemap2.xml</loc></sitemap></urlset>"),
+        ),
+    ).otherwise(F.lit("<url><loc>https://decoy.example.com/x</loc></url>"))
+    return rb.sitemap_entries(d.select(url.alias("url"), text.alias("text")))
+
+
+def t53_host_skew(spark, sf_dir):
+    """P1 skew observability: a synthetic frontier where 40% of URLs
+    pile onto one mega-host (the CDN-skew shape a real frontier shows)
+    and the rest spread over the 20 source hosts; 16 md5-derived
+    buckets, salt_threshold 100 so only the mega-host trips needs_salt
+    at the gate's 500-doc corpus."""
+    d = _t(spark, sf_dir, "documents")
+    did = F.col("doc_id").cast("long")
+    host = F.when(did % 5 < 2, F.lit("big.example.com")).otherwise(
+        F.concat(F.col("source"), F.lit(".example.com"))
+    )
+    urls = d.select(
+        F.concat(F.lit("https://"), host, F.lit("/p/"), did.cast("string"))
+        .alias("url")
+    )
+    return sched.host_skew_report(urls, n_buckets=16, salt_threshold=100)
+
+
+def t54_shard_plan(spark, sf_dir):
+    """Byte-budget shard assignment for publishing: 64 KB target shards
+    in doc_id order, 100-wide value buckets so the two-phase distributed
+    prefix sum exercises many buckets at every driver SF. The oracle is
+    the naive global running sum — the single-partition plan this
+    operator exists to avoid — proving the two-phase scan computes the
+    identical assignment."""
+    d = _t(spark, sf_dir, "documents")
+    return tx.shard_plan(d, target_bytes=65536, bucket_width=100)
+
+
+def t55_lsh_error_audit(spark, sf_dir):
+    """MinHash-vs-truth calibration: per banded candidate pair, the
+    signature-estimated Jaccard next to the true shingle Jaccard and the
+    absolute error — 8 hashes x 4 bands, the t51 incremental-dedup
+    configuration, audited instead of guessed."""
+    d = _t(spark, sf_dir, "documents")
+    return dd.lsh_estimate_audit(d, n_hashes=8, bands=4, k=3)
+
+
+def t56_bpe_pairs(spark, sf_dir):
+    """BPE first-merge statistic: corpus-wide adjacent char-pair counts
+    over word types weighted by word frequency, top-20 with
+    deterministic lexicographic tiebreak."""
+    d = _t(spark, sf_dir, "documents")
+    return tx.bpe_pair_counts(d, top_k=20)
+
+
+def t57_latency_percentiles(spark, sf_dir):
+    """N3 autothrottle feedback observable: per-host p50/p95 fetch
+    latency with DISCRETE (rank-picked) percentile semantics — events
+    stand in as the fetch log (user buckets = hosts, value = latency),
+    the same analog mapping as c01-c05."""
+    e = _t(spark, sf_dir, "events")
+    log = e.select(
+        F.concat(F.lit("h"), (F.col("user_id") % 20).cast("string")).alias(
+            "host"
+        ),
+        F.col("value").alias("latency_ms"),
+    )
+    return sched.latency_percentiles(log)
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_filter_project": q02_filter_project,
@@ -1317,6 +1430,13 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "t48_revisit_records": t48_revisit_records,
     "t49_cluster_keeper": t49_cluster_keeper,
     "t50_mixture_plan": t50_mixture_plan,
+    "t51_incremental_minhash": t51_incremental_minhash,
+    "t52_sitemap_entries": t52_sitemap_entries,
+    "t53_host_skew": t53_host_skew,
+    "t54_shard_plan": t54_shard_plan,
+    "t55_lsh_error_audit": t55_lsh_error_audit,
+    "t56_bpe_pairs": t56_bpe_pairs,
+    "t57_latency_percentiles": t57_latency_percentiles,
 }
 
 # ---------------------------------------------------------------------------
@@ -2823,6 +2943,226 @@ ORACLES["t50_mixture_plan"] = """
            round(CAST(least(floor(share * total_max), n_docs) AS BIGINT)
                  / n_docs, 6) AS rate
     FROM t, tm
+"""
+
+def _incremental_minhash_oracle() -> str:
+    """SQL twin of t51: the SAME md5-derived universal hashes
+    (minhash_params(8)), the SAME 4-band x 2-row LSH join restricted to
+    new-vs-(history | lower-id-new), the SAME component-match estimated
+    Jaccard and max-est/min-id witness pick — LSH's probabilistic misses
+    reproduced exactly, like the t25 oracle."""
+    from .dedup import _P, minhash_params
+
+    params = minhash_params(8)
+    x = "(try_cast('0x' || substr(md5(shingle), 1, 8) AS bigint) % 2147483647)"
+    hcols = ", ".join(
+        f"min(({a} * {x} + {b}) % {_P}) AS h{i}" for i, (a, b) in enumerate(params)
+    )
+    bandcond = " OR ".join(
+        f"(n.h{2 * b} = o.h{2 * b} AND n.h{2 * b + 1} = o.h{2 * b + 1})"
+        for b in range(4)
+    )
+    est = (
+        "("
+        + " + ".join(f"CAST(n.h{i} = o.h{i} AS int)" for i in range(8))
+        + ") / 8.0"
+    )
+    return (
+        "WITH "
+        + _SHINGLES.strip().removeprefix("WITH")
+        + f""", sigs AS (SELECT doc_id, {hcols} FROM sh GROUP BY doc_id),
+        scored AS (
+            SELECT n.doc_id AS removed_doc_id, o.doc_id AS witness_id,
+                   (o.doc_id % 2 = 0) AS vs_history,
+                   round({est}, 6) AS est_jaccard
+            FROM sigs n JOIN sigs o
+              ON ((o.doc_id % 2 = 0) OR o.doc_id < n.doc_id)
+             AND ({bandcond})
+            WHERE n.doc_id % 2 = 1
+        ), best AS (
+            SELECT *, row_number() OVER (
+                PARTITION BY removed_doc_id
+                ORDER BY est_jaccard DESC, witness_id ASC) AS rn
+            FROM scored WHERE est_jaccard >= 0.25
+        )
+        SELECT removed_doc_id, witness_id, est_jaccard, vs_history
+        FROM best WHERE rn = 1
+        """
+    )
+
+
+ORACLES["t51_incremental_minhash"] = _incremental_minhash_oracle()
+
+ORACLES["t52_sitemap_entries"] = """
+    WITH pages AS (
+        SELECT CASE WHEN doc_id < 20
+                    THEN 'https://' || source || '.example.com/sitemap.xml'
+                    ELSE 'https://' || source || '.example.com/d/'
+                         || CAST(doc_id AS VARCHAR) END AS url,
+               CASE WHEN doc_id < 20
+                    THEN '<?xml version="1.0"?><urlset><url><loc>https://'
+                         || source || '.example.com/p/'
+                         || CAST(doc_id AS VARCHAR)
+                         || '</loc></url><url><LOC>  https://' || source
+                         || '.example.com/p/' || CAST(doc_id + 1000 AS VARCHAR)
+                         || ' </LOC></url><sitemap><loc>https://' || source
+                         || '.example.com/sitemap2.xml</loc></sitemap></urlset>'
+                    ELSE '<url><loc>https://decoy.example.com/x</loc></url>'
+               END AS text
+        FROM documents
+    ), r AS (
+        SELECT regexp_extract(url, '^[a-z][a-z0-9+.-]*://([^/?#]+)', 1)
+                   AS host,
+               url AS sitemap_url,
+               unnest(regexp_extract_all(text,
+                   '(?i)<loc>[ \\t\\r\\n]*([^< \\t\\r\\n]+)[ \\t\\r\\n]*</loc>',
+                   1)) AS loc
+        FROM pages
+        WHERE regexp_matches(url,
+                  '^https?://[^/]+[^?#]*sitemap[^/?#]*\\.xml$')
+    )
+    SELECT DISTINCT host, sitemap_url, loc FROM r
+"""
+
+ORACLES["t53_host_skew"] = """
+    WITH urls AS (
+        SELECT 'https://'
+               || CASE WHEN doc_id % 5 < 2 THEN 'big.example.com'
+                       ELSE source || '.example.com' END
+               || '/p/' || CAST(doc_id AS VARCHAR) AS url
+        FROM documents
+    ), h AS (
+        SELECT regexp_extract(url, '^[a-z][a-z0-9+.-]*://([^/?#]+)', 1)
+                   AS host
+        FROM urls
+    ), ph AS (
+        SELECT (try_cast('0x' || substr(md5(host), 1, 8) AS bigint) % 16)
+                   AS bucket,
+               host, count(*) AS n
+        FROM h GROUP BY 1, 2
+    ), agg AS (
+        SELECT bucket, CAST(sum(n) AS BIGINT) AS n_urls,
+               count(*) AS n_hosts
+        FROM ph GROUP BY bucket
+    ), top AS (
+        SELECT bucket, host, n, row_number() OVER (
+                   PARTITION BY bucket ORDER BY n DESC, host ASC) AS rn
+        FROM ph
+    )
+    SELECT a.bucket, a.n_urls, a.n_hosts, t.host AS top_host,
+           t.n AS top_host_n,
+           round(t.n / CAST(a.n_urls AS DOUBLE), 6) AS top_share,
+           (t.n >= 100) AS needs_salt
+    FROM agg a JOIN top t ON a.bucket = t.bucket AND t.rn = 1
+"""
+
+ORACLES["t54_shard_plan"] = """
+    WITH sized AS (
+        SELECT doc_id, CAST(strlen(text) AS BIGINT) AS n_bytes FROM documents
+    ), c AS (
+        SELECT doc_id, n_bytes,
+               CAST(coalesce(sum(n_bytes) OVER (
+                   ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                   AS BIGINT) AS start_byte
+        FROM sized
+    )
+    SELECT doc_id, n_bytes, start_byte,
+           CAST(floor(start_byte / 65536.0) AS BIGINT) AS shard
+    FROM c
+"""
+
+
+def _lsh_audit_oracle() -> str:
+    """SQL twin of t55: the SAME md5-derived hashes (minhash_params(8)),
+    the SAME 4-band x 2-row candidate join, the SAME component-match
+    estimate, and the verify path's exact shingle Jaccard (uncapped
+    inverted index) — pure band collisions coalesce to true_jaccard 0."""
+    from .dedup import _P, minhash_params
+
+    params = minhash_params(8)
+    x = "(try_cast('0x' || substr(md5(shingle), 1, 8) AS bigint) % 2147483647)"
+    hcols = ", ".join(
+        f"min(({a} * {x} + {b}) % {_P}) AS h{i}" for i, (a, b) in enumerate(params)
+    )
+    bandcond = " OR ".join(
+        f"(a.h{2 * b} = b.h{2 * b} AND a.h{2 * b + 1} = b.h{2 * b + 1})"
+        for b in range(4)
+    )
+    est = (
+        "("
+        + " + ".join(f"CAST(a.h{i} = b.h{i} AS int)" for i in range(8))
+        + ") / 8.0"
+    )
+    return (
+        "WITH "
+        + _SHINGLES.strip().removeprefix("WITH")
+        + f""", sigs AS (SELECT doc_id, {hcols} FROM sh GROUP BY doc_id),
+        cand AS (
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                   round({est}, 6) AS est_jaccard
+            FROM sigs a JOIN sigs b
+              ON a.doc_id < b.doc_id AND ({bandcond})
+        ), sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+        tj AS (
+            SELECT c.doc_a, c.doc_b,
+                   round(CAST(count(*) AS double)
+                         / (any_value(sa.n_sh) + any_value(sb.n_sh)
+                            - count(*)), 6) AS true_jaccard
+            FROM cand c
+            JOIN sh a ON a.doc_id = c.doc_a
+            JOIN sh b ON b.doc_id = c.doc_b AND b.shingle = a.shingle
+            JOIN sizes sa ON sa.doc_id = c.doc_a
+            JOIN sizes sb ON sb.doc_id = c.doc_b
+            GROUP BY c.doc_a, c.doc_b
+        )
+        SELECT c.doc_a, c.doc_b, c.est_jaccard,
+               coalesce(t.true_jaccard, 0.0) AS true_jaccard,
+               round(abs(c.est_jaccard - coalesce(t.true_jaccard, 0.0)), 6)
+                   AS abs_err
+        FROM cand c
+        LEFT JOIN tj t ON t.doc_a = c.doc_a AND t.doc_b = c.doc_b
+        """
+    )
+
+
+ORACLES["t55_lsh_error_audit"] = _lsh_audit_oracle()
+
+ORACLES["t56_bpe_pairs"] = """
+    WITH words AS (
+        SELECT word, count(*) AS freq FROM (
+            SELECT unnest(string_split(lower(text), ' ')) AS word
+            FROM documents
+        ) WHERE len(word) >= 2 GROUP BY word
+    ), pairs AS (
+        SELECT substr(word, i, 2) AS pair, freq
+        FROM words, unnest(range(1, len(word))) AS t(i)
+    ), counts AS (
+        SELECT pair, CAST(sum(freq) AS BIGINT) AS n FROM pairs GROUP BY pair
+    )
+    SELECT pair, n,
+           CAST(row_number() OVER (ORDER BY n DESC, pair ASC) AS int) AS rank
+    FROM counts QUALIFY rank <= 20
+"""
+
+ORACLES["t57_latency_percentiles"] = """
+    WITH log AS (
+        SELECT 'h' || CAST(user_id % 20 AS VARCHAR) AS host,
+               value AS latency_ms
+        FROM events
+    ), r AS (
+        SELECT host, latency_ms,
+               row_number() OVER (
+                   PARTITION BY host ORDER BY latency_ms ASC) AS rn,
+               count(*) OVER (PARTITION BY host) AS n
+        FROM log
+    )
+    SELECT host, CAST(max(n) AS BIGINT) AS n_fetches,
+           max(CASE WHEN rn = CAST(ceil(0.5 * n) AS BIGINT)
+                    THEN latency_ms END) AS p50,
+           max(CASE WHEN rn = CAST(ceil(0.95 * n) AS BIGINT)
+                    THEN latency_ms END) AS p95
+    FROM r GROUP BY host
 """
 
 ORACLES = {k: v for k, v in ORACLES.items() if v is not None}

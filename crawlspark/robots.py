@@ -143,3 +143,47 @@ def sitemap_urls(
                 F.explode(maps).alias("sitemap_url"))
         .distinct()
     )
+
+
+def sitemap_entries(
+    pages: DataFrame, url_col: str = "url", text_col: str = "text"
+) -> DataFrame:
+    """Sitemap PARSING — the complement of :func:`sitemap_urls` (which
+    only DISCOVERS sitemap locations from robots.txt): extract the
+    ``<loc>`` URL entries from fetched sitemap XML bodies, i.e. turn a
+    crawled sitemap page into frontier seed URLs. Together they close
+    the bootstrap loop: robots.txt -> sitemap_urls -> fetch -> this ->
+    crawl.ingest_urls. The reference never reads sitemaps at all; at
+    corpus scale the whole extraction is one declarative pass.
+
+    Input: pages (url, text) where text holds the raw XML of pages whose
+    path looks like a sitemap (``sitemap*.xml``, per the de-facto naming
+    the spec's examples use); non-sitemap pages are filtered out. Output
+    one row per distinct (host, sitemap_url, loc): the host serving the
+    sitemap, the sitemap page itself, and an entry URL. <loc> values are
+    whitespace-trimmed per spec; both <url> and <sitemap> (index files)
+    entries match, so nested sitemap indexes feed back through the same
+    operator.
+
+    Shape: page filter + case-insensitive regexp_extract_all inside scan
+    codegen (no Python), one explode, one distinct hash-agg —
+    within-snapshot repeat entries collapse map-side.
+    """
+    from .urlfilter import host_col
+
+    is_sitemap = F.col(url_col).rlike(
+        r"^https?://[^/]+[^?#]*sitemap[^/?#]*\.xml$"
+    )
+    locs = F.expr(
+        f"regexp_extract_all({text_col}, "
+        r"'(?i)<loc>[ \\t\\r\\n]*([^< \\t\\r\\n]+)[ \\t\\r\\n]*</loc>', 1)"
+    )
+    return (
+        pages.filter(is_sitemap)
+        .select(
+            host_col(F.col(url_col)).alias("host"),
+            F.col(url_col).alias("sitemap_url"),
+            F.explode(locs).alias("loc"),
+        )
+        .distinct()
+    )

@@ -455,3 +455,112 @@ def politeness_report(
         F.lit(int(budget)).alias("budget"),
         (F.col("max_round_fetches") <= budget).alias("compliant"),
     )
+
+
+def host_skew_report(
+    urls: DataFrame,
+    n_buckets: int = 64,
+    salt_threshold: int = 10_000,
+    url_col: str = "url",
+) -> DataFrame:
+    """Partition-skew audit over a URL relation (frontier slice, seen
+    set, discovered-links batch): per host-hash bucket — the P1
+    placement unit the pop/fetch path shuffles on — how many URLs and
+    hosts land there, which host dominates it, and whether that host is
+    big enough that the bucket needs SALTING (the two-phase salted
+    window :func:`pop_batch` already applies; this is the observability
+    half that says WHERE and WHY). A mega-host (the classic web-crawl
+    skew: one CDN domain = 20% of the frontier) shows up as top_share
+    ~1.0 with needs_salt true; a healthy bucket as top_share ~1/n_hosts.
+
+    Bucket = md5-derived host hash mod ``n_buckets`` — engine-portable
+    (bit-identical in DuckDB, same trick as the MinHash shingle hash) so
+    the report itself is oracle-checkable; the ENGINE's real placement
+    uses Spark's native hash partitioning, which this audits by proxy
+    (any stable hash exposes the same per-host mass).
+
+    Scale shape: two partial-aggregatable hash-aggs — (bucket, host)
+    counts collapse map-side so the shuffle carries |distinct hosts|
+    rows, then |buckets| rows; the winner is a min(struct) (top count,
+    ties -> lexicographically first host), never a window over raw URLs.
+    """
+    from .urlfilter import host_col
+
+    host = host_col(F.col(url_col))
+    bucket = F.pmod(
+        F.conv(F.substring(F.md5(host), 1, 8), 16, 10).cast("long"),
+        F.lit(int(n_buckets)),
+    )
+    per_host = urls.groupBy(
+        bucket.alias("bucket"), host.alias("host")
+    ).agg(F.count("*").alias("n"))
+    return (
+        per_host.groupBy("bucket")
+        .agg(
+            F.sum("n").alias("n_urls"),
+            F.count("*").alias("n_hosts"),
+            F.min(
+                F.struct((-F.col("n")).alias("neg_n"), F.col("host"))
+            ).alias("top"),
+        )
+        .select(
+            "bucket",
+            "n_urls",
+            "n_hosts",
+            F.col("top.host").alias("top_host"),
+            (-F.col("top.neg_n")).alias("top_host_n"),
+            F.round(-F.col("top.neg_n") / F.col("n_urls"), 6).alias(
+                "top_share"
+            ),
+            (-F.col("top.neg_n") >= salt_threshold).alias("needs_salt"),
+        )
+    )
+
+
+def latency_percentiles(
+    log: DataFrame,
+    host_col: str = "host",
+    latency_col: str = "latency_ms",
+    ps: tuple[float, ...] = (0.5, 0.95),
+) -> DataFrame:
+    """Per-host fetch-latency percentiles — the feedback signal
+    AUTOTHROTTLE tunes delay with (Scrapy's AutoThrottle targets a
+    latency-derived delay per slot; the reference inherits it via
+    settings). p50 drives the steady-state delay, p95 catches the host
+    that is fast on average but stalls under load.
+
+    Percentile semantics are DISCRETE (percentile_disc): the value at
+    rank ``ceil(p * n)`` in ascending order — an actual observed
+    latency, no interpolation arithmetic, so the result is
+    engine-portable bit-for-bit (ties in latency are harmless: any
+    permutation of equal values puts the same VALUE at a given rank).
+
+    Scale shape: one window partitioned by host (parallel across hosts;
+    a round's fetch log is O(round), not O(corpus), and per-host groups
+    are bounded by the politeness budget itself) + one hash-agg. For
+    corpus-lifetime logs at 10^10 rows swap in approx_percentile — this
+    exact variant is the calibration/audit path that VALIDATES the
+    sketch, same division of labor as q14b/q14c.
+
+    Output per host: (host, n_fetches, p50, p95, ...) one column per
+    requested percentile.
+    """
+    w = Window.partitionBy(host_col).orderBy(F.asc(latency_col))
+    wp = Window.partitionBy(host_col)
+    ranked = (
+        log.select(host_col, latency_col)
+        .withColumn("_rn", F.row_number().over(w))
+        .withColumn("_n", F.count("*").over(wp))
+    )
+    picks = [
+        F.max(
+            F.when(
+                F.col("_rn") == F.ceil(F.lit(float(p)) * F.col("_n")),
+                F.col(latency_col),
+            )
+        ).alias(f"p{int(round(p * 100))}")
+        for p in ps
+    ]
+    return ranked.groupBy(host_col).agg(
+        F.max("_n").cast("long").alias("n_fetches"), *picks
+    )

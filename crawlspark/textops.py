@@ -1230,3 +1230,126 @@ def mixture_plan(
             F.round(quota / F.col("n_docs"), 6).alias("rate"),
         )
     )
+
+
+def shard_plan(
+    documents: DataFrame,
+    target_bytes: int,
+    order_col: str = "doc_id",
+    size_col: Column | None = None,
+    bucket_width: int = 100_000,
+) -> DataFrame:
+    """Deterministic byte-budget SHARD ASSIGNMENT for corpus publishing
+    (the WET/WARC/packed-sequence writers all shard output; this plans
+    WHICH doc lands in WHICH shard so every engine, rerun, and resumed
+    job writes identical shards). Docs are laid out in ``order_col``
+    order; ``shard = floor(exclusive_running_bytes / target_bytes)`` —
+    first-fit by running size, so a shard may overrun by at most one
+    document (the WARC convention: never split a record).
+
+    The naive formulation is ``sum() OVER (ORDER BY order_col)`` — a
+    GLOBAL window, which Spark executes on a single partition: the
+    classic 100 TB scale-killer. This computes the identical prefix sum
+    in two phases, the textbook distributed scan:
+
+    1. value-range buckets on ``order_col`` (``floor(order/width)``);
+       within-bucket exclusive prefix sum via a window PARTITIONED by
+       bucket — parallel across buckets, each partition ~``bucket_width``
+       rows;
+    2. per-bucket byte totals (one hash-agg to |corpus|/width rows) ->
+       exclusive bucket offsets via a window over that TINY relation (the
+       only single-partition step, 10^5 rows at 10^10 docs) -> joined
+       back on bucket (AQE sizes it; typically a broadcast).
+
+    ``start_byte = bucket_offset + within_bucket_prefix`` is exactly the
+    global exclusive prefix sum, independent of physical partitioning.
+    Value-range buckets keep the math engine-portable (the oracle replays
+    a plain global window); a skewed ``order_col`` distribution only
+    unbalances partitions, never changes results — for pathological key
+    ranges pick ``bucket_width`` from a sampled quantile sketch the way
+    ``repartitionByRange`` does.
+
+    Output per doc: (order_col, n_bytes, start_byte, shard).
+    """
+    size = size_col if size_col is not None else F.octet_length("text")
+    o = F.col(order_col)
+    sized = documents.select(
+        o.alias(order_col),
+        size.cast("long").alias("n_bytes"),
+        F.floor(o / F.lit(int(bucket_width))).alias("_bucket"),
+    )
+    w_in = (
+        Window.partitionBy("_bucket")
+        .orderBy(order_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    local = sized.withColumn(
+        "_prefix", F.coalesce(F.sum("n_bytes").over(w_in), F.lit(0))
+    )
+    totals = sized.groupBy("_bucket").agg(F.sum("n_bytes").alias("_total"))
+    w_b = (
+        Window.partitionBy()
+        .orderBy("_bucket")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = totals.select(
+        "_bucket",
+        F.coalesce(F.sum("_total").over(w_b), F.lit(0)).alias("_offset"),
+    )
+    start = F.col("_offset") + F.col("_prefix")
+    return (
+        local.join(offsets, "_bucket")
+        .select(
+            order_col,
+            "n_bytes",
+            start.alias("start_byte"),
+            F.floor(start / F.lit(int(target_bytes))).alias("shard"),
+        )
+    )
+
+
+def bpe_pair_counts(
+    documents: DataFrame, top_k: int = 20, text_col: str = "text"
+) -> DataFrame:
+    """Corpus-wide adjacent-symbol pair frequencies — the statistic the
+    FIRST merge step of BPE tokenizer training maximizes (Sennrich et
+    al. 2016: count all adjacent symbol pairs over word types weighted
+    by word frequency, merge the argmax). Training a tokenizer on the
+    corpus an engine just built is a standard step of the training-data
+    pipeline; this computes the merge table's input distributively.
+
+    Shape: one hash-agg collapses the corpus to its WORD-TYPE table
+    (|vocab| rows — the whole reason BPE counts over types, not tokens),
+    adjacent char bigrams explode from each type (pure codegen:
+    transform over sequence + substring, no Python), a second hash-agg
+    weights them by word frequency, and the top-k rank runs on the tiny
+    |distinct pairs| aggregate (bounded by alphabet², never corpus-
+    sized). Ties break lexicographically so the merge choice — and any
+    tokenizer trained from it — is deterministic across engines.
+
+    Output: (pair, n, rank) for the top_k pairs.
+    """
+    words = (
+        documents.select(
+            F.explode(F.split(F.lower(F.col(text_col)), " ")).alias("word")
+        )
+        .filter(F.char_length("word") >= 2)
+        .groupBy("word")
+        .agg(F.count("*").alias("freq"))
+    )
+    pairs = words.select(
+        F.explode(
+            F.expr(
+                "transform(sequence(1, char_length(word) - 1), "
+                "i -> substring(word, i, 2))"
+            )
+        ).alias("pair"),
+        "freq",
+    )
+    counts = pairs.groupBy("pair").agg(F.sum("freq").alias("n"))
+    w = Window.partitionBy().orderBy(F.desc("n"), F.asc("pair"))
+    return (
+        counts.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= top_k)
+        .select("pair", "n", F.col("rank").cast("int").alias("rank"))
+    )

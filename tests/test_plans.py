@@ -107,3 +107,13 @@ def test_fetch_join_sort_merges_when_gate_is_off(spark):
         assert not plans.uses_broadcast_join(nb), plans.explain_str(nb)
     finally:
         spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+
+
+def test_shard_plan_two_phase_prefix_sum(spark):
+    # the whole point of shard_plan: the corpus-sized window is
+    # PARTITIONED (by value bucket); the only single-partition step is
+    # the window over the tiny bucket-totals relation.
+    df = QUERIES["t54_shard_plan"](spark, SF_DIR)
+    s = plans.explain_str(df)
+    assert s.count("SinglePartition") <= 1, s
+    assert not plans.has_python_udf(df)

@@ -1100,3 +1100,199 @@ def test_mixture_plan_binding_stratum_arithmetic(spark):
     assert out["a"]["total_max"] == 20.0
     assert (out["a"]["quota"], out["a"]["rate"]) == (10, 1.0)
     assert (out["b"]["quota"], out["b"]["rate"]) == (10, 0.333333)
+
+
+def test_incremental_minhash_dedup_hand_semantics(spark):
+    # history doc 100 == new doc 1 byte-for-byte -> every signature
+    # component matches (est 1.0, vs_history). new docs 3 and 5 are
+    # exact copies of each other -> keep-first removes 5 with witness 3
+    # (vs_history False). doc 7 is unrelated -> kept.
+    hist = spark.createDataFrame(
+        [(100, "alpha beta gamma delta epsilon")], ["doc_id", "text"]
+    )
+    new = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta epsilon"),
+            (3, "one two three four five six"),
+            (5, "one two three four five six"),
+            (7, "zz yy xx ww vv uu tt"),
+        ],
+        ["doc_id", "text"],
+    )
+    hist_sigs = dedup.minhash_signatures(hist, n_hashes=8, k=3)
+    out = {
+        r["removed_doc_id"]: r
+        for r in dedup.incremental_minhash_dedup(
+            new, hist_sigs, n_hashes=8, bands=4, k=3, est_threshold=0.25
+        ).collect()
+    }
+    assert set(out) == {1, 5}
+    assert out[1]["witness_id"] == 100 and out[1]["vs_history"] is True
+    assert out[1]["est_jaccard"] == 1.0
+    assert out[5]["witness_id"] == 3 and out[5]["vs_history"] is False
+    assert out[5]["est_jaccard"] == 1.0
+
+
+def test_incremental_minhash_witness_prefers_best_match(spark):
+    # new doc 9 collides with BOTH history doc 2 (exact copy, est 1.0)
+    # and lower-id new doc 1 (exact copy too): witness = the LOWEST id
+    # among the best matches -> 1 (the in-batch doc), vs_history False.
+    hist = spark.createDataFrame(
+        [(2, "m n o p q r s")], ["doc_id", "text"]
+    )
+    new = spark.createDataFrame(
+        [(1, "m n o p q r s"), (9, "m n o p q r s")], ["doc_id", "text"]
+    )
+    hist_sigs = dedup.minhash_signatures(hist, n_hashes=8, k=3)
+    out = {
+        r["removed_doc_id"]: r
+        for r in dedup.incremental_minhash_dedup(
+            new, hist_sigs, n_hashes=8, bands=4, k=3, est_threshold=0.25
+        ).collect()
+    }
+    # doc 1 is removed too (matches history doc 2) -- greedy chain-free
+    assert set(out) == {1, 9}
+    assert out[1]["witness_id"] == 2 and out[1]["vs_history"] is True
+    assert out[9]["witness_id"] == 1 and out[9]["vs_history"] is False
+
+
+def test_sitemap_entries_parse_and_page_filter(spark):
+    from crawlspark import robots as rb
+
+    pages = spark.createDataFrame(
+        [
+            (
+                "https://a.example.com/sitemap.xml",
+                "<urlset><url><loc>https://a.example.com/1</loc></url>"
+                "<url><LOC>\t https://a.example.com/2 \n</LOC></url>"
+                "<sitemap><loc>https://a.example.com/sitemap-news.xml"
+                "</loc></sitemap></urlset>",
+            ),
+            # repeated entry across snapshots collapses
+            (
+                "https://a.example.com/sitemap.xml",
+                "<url><loc>https://a.example.com/1</loc></url>",
+            ),
+            # NOT a sitemap url: its <loc> must be ignored
+            (
+                "https://a.example.com/page.html",
+                "<url><loc>https://a.example.com/ignored</loc></url>",
+            ),
+            # sitemap index variant name matches the pattern
+            (
+                "https://b.example.com/sitemap-index.xml",
+                "<sitemapindex><sitemap><loc>https://b.example.com/s1.xml"
+                "</loc></sitemap></sitemapindex>",
+            ),
+        ],
+        ["url", "text"],
+    )
+    rows = {
+        (r["host"], r["loc"]) for r in rb.sitemap_entries(pages).collect()
+    }
+    assert rows == {
+        ("a.example.com", "https://a.example.com/1"),
+        ("a.example.com", "https://a.example.com/2"),
+        ("a.example.com", "https://a.example.com/sitemap-news.xml"),
+        ("b.example.com", "https://b.example.com/s1.xml"),
+    }
+
+
+def test_host_skew_report_flags_mega_host(spark):
+    from crawlspark import scheduler as sched
+
+    rows = [(f"https://mega.example.com/p/{i}",) for i in range(8)]
+    rows += [(f"https://tiny{j}.example.com/",) for j in range(4)]
+    urls = spark.createDataFrame(rows, ["url"])
+    out = sched.host_skew_report(urls, n_buckets=1, salt_threshold=5)
+    r = out.collect()[0]
+    # single bucket: 12 urls over 5 hosts; mega dominates with 8
+    assert r["n_urls"] == 12 and r["n_hosts"] == 5
+    assert r["top_host"] == "mega.example.com" and r["top_host_n"] == 8
+    assert abs(r["top_share"] - 8 / 12) < 1e-6
+    assert r["needs_salt"] is True
+    # raise the threshold above the mega host -> flag clears
+    r2 = sched.host_skew_report(urls, n_buckets=1, salt_threshold=9).collect()[0]
+    assert r2["needs_salt"] is False
+
+
+def test_host_skew_report_tie_breaks_lexicographic(spark):
+    from crawlspark import scheduler as sched
+
+    urls = spark.createDataFrame(
+        [("https://bbb.com/1",), ("https://aaa.com/1",)], ["url"]
+    )
+    r = sched.host_skew_report(urls, n_buckets=1, salt_threshold=99).collect()[0]
+    assert r["top_host"] == "aaa.com" and r["top_host_n"] == 1
+
+
+def test_shard_plan_matches_naive_running_sum(spark):
+    # 10 docs of varying sizes, tiny buckets (width 3) so the two-phase
+    # scan crosses bucket boundaries; target 25 bytes per shard.
+    rows = [(i, "x" * (5 + 3 * (i % 4))) for i in range(10)]
+    d = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {
+        r["doc_id"]: r
+        for r in textops.shard_plan(
+            d, target_bytes=25, bucket_width=3
+        ).collect()
+    }
+    running = 0
+    for i in range(10):
+        n = 5 + 3 * (i % 4)
+        assert out[i]["n_bytes"] == n
+        assert out[i]["start_byte"] == running, f"doc {i}"
+        assert out[i]["shard"] == running // 25
+        running += n
+
+
+def test_shard_plan_never_splits_a_doc(spark):
+    # a doc larger than the target still lands in exactly one shard
+    d = spark.createDataFrame(
+        [(0, "a" * 10), (1, "b" * 100), (2, "c" * 10)], ["doc_id", "text"]
+    )
+    out = {r["doc_id"]: r["shard"] for r in
+           textops.shard_plan(d, target_bytes=30, bucket_width=2).collect()}
+    assert out == {0: 0, 1: 0, 2: 3}  # doc1 overruns shard 0; doc2 at 110//30
+
+
+def test_lsh_estimate_audit_exact_dup_and_band_collision(spark, docs):
+    out = dedup.lsh_estimate_audit(docs, n_hashes=8, bands=4, k=3).collect()
+    by_pair = {(r["doc_a"], r["doc_b"]): r for r in out}
+    # exact dups 0/1: every component matches, true jaccard 1.0, err 0
+    assert (0, 1) in by_pair
+    r = by_pair[(0, 1)]
+    assert r["est_jaccard"] == 1.0 and r["true_jaccard"] == 1.0
+    assert r["abs_err"] == 0.0
+    # every emitted pair carries a bounded error in [0, 1]
+    for r in out:
+        assert 0.0 <= r["abs_err"] <= 1.0
+        assert abs(
+            r["abs_err"] - abs(r["est_jaccard"] - r["true_jaccard"])
+        ) < 1e-9
+
+
+def test_bpe_pair_counts_weighted_by_word_frequency(spark):
+    # 'ab' appears in "abc" (x3 docs) and "ab" (x1): weight 4;
+    # 'bc' only in "abc": weight 3; single-char words ignored.
+    d = spark.createDataFrame(
+        [(0, "abc ab a"), (1, "abc"), (2, "abc b")], ["doc_id", "text"]
+    )
+    out = {r["pair"]: (r["n"], r["rank"]) for r in
+           textops.bpe_pair_counts(d, top_k=10).collect()}
+    assert out["ab"] == (4, 1)
+    assert out["bc"] == (3, 2)
+    assert "a" not in out and len(out) == 2
+
+
+def test_latency_percentiles_rank_semantics(spark):
+    from crawlspark import scheduler as sched
+
+    # host a: 1..10 -> p50 = value at ceil(5)=rank 5 -> 5.0;
+    # p95 at ceil(9.5)=rank 10 -> 10.0. host b: single obs -> both 7.0.
+    rows = [("a", float(i)) for i in range(1, 11)] + [("b", 7.0)]
+    log = spark.createDataFrame(rows, ["host", "latency_ms"])
+    out = {r["host"]: r for r in sched.latency_percentiles(log).collect()}
+    assert out["a"]["n_fetches"] == 10
+    assert (out["a"]["p50"], out["a"]["p95"]) == (5.0, 10.0)
+    assert (out["b"]["p50"], out["b"]["p95"]) == (7.0, 7.0)
