@@ -35,6 +35,7 @@ SHOW = [
     "t53_host_skew",
     "t54_shard_plan",
     "t55_lsh_error_audit",
+    "t58_lm_perplexity",
 ]
 
 

@@ -1349,6 +1349,15 @@ def t57_latency_percentiles(spark, sf_dir):
     return sched.latency_percentiles(log)
 
 
+def t58_lm_perplexity(spark, sf_dir):
+    """CCNet-shape perplexity filter with the in-engine add-0.5 bigram
+    LM trained on the corpus itself: per-doc perplexity in integer
+    micro-nats (order-independent sums) and head/middle/tail ntile
+    buckets per language."""
+    d = _t(spark, sf_dir, "documents")
+    return tx.bigram_lm_perplexity(d, add_k=0.5, n_buckets=3)
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_filter_project": q02_filter_project,
@@ -1437,6 +1446,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "t55_lsh_error_audit": t55_lsh_error_audit,
     "t56_bpe_pairs": t56_bpe_pairs,
     "t57_latency_percentiles": t57_latency_percentiles,
+    "t58_lm_perplexity": t58_lm_perplexity,
 }
 
 # ---------------------------------------------------------------------------
@@ -3163,6 +3173,44 @@ ORACLES["t57_latency_percentiles"] = """
            max(CASE WHEN rn = CAST(ceil(0.95 * n) AS BIGINT)
                     THEN latency_ms END) AS p95
     FROM r GROUP BY host
+"""
+
+ORACLES["t58_lm_perplexity"] = """
+    WITH toks AS (
+        SELECT doc_id, lang,
+               list_filter(string_split(lower(text), ' '), w -> w != '') AS ts
+        FROM documents
+    ), bg AS (
+        SELECT doc_id, lang, ts[i] AS w1, ts[i+1] AS w2
+        FROM toks, unnest(range(1, len(ts))) AS t(i)
+        WHERE len(ts) >= 2
+    ), c2 AS (
+        SELECT w1, w2, count(*) AS c2 FROM bg GROUP BY 1, 2
+    ), c1 AS (
+        SELECT w1, count(*) AS c1 FROM bg GROUP BY 1
+    ), voc AS (
+        SELECT count(DISTINCT w) AS v
+        FROM (SELECT unnest(ts) AS w FROM toks WHERE len(ts) >= 2)
+    ), scored AS (
+        SELECT b.doc_id, b.lang,
+               CAST(round(ln((c2.c2 + 0.5) / (c1.c1 + 0.5 * voc.v)) * 1e6, 0)
+                    AS BIGINT) AS lp
+        FROM bg b
+        JOIN c2 ON c2.w1 = b.w1 AND c2.w2 = b.w2
+        JOIN c1 ON c1.w1 = b.w1
+        CROSS JOIN voc
+    ), per AS (
+        SELECT doc_id, any_value(lang) AS lang,
+               CAST(sum(lp) AS BIGINT) AS s, count(*) AS n_bigrams
+        FROM scored GROUP BY doc_id
+    )
+    SELECT doc_id, lang, n_bigrams,
+           round(exp(-CAST(s AS DOUBLE) / (n_bigrams * 1e6)), 4) AS ppl,
+           CAST(ntile(3) OVER (
+               PARTITION BY lang
+               ORDER BY round(exp(-CAST(s AS DOUBLE) / (n_bigrams * 1e6)), 4)
+                        ASC, doc_id ASC) AS int) AS bucket
+    FROM per
 """
 
 ORACLES = {k: v for k, v in ORACLES.items() if v is not None}

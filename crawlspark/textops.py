@@ -1353,3 +1353,89 @@ def bpe_pair_counts(
         .filter(F.col("rank") <= top_k)
         .select("pair", "n", F.col("rank").cast("int").alias("rank"))
     )
+
+
+def bigram_lm_perplexity(
+    documents: DataFrame,
+    add_k: float = 0.5,
+    n_buckets: int = 3,
+    text_col: str = "text",
+    lang_col: str | None = "lang",
+) -> DataFrame:
+    """CCNet-style perplexity quality filter (Wenzek et al. 2020: score
+    every document with a language model, split each language into
+    head/middle/tail perplexity buckets, keep the head) — with an HONEST
+    in-engine model: an add-k-smoothed bigram LM trained on the corpus
+    itself, entirely in declarative algebra. The :class:`TextScorer`
+    seam still takes a real KenLM when one is available; this is the
+    self-contained path that needs no external artifact and is
+    oracle-exact.
+
+    Model: ``p(w2|w1) = (c(w1 w2) + k) / (c(w1·) + k·V)`` with c(w1·)
+    the count of w1 as a bigram HISTORY and V the corpus vocabulary;
+    ``ppl = exp(-mean log p)`` over the doc's bigrams. Cross-engine
+    float determinism: each bigram's log-prob is rounded to integer
+    MICRO-NATS (``round(ln(p)·1e6)`` as long) before the per-doc sum —
+    integer sums are associative, so the distributed aggregation order
+    cannot change the result, then one exp/round at the end. Docs with
+    fewer than 2 tokens have no bigrams and drop out (score them with
+    :func:`quality_score` instead).
+
+    Scale shape: training is two hash-aggs to |bigram vocab| and
+    |vocab| rows; scoring joins the doc-bigram relation to those count
+    tables on word keys (equi-joins; stopword heads are the classic
+    skew — AQE skew-join splits them) and partial-aggregates per doc.
+    The bucket split is ntile PARTITIONED BY LANGUAGE over per-doc
+    scores — fine while each language's doc count fits a window
+    partition (10^8-ish); beyond that, cut buckets by thresholds from
+    approx_percentile and assign by comparison, keeping this exact
+    ntile as the calibration path (the q14b/q14c division of labor).
+
+    Output: (doc_id[, lang], n_bigrams, ppl, bucket) — bucket 1 = head
+    (most fluent) ... n_buckets = tail.
+    """
+    cols = ["doc_id"] + ([lang_col] if lang_col else [])
+    toks = documents.select(
+        *cols,
+        F.expr(f"filter(split(lower({text_col}), ' '), w -> w != '')").alias(
+            "ts"
+        ),
+    ).filter(F.size("ts") >= 2)
+    bg = toks.select(
+        *cols,
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(ts) - 1), i -> "
+                "struct(element_at(ts, i) AS w1, element_at(ts, i + 1) AS w2))"
+            )
+        ).alias("b"),
+    ).select(*cols, F.col("b.w1").alias("w1"), F.col("b.w2").alias("w2"))
+    c2 = bg.groupBy("w1", "w2").agg(F.count("*").alias("c2"))
+    c1 = bg.groupBy("w1").agg(F.count("*").alias("c1"))
+    vocab = toks.select(F.explode("ts").alias("w")).agg(
+        F.countDistinct("w").alias("v")
+    )
+    k = F.lit(float(add_k))
+    lp_micro = F.round(
+        F.log((F.col("c2") + k) / (F.col("c1") + k * F.col("v"))) * F.lit(1e6),
+        0,
+    ).cast("long")
+    per_doc = (
+        bg.join(c2, ["w1", "w2"])
+        .join(c1, "w1")
+        .crossJoin(vocab)
+        .withColumn("_lp", lp_micro)
+        .groupBy(*cols)
+        .agg(F.sum("_lp").alias("_s"), F.count("*").alias("n_bigrams"))
+    )
+    ppl = F.round(
+        F.exp(-F.col("_s").cast("double") / (F.col("n_bigrams") * F.lit(1e6))),
+        4,
+    )
+    scored = per_doc.select(*cols, "n_bigrams", ppl.alias("ppl"))
+    w = Window.partitionBy(*( [lang_col] if lang_col else [] )).orderBy(
+        F.asc("ppl"), F.asc("doc_id")
+    )
+    return scored.withColumn(
+        "bucket", F.ntile(int(n_buckets)).over(w).cast("int")
+    )

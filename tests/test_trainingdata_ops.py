@@ -1296,3 +1296,42 @@ def test_latency_percentiles_rank_semantics(spark):
     assert out["a"]["n_fetches"] == 10
     assert (out["a"]["p50"], out["a"]["p95"]) == (5.0, 10.0)
     assert (out["b"]["p50"], out["b"]["p95"]) == (7.0, 7.0)
+
+
+def test_bigram_lm_perplexity_hand_math(spark):
+    # corpus: "a b" x3 and "a c" x1 -> c(a b)=3, c(a c)=1, c1(a)=4,
+    # V={a,b,c}=3, k=0.5: p(b|a)=3.5/5.5, p(c|a)=1.5/5.5. Single-bigram
+    # docs -> ppl = 1/p. Repeated doc "a b a b" has bigrams (a b),(b a),
+    # (a b) exercising the per-doc mean.
+    rows = [
+        (0, "en", "a b"),
+        (1, "en", "a b"),
+        (2, "en", "a b"),
+        (3, "en", "a c"),
+        (4, "en", "x"),  # <2 tokens: dropped
+    ]
+    d = spark.createDataFrame(rows, ["doc_id", "lang", "text"])
+    out = {r["doc_id"]: r for r in
+           textops.bigram_lm_perplexity(d, add_k=0.5).collect()}
+    assert 4 not in out and len(out) == 4
+    assert out[0]["ppl"] == round(5.5 / 3.5, 4)
+    assert out[3]["ppl"] == round(5.5 / 1.5, 4)
+    # identical docs share the bucket boundary deterministically by
+    # doc_id; the rarer doc is the tail
+    assert out[3]["bucket"] == 3
+    assert out[0]["bucket"] == 1
+
+
+def test_bigram_lm_perplexity_buckets_per_lang(spark):
+    # each lang gets its own head/middle/tail split regardless of the
+    # other lang's ppl range
+    rows = []
+    for i in range(6):
+        rows.append((i, "en", "w w" if i < 3 else f"u{i} v{i}"))
+    for i in range(6, 12):
+        rows.append((i, "fr", "z z" if i < 9 else f"q{i} r{i}"))
+    d = spark.createDataFrame(rows, ["doc_id", "lang", "text"])
+    out = textops.bigram_lm_perplexity(d, n_buckets=3).collect()
+    for lang in ("en", "fr"):
+        bs = sorted(r["bucket"] for r in out if r["lang"] == lang)
+        assert bs == [1, 1, 2, 2, 3, 3]
