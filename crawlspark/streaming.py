@@ -513,3 +513,82 @@ def stream_wet_publisher(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def stream_neardup_dedup(
+    spark: SparkSession,
+    input_dir: str,
+    out_dir: str,
+    checkpoint: str,
+    n_hashes: int = 8,
+    bands: int = 4,
+    k: int = 3,
+    est_threshold: float = 0.5,
+    max_files: int = 8,
+):
+    """Continuous NEAR-dedup — the streaming half of
+    ``dedup.incremental_minhash_dedup``, the way The-Stack-v2-style
+    pipelines actually run it: corpus rows (doc_id, text) land in a
+    directory, each micro-batch dedups against everything already
+    accepted WITHOUT re-reading accepted text — the output table itself
+    carries each survivor's MinHash signature, so history costs one
+    column scan of the output, never a re-shingle.
+
+    Per batch: signatures for the BATCH only; banded equi-join against
+    the output's persisted signatures (plus lower-id batch docs,
+    keep-first); survivors append with their signatures. Exactly-once
+    without extra state: a replayed batch re-matches its own
+    previously-written signatures at estimated Jaccard 1.0 and drops to
+    zero rows, so the sink is idempotent — the same
+    output-table-IS-the-state argument as :func:`stream_corpus_dedup`,
+    lifted from exact fingerprints to near-dup signatures.
+
+    Scale: each trigger is O(batch) signatures + an equi-join whose
+    history side is one (doc_id, signature) projection — at 10^10
+    accepted docs that projection lives bucketed on (band, bucket) and
+    the join co-locates. Drive with trigger(availableNow=True) in tests,
+    continuously in production next to the crawl loop.
+
+    Returns the started StreamingQuery.
+    """
+    from .dedup import incremental_minhash_dedup, minhash_signatures
+
+    src = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", max_files)
+        .parquet(input_dir)
+    )
+
+    def _sink(batch_df, batch_id):  # noqa: ANN001
+        from pyspark.errors import AnalysisException
+
+        spark_l = batch_df.sparkSession
+        try:
+            # missing output = first batch ever; anything else must raise
+            hist = spark_l.read.parquet(out_dir).select(
+                "doc_id", "signature"
+            )
+        except AnalysisException:
+            hist = spark_l.createDataFrame(
+                [], "doc_id long, signature array<bigint>"
+            )
+        removed = incremental_minhash_dedup(
+            batch_df,
+            hist,
+            n_hashes=n_hashes,
+            bands=bands,
+            k=k,
+            est_threshold=est_threshold,
+        ).select(F.col("removed_doc_id").alias("doc_id"))
+        keep = batch_df.join(removed, "doc_id", "left_anti")
+        out = keep.join(
+            minhash_signatures(keep, n_hashes, k), "doc_id"
+        ).select("doc_id", "text", "signature")
+        out.write.mode("append").parquet(out_dir)
+
+    return (
+        src.writeStream.foreachBatch(_sink)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -352,3 +352,43 @@ def test_stream_wet_publisher_and_readback(spark, tmp_path):
     after = sorted(glob.glob(out + "/batch=*/*.warc.wet.gz"))
     assert set(before) < set(after)
     assert warc.read_wet(spark, out + "/batch=*").count() == 3
+
+
+def test_stream_neardup_dedup_cross_batch_and_replay(spark, tmp_path):
+    src = str(tmp_path / "landing_nd")
+    out = str(tmp_path / "neardup_out")
+    rows1 = [
+        (1, "alpha beta gamma delta epsilon"),
+        (2, "alpha beta gamma delta epsilon"),  # in-batch dup of 1
+        (3, "one two three four five six"),
+    ]
+    spark.createDataFrame(rows1, "doc_id long, text string") \
+        .write.mode("append").parquet(src)
+    st.stream_neardup_dedup(
+        spark, src, out, str(tmp_path / "ck1"), est_threshold=0.5
+    ).awaitTermination()
+    kept = {r["doc_id"] for r in spark.read.parquet(out).collect()}
+    assert kept == {1, 3}
+    # signatures ride the output table
+    sig = spark.read.parquet(out).select("signature").first()[0]
+    assert len(sig) == 8
+
+    # batch 2: near-dup of an ACCEPTED doc (vs signatures only, no text
+    # re-read) + one fresh doc
+    spark.createDataFrame(
+        [(10, "alpha beta gamma delta epsilon"),
+         (11, "zz yy xx ww vv uu tt")],
+        "doc_id long, text string",
+    ).write.mode("append").parquet(src)
+    st.stream_neardup_dedup(
+        spark, src, out, str(tmp_path / "ck1"), est_threshold=0.5
+    ).awaitTermination()
+    kept = {r["doc_id"] for r in spark.read.parquet(out).collect()}
+    assert kept == {1, 3, 11}
+
+    # fresh checkpoint replays everything: every replayed doc matches its
+    # own persisted signature at est 1.0 -> zero new rows (idempotent)
+    st.stream_neardup_dedup(
+        spark, src, out, str(tmp_path / "ck2"), est_threshold=0.5
+    ).awaitTermination()
+    assert spark.read.parquet(out).count() == 3
