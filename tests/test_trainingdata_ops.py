@@ -1335,3 +1335,31 @@ def test_bigram_lm_perplexity_buckets_per_lang(spark):
     for lang in ("en", "fr"):
         bs = sorted(r["bucket"] for r in out if r["lang"] == lang)
         assert bs == [1, 1, 2, 2, 3, 3]
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2, 3, 4])
+def test_shard_plan_property_random_sizes(spark, seed):
+    # randomized cross-check vs the naive driver-side running sum, with
+    # sparse non-contiguous doc_ids so value-range buckets are uneven
+    import random
+
+    rng = random.Random(seed)
+    ids = sorted(rng.sample(range(0, 500), 40))
+    sizes = {i: rng.randint(0, 80) for i in ids}
+    target = rng.randint(16, 120)
+    width = rng.choice([1, 3, 7, 50, 1000])
+    d = spark.createDataFrame(
+        [(i, "x" * sizes[i]) for i in ids], ["doc_id", "text"]
+    )
+    got = {
+        r["doc_id"]: (r["start_byte"], r["shard"])
+        for r in textops.shard_plan(
+            d, target_bytes=target, bucket_width=width
+        ).collect()
+    }
+    running = 0
+    for i in ids:
+        assert got[i] == (running, running // target), (
+            f"doc {i} seed {seed} width {width} target {target}"
+        )
+        running += sizes[i]
