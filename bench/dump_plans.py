@@ -36,6 +36,8 @@ SHOW = [
     "t54_shard_plan",
     "t55_lsh_error_audit",
     "t58_lm_perplexity",
+    "t59_dsir_weights",
+    "t60_crawl_budget",
 ]
 
 

@@ -1358,6 +1358,30 @@ def t58_lm_perplexity(spark, sf_dir):
     return tx.bigram_lm_perplexity(d, add_k=0.5, n_buckets=3)
 
 
+def t59_dsir_weights(spark, sf_dir):
+    """DSIR hashed-bigram importance weights (Xie et al. 2023): raw =
+    every non-target document, target = the src0/src1 sources standing
+    in for the clean domain (Wikipedia/books). Both models are
+    4096-bucket hash-aggs regardless of corpus size; per-doc log weight
+    summed in integer micro-nats so the hash is order-independent."""
+    d = _t(spark, sf_dir, "documents")
+    tgt = d.filter(F.col("source").isin("src0", "src1"))
+    raw = d.filter(~F.col("source").isin("src0", "src1"))
+    return tx.dsir_importance_weights(raw, tgt, n_buckets=4096, add_k=0.5)
+
+
+def t60_crawl_budget(spark, sf_dir):
+    """Largest-remainder apportionment of a global fetch budget across
+    hosts scored by corpus bytes (the OPIC 'crawl where the cash is'
+    planning step). 997 is prime so fractional remainders genuinely
+    decide the +1 seats; budgets sum exactly to 997."""
+    d = _t(spark, sf_dir, "documents")
+    scores = d.groupBy(
+        F.concat(F.col("source"), F.lit(".example.com")).alias("host")
+    ).agg(F.sum("n_chars").cast("long").alias("score"))
+    return sched.crawl_budget_plan(scores, total_budget=997)
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_filter_project": q02_filter_project,
@@ -1447,6 +1471,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "t56_bpe_pairs": t56_bpe_pairs,
     "t57_latency_percentiles": t57_latency_percentiles,
     "t58_lm_perplexity": t58_lm_perplexity,
+    "t59_dsir_weights": t59_dsir_weights,
+    "t60_crawl_budget": t60_crawl_budget,
 }
 
 # ---------------------------------------------------------------------------
@@ -3211,6 +3237,89 @@ ORACLES["t58_lm_perplexity"] = """
                ORDER BY round(exp(-CAST(s AS DOUBLE) / (n_bigrams * 1e6)), 4)
                         ASC, doc_id ASC) AS int) AS bucket
     FROM per
+"""
+
+ORACLES["t59_dsir_weights"] = """
+    WITH tgt_toks AS (
+        SELECT list_filter(string_split(lower(text), ' '), w -> w != '') AS ts
+        FROM documents WHERE source IN ('src0', 'src1')
+    ), raw_toks AS (
+        SELECT doc_id,
+               list_filter(string_split(lower(text), ' '), w -> w != '') AS ts
+        FROM documents WHERE source NOT IN ('src0', 'src1')
+    ), tgt_h AS (
+        SELECT md5('dsir:' || ts[i] || ' ' || ts[i+1]) AS h
+        FROM tgt_toks, unnest(range(1, len(ts))) AS t(i)
+        WHERE len(ts) >= 2
+    ), raw_h AS (
+        SELECT doc_id, md5('dsir:' || ts[i] || ' ' || ts[i+1]) AS h
+        FROM raw_toks, unnest(range(1, len(ts))) AS t(i)
+        WHERE len(ts) >= 2
+    ), tb AS (
+        -- conv(md5[0:8],16,10) % 4096 == value of hex digits 6..8
+        SELECT 256 * (strpos('0123456789abcdef', substr(h, 6, 1)) - 1)
+             + 16 * (strpos('0123456789abcdef', substr(h, 7, 1)) - 1)
+             + (strpos('0123456789abcdef', substr(h, 8, 1)) - 1) AS bucket
+        FROM tgt_h
+    ), rb AS (
+        SELECT doc_id,
+               256 * (strpos('0123456789abcdef', substr(h, 6, 1)) - 1)
+             + 16 * (strpos('0123456789abcdef', substr(h, 7, 1)) - 1)
+             + (strpos('0123456789abcdef', substr(h, 8, 1)) - 1) AS bucket
+        FROM raw_h
+    ), tc AS (
+        SELECT bucket, count(*) AS c_t FROM tb GROUP BY 1
+    ), rc AS (
+        SELECT bucket, count(*) AS c_r FROM rb GROUP BY 1
+    ), nt AS (
+        SELECT coalesce(sum(c_t), 0) AS n_t FROM tc
+    ), nr AS (
+        SELECT sum(c_r) AS n_r FROM rc
+    ), ratio AS (
+        SELECT rc.bucket,
+               CAST(round((ln((coalesce(tc.c_t, 0) + 0.5) / (nt.n_t + 0.5 * 4096))
+                         - ln((rc.c_r + 0.5) / (nr.n_r + 0.5 * 4096))) * 1e6, 0)
+                    AS BIGINT) AS lr
+        FROM rc LEFT JOIN tc ON tc.bucket = rc.bucket
+        CROSS JOIN nt CROSS JOIN nr
+    )
+    SELECT rb.doc_id,
+           CAST(count(*) AS BIGINT) AS n_feats,
+           CAST(sum(ratio.lr) AS BIGINT) AS log_w_micro
+    FROM rb JOIN ratio ON ratio.bucket = rb.bucket
+    GROUP BY rb.doc_id
+"""
+
+ORACLES["t60_crawl_budget"] = """
+    WITH s AS (
+        SELECT source || '.example.com' AS host,
+               CAST(sum(n_chars) AS BIGINT) AS score
+        FROM documents GROUP BY 1
+    ), p AS (
+        SELECT host, score FROM s WHERE score > 0
+    ), tot AS (
+        SELECT CAST(sum(score) AS DOUBLE) AS tot FROM p
+    ), q AS (
+        SELECT host, score,
+               CAST(997 AS DOUBLE) * CAST(score AS DOUBLE) / tot.tot AS quota
+        FROM p CROSS JOIN tot
+    ), b AS (
+        SELECT host, score,
+               CAST(floor(quota) AS BIGINT) AS base,
+               quota - floor(quota) AS rem
+        FROM q
+    ), l AS (
+        SELECT 997 - sum(base) AS leftover FROM b
+    ), r AS (
+        SELECT host, score, base, rem,
+               row_number() OVER (ORDER BY rem DESC, host ASC) AS rnk
+        FROM b
+    )
+    SELECT host, score, base,
+           CAST(CASE WHEN rnk <= l.leftover THEN 1 ELSE 0 END AS INT) AS extra,
+           CAST(base + CASE WHEN rnk <= l.leftover THEN 1 ELSE 0 END
+                AS BIGINT) AS budget
+    FROM r CROSS JOIN l
 """
 
 ORACLES = {k: v for k, v in ORACLES.items() if v is not None}

@@ -564,3 +564,80 @@ def latency_percentiles(
     return ranked.groupBy(host_col).agg(
         F.max("_n").cast("long").alias("n_fetches"), *picks
     )
+
+# -- per-host crawl-budget apportionment (round 4) ------------------------------
+
+
+def crawl_budget_plan(
+    host_scores: DataFrame,
+    total_budget: int,
+    host_col: str = "host",
+    score_col: str = "score",
+) -> DataFrame:
+    """Apportion a global per-round fetch budget across hosts in
+    proportion to a score relation (PageRank mass from
+    :func:`crawlspark.graph.pagerank`, quality from
+    :func:`crawlspark.textops.domain_stats`, or plain frontier depth) —
+    the planning step that turns the engine's quality/link-analysis
+    plane back into crawl admission (OPIC's "crawl where the cash is").
+    The reference has no cross-host planner (its quotas are static
+    per-node splits, Douban2/settings.py); this is the scale-shaped
+    replacement SURVEY §2 P5 points at.
+
+    Largest-remainder (Hamilton) apportionment, so the budgets are
+    integers that sum EXACTLY to total_budget: quota = total·score/Σscore,
+    every host gets floor(quota), and the total − Σfloor leftover goes
+    +1 each to the hosts with the largest fractional remainders
+    (ties → host ascending, so the plan is deterministic and
+    engine-portable; quota is one multiply + one divide on doubles —
+    an identical IEEE expression tree on any engine, the t50 trick).
+
+    Scale shape: the input is already a per-host aggregate (|hosts|
+    rows, ≤10^7 for the whole web) — the two global windows (Σfloor and
+    the remainder rank) run over that aggregate, never over raw
+    frontier rows; this is the t26/t50 bounded-aggregate pattern.
+    Hosts with score ≤ 0 are dropped (no budget).
+
+    Output: (host, score, base, extra, budget) with sum(budget) ==
+    total_budget whenever any positive-score host exists.
+    """
+    hs = host_scores.filter(F.col(score_col) > 0).select(
+        F.col(host_col).alias("host"), F.col(score_col).alias("score")
+    )
+    tot = hs.agg(F.sum("score").cast("double").alias("_tot"))
+    quota = F.lit(int(total_budget)).cast("double") * F.col("score").cast(
+        "double"
+    ) / F.col("_tot")
+    based = (
+        hs.crossJoin(tot)
+        .withColumn("_quota", quota)
+        .withColumn("base", F.floor("_quota").cast("long"))
+        .withColumn("_rem", F.col("_quota") - F.col("base"))
+    )
+    w_all = Window.partitionBy(F.lit(1))
+    w_rank = Window.partitionBy(F.lit(1)).orderBy(
+        F.desc("_rem"), F.asc("host")
+    )
+    return (
+        based.withColumn(
+            "_leftover", F.lit(int(total_budget)) - F.sum("base").over(w_all)
+        )
+        .withColumn("_rank", F.row_number().over(w_rank))
+        .select(
+            "host",
+            "score",
+            "base",
+            F.when(F.col("_rank") <= F.col("_leftover"), F.lit(1))
+            .otherwise(F.lit(0))
+            .cast("int")
+            .alias("extra"),
+            (
+                F.col("base")
+                + F.when(F.col("_rank") <= F.col("_leftover"), F.lit(1)).otherwise(
+                    F.lit(0)
+                )
+            )
+            .cast("long")
+            .alias("budget"),
+        )
+    )

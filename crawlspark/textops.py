@@ -1439,3 +1439,121 @@ def bigram_lm_perplexity(
     return scored.withColumn(
         "bucket", F.ntile(int(n_buckets)).over(w).cast("int")
     )
+
+# -- DSIR hashed-ngram importance weights (round 4) -----------------------------
+
+
+def _hashed_bigram_buckets(
+    df: DataFrame,
+    n_buckets: int,
+    text_col: str,
+    id_cols: list[str],
+    salt: str,
+) -> DataFrame:
+    """(id_cols..., bucket) — one row per word-bigram occurrence, hashed
+    into a fixed-size feature space via the engine-portable md5 coin
+    (same trick as stratified_sample / sequence packing): bucket =
+    conv(md5('salt:w1 w2')[0:8], 16, 10) % n_buckets. Docs with < 2
+    tokens have no bigrams and drop out."""
+    toks = df.select(
+        *id_cols,
+        F.expr(
+            f"filter(split(lower({text_col}), ' '), w -> w != '')"
+        ).alias("ts"),
+    ).filter(F.size("ts") >= 2)
+    bg = toks.select(
+        *id_cols,
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(ts) - 1), i -> "
+                "concat(element_at(ts, i), ' ', element_at(ts, i + 1)))"
+            )
+        ).alias("feat"),
+    )
+    bucket = (
+        F.conv(
+            F.substring(F.md5(F.concat(F.lit(salt + ":"), F.col("feat"))), 1, 8),
+            16,
+            10,
+        ).cast("long")
+        % F.lit(int(n_buckets))
+    )
+    return bg.select(*id_cols, bucket.alias("bucket"))
+
+
+def dsir_importance_weights(
+    raw: DataFrame,
+    target: DataFrame,
+    n_buckets: int = 4096,
+    add_k: float = 0.5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    salt: str = "dsir",
+) -> DataFrame:
+    """DSIR data selection (Xie et al. 2023, "Data Selection for Language
+    Models via Importance Resampling"): score every raw-corpus document
+    with the log importance weight of a hashed-bigram bag-of-ngrams
+    model — log w(x) = Σ_f [ln p_target(h(f)) − ln p_raw(h(f))] over the
+    doc's bigram features f, where both distributions are add-k-smoothed
+    unigram models over the SAME fixed hashed feature space. Documents
+    that look like the target domain (e.g. Wikipedia/books) score high;
+    resampling by these weights is how DSIR assembles a
+    target-distributed corpus from a raw crawl.
+
+    Scale shape — the whole point of DSIR's hashing trick carries over
+    to the distributed plan: both "models" are hash-aggs bounded at
+    n_buckets rows REGARDLESS of corpus size (a constant, not
+    corpus-derived — so the ≤B-row ratio table is safely broadcast-able
+    by AQE, unlike a corpus-derived set). Scoring is one equi-join of
+    the doc-bucket relation against that tiny ratio table plus one
+    per-doc partial aggregation. No windows over raw docs, no Python.
+
+    Cross-engine exactness: each bucket's log-ratio is rounded to
+    integer MICRO-NATS (round((ln p_t − ln p_r)·1e6) as long) before
+    the per-doc sum — integer sums are associative, so distributed
+    aggregation order cannot flip a bit (the t58 trick). The md5 coin
+    makes the feature hash itself engine-portable.
+
+    Output: (id_col, n_feats, log_w_micro) — log_w_micro is the summed
+    integer micro-nats log weight; divide by 1e6 for nats. Docs with
+    fewer than 2 tokens drop out (no features).
+
+    Reference framing: the reference pipeline has no data-selection
+    stage; this extends the corpus plane the way SURVEY §2's
+    training-data section prescribes.
+    """
+    b = int(n_buckets)
+    k = F.lit(float(add_k))
+    rawb = _hashed_bigram_buckets(raw, b, text_col, [id_col], salt)
+    tgtb = _hashed_bigram_buckets(target, b, text_col, [], salt)
+    rc = rawb.groupBy("bucket").agg(F.count("*").alias("c_r"))
+    tc = tgtb.groupBy("bucket").agg(F.count("*").alias("c_t"))
+    n_r = rc.agg(F.sum("c_r").alias("n_r"))
+    n_t = tc.agg(F.coalesce(F.sum("c_t"), F.lit(0)).alias("n_t"))
+    ratio = (
+        rc.join(tc, "bucket", "left")
+        .withColumn("c_t", F.coalesce(F.col("c_t"), F.lit(0)))
+        .crossJoin(n_r)
+        .crossJoin(n_t)
+        .select(
+            "bucket",
+            F.round(
+                (
+                    F.log((F.col("c_t") + k) / (F.col("n_t") + k * F.lit(b)))
+                    - F.log((F.col("c_r") + k) / (F.col("n_r") + k * F.lit(b)))
+                )
+                * F.lit(1e6),
+                0,
+            )
+            .cast("long")
+            .alias("lr_micro"),
+        )
+    )
+    return (
+        rawb.join(ratio, "bucket")
+        .groupBy(id_col)
+        .agg(
+            F.count("*").cast("long").alias("n_feats"),
+            F.sum("lr_micro").alias("log_w_micro"),
+        )
+    )

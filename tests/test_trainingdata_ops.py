@@ -1363,3 +1363,110 @@ def test_shard_plan_property_random_sizes(spark, seed):
             f"doc {i} seed {seed} width {width} target {target}"
         )
         running += sizes[i]
+
+
+# -- DSIR importance weights (t59) ----------------------------------------------
+
+
+def test_dsir_weights_rank_target_like_docs_higher(spark):
+    # raw docs repeating the target's bigrams must out-score raw docs
+    # sharing nothing with the target
+    tgt = spark.createDataFrame(
+        [(100, "alpha beta gamma alpha beta")], ["doc_id", "text"]
+    )
+    raw = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma"),        # pure target bigrams
+            (2, "zzz yyy xxx www"),         # disjoint
+            (3, "alpha beta zzz yyy"),      # half and half
+        ],
+        ["doc_id", "text"],
+    )
+    out = {
+        r["doc_id"]: r
+        for r in textops.dsir_importance_weights(
+            raw, tgt, n_buckets=64
+        ).collect()
+    }
+    assert out[1]["n_feats"] == 2 and out[2]["n_feats"] == 3
+    per_feat = {
+        i: out[i]["log_w_micro"] / out[i]["n_feats"] for i in (1, 2, 3)
+    }
+    assert per_feat[1] > per_feat[3] > per_feat[2]
+    # disjoint-from-target doc must have negative log weight (raw mass,
+    # no target mass beyond smoothing)
+    assert out[2]["log_w_micro"] < 0
+
+
+def test_dsir_weights_hand_math_single_bucket_system(spark):
+    # one raw doc, one target doc, identical single bigram -> both
+    # models put all mass on the same bucket; verify the micro-nats
+    # arithmetic exactly
+    tgt = spark.createDataFrame([(0, "a b")], ["doc_id", "text"])
+    raw = spark.createDataFrame([(1, "a b")], ["doc_id", "text"])
+    b, k = 16, 0.5
+    out = textops.dsir_importance_weights(
+        raw, tgt, n_buckets=b, add_k=k
+    ).collect()
+    assert len(out) == 1
+    expect = round(
+        (math.log((1 + k) / (1 + k * b)) - math.log((1 + k) / (1 + k * b)))
+        * 1e6
+    )
+    assert out[0]["log_w_micro"] == expect == 0
+    assert out[0]["n_feats"] == 1
+
+
+def test_dsir_weights_short_docs_drop(spark):
+    tgt = spark.createDataFrame([(0, "a b")], ["doc_id", "text"])
+    raw = spark.createDataFrame(
+        [(1, "single"), (2, ""), (3, "a b")], ["doc_id", "text"]
+    )
+    out = textops.dsir_importance_weights(raw, tgt, n_buckets=8).collect()
+    assert [r["doc_id"] for r in out] == [3]
+
+
+# -- crawl budget apportionment (t60) --------------------------------------------
+
+
+def test_crawl_budget_largest_remainder_hand_math(spark):
+    from crawlspark import scheduler
+
+    # total=10 over scores 5:3:1 -> quotas 5.556/3.333/1.111,
+    # bases 5/3/1 (sum 9), one leftover seat -> largest remainder (a)
+    hs = spark.createDataFrame(
+        [("a.com", 5), ("b.com", 3), ("c.com", 1)], ["host", "score"]
+    )
+    out = {
+        r["host"]: (r["base"], r["extra"], r["budget"])
+        for r in scheduler.crawl_budget_plan(hs, total_budget=10).collect()
+    }
+    assert out == {
+        "a.com": (5, 1, 6),
+        "b.com": (3, 0, 3),
+        "c.com": (1, 0, 1),
+    }
+
+
+def test_crawl_budget_sums_exactly_and_ties_break_host_asc(spark):
+    from crawlspark import scheduler
+
+    # equal scores, total not divisible -> equal remainders; the +1
+    # seats go to the lexicographically first hosts
+    hs = spark.createDataFrame(
+        [(f"h{i}.com", 7) for i in range(4)], ["host", "score"]
+    )
+    rows = scheduler.crawl_budget_plan(hs, total_budget=10).collect()
+    assert sum(r["budget"] for r in rows) == 10
+    got = {r["host"]: r["budget"] for r in rows}
+    assert got == {"h0.com": 3, "h1.com": 3, "h2.com": 2, "h3.com": 2}
+
+
+def test_crawl_budget_drops_nonpositive_scores(spark):
+    from crawlspark import scheduler
+
+    hs = spark.createDataFrame(
+        [("a.com", 0), ("b.com", -2), ("c.com", 4)], ["host", "score"]
+    )
+    rows = scheduler.crawl_budget_plan(hs, total_budget=5).collect()
+    assert [(r["host"], r["budget"]) for r in rows] == [("c.com", 5)]
