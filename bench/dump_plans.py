@@ -38,6 +38,8 @@ SHOW = [
     "t58_lm_perplexity",
     "t59_dsir_weights",
     "t60_crawl_budget",
+    "t61_dsir_resample",
+    "t62_leakage_safe_split",
 ]
 
 

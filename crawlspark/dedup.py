@@ -891,3 +891,54 @@ def lsh_estimate_audit(
             ).alias("abs_err"),
         )
     )
+
+
+def leakage_safe_split(
+    documents: DataFrame,
+    pairs: DataFrame,
+    test_frac: float = 0.1,
+    salt: str = "split",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Train/test split that near-duplicates cannot straddle: the split
+    coin is flipped per duplicate CLUSTER (connected component of the
+    near-dup pair graph), not per document, so a test document never has
+    a near-copy in train — the eval-leakage failure mode document-level
+    splitting guarantees on a raw web corpus (t17/t29 decontaminate
+    against EXTERNAL benchmarks; this closes the INTERNAL eval split).
+
+    Shape: :func:`dup_clusters` labels only docs that appear in >= 1
+    pair — on a real corpus a small subgraph, never O(corpus) state.
+    Singleton docs get cluster_id = their own id via one left join +
+    coalesce (a projection, no extra shuffle beyond the join). The
+    deterministic md5 coin on the CLUSTER id (same u < frac compare as
+    stratified_sample, dyadic-exact at frac = n/65536) makes the split
+    reproducible across engines, reruns, and partition layouts.
+
+    Output: (id_col, cluster_id, split) for every input document, split
+    in {'train', 'test'}.
+    """
+    clusters = dup_clusters(pairs)
+    labeled = (
+        documents.select(id_col)
+        .join(clusters, id_col, "left")
+        .withColumn("cluster_id", F.coalesce("cluster_id", F.col(id_col)))
+    )
+    u = F.conv(
+        F.substring(
+            F.md5(
+                F.concat(F.lit(salt + ":"), F.col("cluster_id").cast("string"))
+            ),
+            1,
+            4,
+        ),
+        16,
+        10,
+    ).cast("double") / F.lit(65536.0)
+    return labeled.select(
+        id_col,
+        "cluster_id",
+        F.when(u < F.lit(float(test_frac)), F.lit("test"))
+        .otherwise(F.lit("train"))
+        .alias("split"),
+    )

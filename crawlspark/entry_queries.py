@@ -1382,6 +1382,29 @@ def t60_crawl_budget(spark, sf_dir):
     return sched.crawl_budget_plan(scores, total_budget=997)
 
 
+def t61_dsir_resample(spark, sf_dir):
+    """The producing half of t59: Gumbel-top-k draw of 50 docs with
+    probability ∝ exp(log w) under the DSIR importance weights —
+    deterministic md5 Gumbel noise, integer micro-nats selection keys
+    (long compares, so libm ulps can't flip the cut), TakeOrdered plan
+    (partial per-partition top-k, never a global sort)."""
+    d = _t(spark, sf_dir, "documents")
+    tgt = d.filter(F.col("source").isin("src0", "src1"))
+    raw = d.filter(~F.col("source").isin("src0", "src1"))
+    w = tx.dsir_importance_weights(raw, tgt, n_buckets=4096, add_k=0.5)
+    return tx.dsir_gumbel_topk(w, k=50, temperature=1.0)
+
+
+def t62_leakage_safe_split(spark, sf_dir):
+    """Train/test split flipped per near-dup CLUSTER (t13's connected
+    components), so no test doc has a near-copy in train. test_frac =
+    0.125 is dyadic (u < 8192/65536 exactly), so the float compare is
+    engine-exact."""
+    d = _t(spark, sf_dir, "documents")
+    pairs = dd.ngram_jaccard_pairs(d, k=3, threshold=0.2, max_df=100)
+    return dd.leakage_safe_split(d, pairs, test_frac=0.125)
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_filter_project": q02_filter_project,
@@ -1473,6 +1496,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "t58_lm_perplexity": t58_lm_perplexity,
     "t59_dsir_weights": t59_dsir_weights,
     "t60_crawl_budget": t60_crawl_budget,
+    "t61_dsir_resample": t61_dsir_resample,
+    "t62_leakage_safe_split": t62_leakage_safe_split,
 }
 
 # ---------------------------------------------------------------------------
@@ -3239,7 +3264,7 @@ ORACLES["t58_lm_perplexity"] = """
     FROM per
 """
 
-ORACLES["t59_dsir_weights"] = """
+_T59_SQL = """
     WITH tgt_toks AS (
         SELECT list_filter(string_split(lower(text), ' '), w -> w != '') AS ts
         FROM documents WHERE source IN ('src0', 'src1')
@@ -3289,6 +3314,57 @@ ORACLES["t59_dsir_weights"] = """
     FROM rb JOIN ratio ON ratio.bucket = rb.bucket
     GROUP BY rb.doc_id
 """
+
+ORACLES["t59_dsir_weights"] = _T59_SQL
+
+# Gumbel-top-k over the t59 weights: u = (conv(md5[0:4]) + 1)/65537 (the
+# stratified_sample hex decode, +1 so u is never 0), key in integer
+# micro-nats so the cut line compares longs on both engines.
+ORACLES["t61_dsir_resample"] = f"""
+    WITH t59 AS ({_T59_SQL}),
+    keyed AS (
+        SELECT doc_id, log_w_micro,
+               log_w_micro + CAST(round(1.0 * (-ln(-ln(
+                   (4096.0 * (strpos('0123456789abcdef',
+                        substr(md5('gumbel:' || CAST(doc_id AS VARCHAR)), 1, 1)) - 1)
+                    + 256.0 * (strpos('0123456789abcdef',
+                        substr(md5('gumbel:' || CAST(doc_id AS VARCHAR)), 2, 1)) - 1)
+                    + 16.0 * (strpos('0123456789abcdef',
+                        substr(md5('gumbel:' || CAST(doc_id AS VARCHAR)), 3, 1)) - 1)
+                    + (strpos('0123456789abcdef',
+                        substr(md5('gumbel:' || CAST(doc_id AS VARCHAR)), 4, 1)) - 1)
+                    + 1.0) / 65537.0))) * 1e6, 0) AS BIGINT) AS key_micro
+        FROM t59
+    )
+    SELECT doc_id, log_w_micro, key_micro
+    FROM keyed ORDER BY key_micro DESC, doc_id ASC LIMIT 50
+"""
+
+ORACLES["t62_leakage_safe_split"] = (
+    "WITH RECURSIVE "
+    + _SHINGLES.strip().removeprefix("WITH")
+    + _T04_PAIRS_BODY
+    + _closure_sql("SELECT doc_a, doc_b FROM jac WHERE jaccard >= 0.2")
+    + """
+    , assigned AS (
+        SELECT d.doc_id,
+               coalesce(l.cluster_id, d.doc_id) AS cluster_id
+        FROM documents d LEFT JOIN cc_labels l ON l.doc_id = d.doc_id
+    ), hx AS (
+        SELECT doc_id, cluster_id,
+               md5('split:' || CAST(cluster_id AS VARCHAR)) AS h
+        FROM assigned
+    )
+    SELECT doc_id, cluster_id,
+           CASE WHEN (4096.0 * (strpos('0123456789abcdef', substr(h, 1, 1)) - 1)
+                    + 256.0 * (strpos('0123456789abcdef', substr(h, 2, 1)) - 1)
+                    + 16.0 * (strpos('0123456789abcdef', substr(h, 3, 1)) - 1)
+                    + (strpos('0123456789abcdef', substr(h, 4, 1)) - 1)) / 65536.0
+                     < 0.125
+                THEN 'test' ELSE 'train' END AS split
+    FROM hx
+"""
+)
 
 ORACLES["t60_crawl_budget"] = """
     WITH s AS (

@@ -1557,3 +1557,62 @@ def dsir_importance_weights(
             F.sum("lr_micro").alias("log_w_micro"),
         )
     )
+
+
+def dsir_gumbel_topk(
+    weights: DataFrame,
+    k: int,
+    temperature: float = 1.0,
+    salt: str = "gumbel",
+    id_col: str = "doc_id",
+    weight_col: str = "log_w_micro",
+) -> DataFrame:
+    """The RESAMPLING half of DSIR (Xie et al. 2023 §2.3): draw k
+    documents without replacement with probability ∝ exp(log w / T)
+    via the Gumbel-top-k trick — key = log w + T·g with g ~ Gumbel(0,1),
+    take the k largest keys. One pass, no sequential sampling loop, so
+    the draw shards like any top-k.
+
+    Determinism: g is derived from the engine-portable md5 coin
+    (g = −ln(−ln(u)), u = (conv(md5(salt:id)[0:4]) + 1)/65537 ∈ (0,1),
+    the stratified_sample trick with a +1 shift so u is never 0), and
+    the selection key is kept in integer MICRO-NATS
+    (log_w_micro + round(T·g·1e6)) — selection compares longs, so
+    cross-engine libm ulp differences cannot flip the cut line the way
+    they could on raw doubles. Ties break id-ascending. Reruns, resumes
+    and other engines draw the IDENTICAL sample.
+
+    Scale: orderBy(...).limit(k) compiles to TakeOrdered — per-partition
+    partial top-k then a k-row driver merge; never a global sort or a
+    row_number window over the corpus.
+
+    Input: the (id, log_w_micro) relation from
+    :func:`dsir_importance_weights`. Output: the k selected rows with
+    their keys (id_col, weight_col, key_micro).
+    """
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.lit(salt + ":"), F.col(id_col).cast("string")
+                    )
+                ),
+                1,
+                4,
+            ),
+            16,
+            10,
+        ).cast("double")
+        + F.lit(1.0)
+    ) / F.lit(65537.0)
+    g = -F.log(-F.log(u))
+    key = (
+        F.col(weight_col)
+        + F.round(F.lit(float(temperature)) * g * F.lit(1e6), 0).cast("long")
+    ).alias("key_micro")
+    return (
+        weights.select(id_col, weight_col, key)
+        .orderBy(F.desc("key_micro"), F.asc(id_col))
+        .limit(int(k))
+    )

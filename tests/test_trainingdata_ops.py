@@ -1470,3 +1470,82 @@ def test_crawl_budget_drops_nonpositive_scores(spark):
     )
     rows = scheduler.crawl_budget_plan(hs, total_budget=5).collect()
     assert [(r["host"], r["budget"]) for r in rows] == [("c.com", 5)]
+
+
+# -- DSIR Gumbel-top-k resample (t61) ---------------------------------------------
+
+
+def _gumbel_key(doc_id: int, w_micro: int, temperature: float = 1.0) -> int:
+    import hashlib
+
+    h = hashlib.md5(f"gumbel:{doc_id}".encode()).hexdigest()
+    u = (int(h[:4], 16) + 1.0) / 65537.0
+    g = -math.log(-math.log(u))
+    return w_micro + int(round(temperature * g * 1e6))
+
+
+def test_dsir_gumbel_topk_matches_pure_python(spark):
+    rows = [(i, (i * 37 - 200) * 1000) for i in range(12)]
+    w = spark.createDataFrame(rows, ["doc_id", "log_w_micro"])
+    got = textops.dsir_gumbel_topk(w, k=5).collect()
+    keys = sorted(
+        ((_gumbel_key(i, wm), -i) for i, wm in rows), reverse=True
+    )[:5]
+    want_ids = [-negi for _, negi in keys]
+    assert [r["doc_id"] for r in got] == want_ids
+    for r in got:
+        assert r["key_micro"] == _gumbel_key(r["doc_id"], r["log_w_micro"])
+
+
+def test_dsir_gumbel_topk_k_exceeds_n_returns_all(spark):
+    w = spark.createDataFrame(
+        [(1, 100), (2, -50)], ["doc_id", "log_w_micro"]
+    )
+    assert textops.dsir_gumbel_topk(w, k=10).count() == 2
+
+
+def test_dsir_gumbel_topk_is_deterministic_across_runs(spark):
+    w = spark.createDataFrame(
+        [(i, i * 500) for i in range(30)], ["doc_id", "log_w_micro"]
+    )
+    a = [r["doc_id"] for r in textops.dsir_gumbel_topk(w, k=7).collect()]
+    b = [r["doc_id"] for r in textops.dsir_gumbel_topk(w, k=7).collect()]
+    assert a == b and len(a) == 7
+
+
+# -- leakage-safe split (t62) -----------------------------------------------------
+
+
+def test_leakage_safe_split_cluster_coherent_and_total(spark):
+    docs = spark.createDataFrame(
+        [(i, f"d{i}") for i in range(8)], ["doc_id", "text"]
+    )
+    # 0-1-2 one component (chain), 5-6 another, 3/4/7 singletons
+    pairs = spark.createDataFrame(
+        [(0, 1), (1, 2), (5, 6)], ["doc_a", "doc_b"]
+    )
+    out = dedup.leakage_safe_split(docs, pairs, test_frac=0.5).collect()
+    assert len(out) == 8  # every doc assigned exactly once
+    by_id = {r["doc_id"]: r for r in out}
+    assert {by_id[i]["cluster_id"] for i in (0, 1, 2)} == {0}
+    assert {by_id[i]["cluster_id"] for i in (5, 6)} == {5}
+    for i in (3, 4, 7):
+        assert by_id[i]["cluster_id"] == i
+    # coherence: same cluster -> same split
+    assert len({by_id[i]["split"] for i in (0, 1, 2)}) == 1
+    assert len({by_id[i]["split"] for i in (5, 6)}) == 1
+    assert {r["split"] for r in out} <= {"train", "test"}
+
+
+def test_leakage_safe_split_coin_matches_md5(spark):
+    import hashlib
+
+    docs = spark.createDataFrame(
+        [(i, "x") for i in range(40)], ["doc_id", "text"]
+    )
+    pairs = spark.createDataFrame([], "doc_a long, doc_b long")
+    out = dedup.leakage_safe_split(docs, pairs, test_frac=0.25).collect()
+    for r in out:
+        h = hashlib.md5(f"split:{r['cluster_id']}".encode()).hexdigest()
+        u = int(h[:4], 16) / 65536.0
+        assert r["split"] == ("test" if u < 0.25 else "train")
