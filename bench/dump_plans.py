@@ -40,6 +40,8 @@ SHOW = [
     "t60_crawl_budget",
     "t61_dsir_resample",
     "t62_leakage_safe_split",
+    "t63_threshold_sweep",
+    "t64_vocab_coverage",
 ]
 
 

@@ -1405,6 +1405,25 @@ def t62_leakage_safe_split(spark, sf_dir):
     return dd.leakage_safe_split(d, pairs, test_frac=0.125)
 
 
+def t63_threshold_sweep(spark, sf_dir):
+    """Filter-ablation card: docs/tokens retained at each candidate
+    quality cutoff, computed from ONE bounded (score, docs, tokens)
+    histogram × the tiny threshold grid — never one corpus pass per
+    threshold."""
+    d = _t(spark, sf_dir, "documents")
+    return tx.quality_threshold_sweep(
+        d, thresholds=[0.0, 0.3, 0.5, 0.7, 0.8, 0.9, 0.95]
+    )
+
+
+def t64_vocab_coverage(spark, sf_dir):
+    """Zipf coverage curve: share of corpus tokens covered by the top-k
+    vocabulary, per candidate k — rank/cumulative windows over the
+    |vocab| aggregate only."""
+    d = _t(spark, sf_dir, "documents")
+    return tx.vocab_coverage(d, ks=[10, 100, 1000, 10000])
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_filter_project": q02_filter_project,
@@ -1498,6 +1517,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "t60_crawl_budget": t60_crawl_budget,
     "t61_dsir_resample": t61_dsir_resample,
     "t62_leakage_safe_split": t62_leakage_safe_split,
+    "t63_threshold_sweep": t63_threshold_sweep,
+    "t64_vocab_coverage": t64_vocab_coverage,
 }
 
 # ---------------------------------------------------------------------------
@@ -3365,6 +3386,58 @@ ORACLES["t62_leakage_safe_split"] = (
     FROM hx
 """
 )
+
+ORACLES["t63_threshold_sweep"] = """
+    WITH scored AS (
+        SELECT round(least(CAST(len(string_split(text, ' ')) AS double) / 100.0, 1.0) * 0.6
+                     + (1.0 - least(CAST(length(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS double)
+                                    / length(text) * 10.0, 1.0)) * 0.4, 4) AS q,
+               CAST(len(string_split(text, ' ')) AS BIGINT) AS toks
+        FROM documents
+    ), hist AS (
+        SELECT q, count(*) AS cnt, sum(toks) AS tok FROM scored GROUP BY q
+    ), tot AS (
+        SELECT sum(cnt) AS td, sum(tok) AS tt FROM hist
+    ), grid AS (
+        SELECT CAST(unnest([0.0, 0.3, 0.5, 0.7, 0.8, 0.9, 0.95]) AS DOUBLE)
+               AS threshold
+    )
+    SELECT g.threshold,
+           CAST(coalesce(sum(h.cnt), 0) AS BIGINT) AS n_docs,
+           CAST(coalesce(sum(h.tok), 0) AS BIGINT) AS n_tokens,
+           round(CAST(coalesce(sum(h.cnt), 0) AS DOUBLE) / tot.td, 6) AS doc_share,
+           round(CAST(coalesce(sum(h.tok), 0) AS DOUBLE) / tot.tt, 6) AS token_share
+    FROM grid g LEFT JOIN hist h ON h.q >= g.threshold
+    CROSS JOIN tot
+    GROUP BY g.threshold, tot.td, tot.tt
+"""
+
+ORACLES["t64_vocab_coverage"] = """
+    WITH toks AS (
+        SELECT unnest(list_filter(string_split(lower(text), ' '),
+                                  w -> w != '')) AS term
+        FROM documents
+    ), vocab AS (
+        SELECT term, count(*) AS cnt FROM toks GROUP BY term
+    ), ranked AS (
+        SELECT cnt,
+               row_number() OVER (ORDER BY cnt DESC, term ASC) AS rnk,
+               sum(cnt) OVER (ORDER BY cnt DESC, term ASC
+                              ROWS UNBOUNDED PRECEDING) AS cum
+        FROM vocab
+    ), tot AS (
+        SELECT sum(cnt) AS tt FROM vocab
+    ), grid AS (
+        SELECT unnest([10, 100, 1000, 10000]) AS k
+    )
+    SELECT g.k,
+           CAST(coalesce(max(r.rnk), 0) AS BIGINT) AS n_terms,
+           CAST(coalesce(max(r.cum), 0) AS BIGINT) AS covered_tokens,
+           round(CAST(coalesce(max(r.cum), 0) AS DOUBLE) / tot.tt, 6) AS coverage
+    FROM grid g LEFT JOIN ranked r ON r.rnk <= g.k
+    CROSS JOIN tot
+    GROUP BY g.k, tot.tt
+"""
 
 ORACLES["t60_crawl_budget"] = """
     WITH s AS (

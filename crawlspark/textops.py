@@ -1616,3 +1616,133 @@ def dsir_gumbel_topk(
         .orderBy(F.desc("key_micro"), F.asc(id_col))
         .limit(int(k))
     )
+
+
+def quality_threshold_sweep(
+    documents: DataFrame,
+    thresholds: list[float],
+    text_col: str = "text",
+) -> DataFrame:
+    """Filter-ablation card (the DCLM/FineWeb 'pick the cutoff' sweep):
+    for each candidate quality threshold, how many documents and tokens
+    survive `quality >= t`, absolutely and as corpus shares. This is the
+    measurement that SETS the quality cutoff a production filter then
+    applies — run once per candidate grid instead of once per candidate
+    filter job.
+
+    Scale shape (the t21 bounded-histogram trick): quality_score is
+    rounded to 4 decimals, so the (score, n_docs, n_tokens) histogram is
+    bounded at ~10^4 rows regardless of corpus size; ONE hash-agg builds
+    it, and the sweep is a tiny histogram × grid cross join + one more
+    hash-agg — never one corpus pass per threshold. Shares are rounded
+    to 6 dp on both engines so summation order can't flip the hash.
+
+    Output: (threshold, n_docs, n_tokens, doc_share, token_share), one
+    row per threshold, including thresholds that keep nothing.
+    """
+    spark = documents.sparkSession
+    hist = (
+        documents.select(
+            quality_score(F.col(text_col)).alias("q"),
+            token_count(F.col(text_col)).cast("long").alias("toks"),
+        )
+        .groupBy("q")
+        .agg(
+            F.count("*").cast("long").alias("cnt"),
+            F.sum("toks").alias("tok"),
+        )
+    )
+    totals = hist.agg(
+        F.sum("cnt").alias("_td"), F.sum("tok").alias("_tt")
+    )
+    grid = spark.createDataFrame(
+        [(float(t),) for t in thresholds], "threshold double"
+    )
+    return (
+        grid.join(hist, hist.q >= grid.threshold, "left")
+        .groupBy("threshold")
+        .agg(
+            F.coalesce(F.sum("cnt"), F.lit(0)).cast("long").alias("n_docs"),
+            F.coalesce(F.sum("tok"), F.lit(0)).cast("long").alias("n_tokens"),
+        )
+        .crossJoin(totals)
+        .select(
+            "threshold",
+            "n_docs",
+            "n_tokens",
+            F.round(F.col("n_docs").cast("double") / F.col("_td"), 6).alias(
+                "doc_share"
+            ),
+            F.round(F.col("n_tokens").cast("double") / F.col("_tt"), 6).alias(
+                "token_share"
+            ),
+        )
+    )
+
+
+def vocab_coverage(
+    documents: DataFrame,
+    ks: list[int],
+    text_col: str = "text",
+) -> DataFrame:
+    """Zipf coverage curve — what fraction of all corpus tokens the
+    top-k most frequent terms cover, for each candidate vocabulary size
+    k. The tokenizer-sizing measurement (how big must the vocab be to
+    cover 95/99% of tokens) and the complement of t56's BPE pair
+    counts: t56 ranks candidate merges, this sizes the vocabulary.
+
+    Scale shape: the corpus collapses to the |vocab| (term, count)
+    aggregate in one hash-agg (within-doc repeats combine map-side);
+    the rank and cumulative windows run over that aggregate ONLY —
+    never over raw tokens (the same aggregate-windows-only rule as
+    t21/t26). The k-grid is config-tiny; coverage at k = the cumulative
+    count at rank min(k, |vocab|) via a grid×aggregate range join +
+    max().
+
+    Determinism: rank ties break term-ascending; coverage rounded 6 dp.
+    Output: (k, n_terms, covered_tokens, coverage).
+    """
+    spark = documents.sparkSession
+    vocab = (
+        documents.select(
+            F.explode(
+                F.expr(f"filter(split(lower({text_col}), ' '), w -> w != '')")
+            ).alias("term")
+        )
+        .groupBy("term")
+        .agg(F.count("*").cast("long").alias("cnt"))
+    )
+    w_rank = Window.partitionBy(F.lit(1)).orderBy(
+        F.desc("cnt"), F.asc("term")
+    )
+    ranked = vocab.select(
+        "cnt", F.row_number().over(w_rank).alias("rnk")
+    ).withColumn(
+        "cum",
+        F.sum("cnt").over(
+            Window.partitionBy(F.lit(1))
+            .orderBy("rnk")
+            .rowsBetween(Window.unboundedPreceding, 0)
+        ),
+    )
+    totals = vocab.agg(F.sum("cnt").alias("_tt"))
+    grid = spark.createDataFrame([(int(k),) for k in ks], "k int")
+    return (
+        grid.join(ranked, ranked.rnk <= grid.k, "left")
+        .groupBy("k")
+        .agg(
+            F.coalesce(F.max("rnk"), F.lit(0)).cast("long").alias("n_terms"),
+            F.coalesce(F.max("cum"), F.lit(0)).cast("long").alias(
+                "covered_tokens"
+            ),
+        )
+        .crossJoin(totals)
+        .select(
+            "k",
+            "n_terms",
+            "covered_tokens",
+            F.round(
+                F.col("covered_tokens").cast("double") / F.col("_tt"), 6
+            ).alias("coverage"),
+        )
+    )

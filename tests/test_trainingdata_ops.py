@@ -1549,3 +1549,51 @@ def test_leakage_safe_split_coin_matches_md5(spark):
         h = hashlib.md5(f"split:{r['cluster_id']}".encode()).hexdigest()
         u = int(h[:4], 16) / 65536.0
         assert r["split"] == ("test" if u < 0.25 else "train")
+
+
+# -- quality threshold sweep (t63) --------------------------------------------------
+
+
+def test_threshold_sweep_hand_arithmetic(spark):
+    # punctuation-free docs: q = 0.6*min(n_tokens/100, 1) + 0.4
+    doc_a = " ".join(["w"] * 10)    # q = 0.46, 10 tokens
+    doc_b = " ".join(["w"] * 100)   # q = 1.00, 100 tokens
+    d = spark.createDataFrame([(1, doc_a), (2, doc_b)], ["doc_id", "text"])
+    out = {
+        r["threshold"]: r
+        for r in textops.quality_threshold_sweep(
+            d, thresholds=[0.0, 0.5, 1.0, 1.01]
+        ).collect()
+    }
+    assert len(out) == 4
+    assert (out[0.0]["n_docs"], out[0.0]["n_tokens"]) == (2, 110)
+    assert out[0.0]["doc_share"] == 1.0 and out[0.0]["token_share"] == 1.0
+    assert (out[0.5]["n_docs"], out[0.5]["n_tokens"]) == (1, 100)
+    assert out[0.5]["doc_share"] == 0.5
+    assert out[0.5]["token_share"] == round(100 / 110, 6)
+    assert (out[1.0]["n_docs"]) == 1
+    # a threshold that keeps nothing still gets its row
+    assert (out[1.01]["n_docs"], out[1.01]["n_tokens"]) == (0, 0)
+    assert out[1.01]["doc_share"] == 0.0
+
+
+# -- vocabulary coverage curve (t64) ------------------------------------------------
+
+
+def test_vocab_coverage_hand_arithmetic_and_ties(spark):
+    d = spark.createDataFrame(
+        [(1, "a a a b b c")], ["doc_id", "text"]
+    )
+    out = {
+        r["k"]: r for r in textops.vocab_coverage(d, ks=[1, 2, 10]).collect()
+    }
+    assert (out[1]["n_terms"], out[1]["covered_tokens"], out[1]["coverage"]) == (1, 3, 0.5)
+    assert (out[2]["n_terms"], out[2]["covered_tokens"]) == (2, 5)
+    assert out[2]["coverage"] == round(5 / 6, 6)
+    # k beyond |vocab| saturates at the full vocabulary
+    assert (out[10]["n_terms"], out[10]["covered_tokens"], out[10]["coverage"]) == (3, 6, 1.0)
+
+    # equal counts tie-break term-ascending
+    d2 = spark.createDataFrame([(1, "y y x x")], ["doc_id", "text"])
+    one = textops.vocab_coverage(d2, ks=[1]).collect()[0]
+    assert (one["n_terms"], one["covered_tokens"], one["coverage"]) == (1, 2, 0.5)
