@@ -42,6 +42,7 @@ SHOW = [
     "t62_leakage_safe_split",
     "t63_threshold_sweep",
     "t64_vocab_coverage",
+    "t65_jl_projection",
 ]
 
 

@@ -1424,6 +1424,16 @@ def t64_vocab_coverage(spark, sf_dir):
     return tx.vocab_coverage(d, ks=[10, 100, 1000, 10000])
 
 
+def t65_jl_projection(spark, sf_dir):
+    """Deterministic ±1 Johnson-Lindenstrauss projection 64 -> 8 dims —
+    the pre-LSH dimensionality-reduction stage of a 10^10-vector ANN
+    pipeline. Stateless codegen projection, zero shuffles; the md5 sign
+    matrix and the left-associative fold order are identical in the SQL
+    twin, so the array hashes exactly."""
+    e = _t(spark, sf_dir, "embeddings")
+    return sim.jl_project(e, out_dim=8, in_dim=64)
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_filter_project": q02_filter_project,
@@ -1519,6 +1529,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "t62_leakage_safe_split": t62_leakage_safe_split,
     "t63_threshold_sweep": t63_threshold_sweep,
     "t64_vocab_coverage": t64_vocab_coverage,
+    "t65_jl_projection": t65_jl_projection,
 }
 
 # ---------------------------------------------------------------------------
@@ -3470,5 +3481,25 @@ ORACLES["t60_crawl_budget"] = """
                 AS BIGINT) AS budget
     FROM r CROSS JOIN l
 """
+
+def _jl_oracle_sql(out_dim: int = 8, in_dim: int = 64, seed: str = "jl") -> str:
+    """SQL twin of sim.jl_project built from the SAME Python-generated
+    sign matrix and scale literal — both engines evaluate the identical
+    left-associative expression tree."""
+    import math
+
+    signs = sim.jl_signs(out_dim, in_dim, seed)
+    inv = 1.0 / math.sqrt(float(out_dim))
+    comps = []
+    for j in range(out_dim):
+        terms = " + ".join(
+            f"CAST(embedding[{i + 1}] AS DOUBLE) * ({signs[j][i]}.0)"
+            for i in range(in_dim)
+        )
+        comps.append(f"round(({terms}) * {inv!r}, 6)")
+    return f"SELECT vec_id, [{', '.join(comps)}] AS proj FROM embeddings"
+
+
+ORACLES["t65_jl_projection"] = _jl_oracle_sql()
 
 ORACLES = {k: v for k, v in ORACLES.items() if v is not None}

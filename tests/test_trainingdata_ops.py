@@ -1597,3 +1597,44 @@ def test_vocab_coverage_hand_arithmetic_and_ties(spark):
     d2 = spark.createDataFrame([(1, "y y x x")], ["doc_id", "text"])
     one = textops.vocab_coverage(d2, ks=[1]).collect()[0]
     assert (one["n_terms"], one["covered_tokens"], one["coverage"]) == (1, 2, 0.5)
+
+
+# -- JL random projection (t65) -----------------------------------------------------
+
+
+def test_jl_project_one_hot_extracts_sign_column(spark):
+    # proj(e_i) = signs[:, i] / sqrt(out_dim), exactly
+    out_dim, in_dim = 4, 8
+    signs = similarity.jl_signs(out_dim, in_dim)
+    for i in (0, 3, 7):
+        vec = [0.0] * in_dim
+        vec[i] = 1.0
+        d = spark.createDataFrame([(1, vec)], ["vec_id", "embedding"])
+        got = similarity.jl_project(
+            d, out_dim=out_dim, in_dim=in_dim
+        ).collect()[0]["proj"]
+        want = [round(signs[j][i] / math.sqrt(out_dim), 6) for j in range(out_dim)]
+        assert got == want
+
+
+def test_jl_project_preserves_relative_distance_order(spark):
+    # a vector is closer to a small perturbation of itself than to an
+    # independent vector, before AND after projection
+    import random
+
+    rng = random.Random(7)
+    base = [rng.gauss(0, 1) for _ in range(64)]
+    near = [x + rng.gauss(0, 0.01) for x in base]
+    far = [rng.gauss(0, 1) for _ in range(64)]
+    d = spark.createDataFrame(
+        [(0, base), (1, near), (2, far)], ["vec_id", "embedding"]
+    )
+    rows = {
+        r["vec_id"]: r["proj"]
+        for r in similarity.jl_project(d, out_dim=16, in_dim=64).collect()
+    }
+
+    def dist(a, b):
+        return sum((x - y) ** 2 for x, y in zip(a, b))
+
+    assert dist(rows[0], rows[1]) < dist(rows[0], rows[2])
