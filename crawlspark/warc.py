@@ -334,7 +334,10 @@ def write_wet(df: DataFrame, out_dir: str) -> DataFrame:
     decompressing. Bytes are deterministic (fixed header order,
     ``mtime=0`` gzip members), so a re-run of the same partitioning
     yields identical shards — the resume/replay contract the rest of the
-    engine keeps. Shard names are 1:1 with task partitions
+    engine keeps (same partitioning AND same intra-partition row order:
+    after any join/shuffle upstream, pin order with
+    ``repartition(n, key).sortWithinPartitions(key)`` — the store.py
+    write rule; test_full_pipeline pins the composition). Shard names are 1:1 with task partitions
     (``wet-{partition:05d}.warc.wet.gz``); repartition upstream to
     choose shard count/size (sequence_packing's size-targeted planner
     composes here).
