@@ -43,6 +43,7 @@ SHOW = [
     "t63_threshold_sweep",
     "t64_vocab_coverage",
     "t65_jl_projection",
+    "t66_source_mirrors",
 ]
 
 

@@ -1434,6 +1434,28 @@ def t65_jl_projection(spark, sf_dir):
     return sim.jl_project(e, out_dim=8, in_dim=64)
 
 
+def t66_source_mirrors(spark, sf_dir):
+    """Cross-source mirror matrix: shared exact-dup fingerprints per
+    source pair, via in-row array combinatorics over the per-fingerprint
+    source set (never a corpus self-join — the oracle IS that naive
+    join). The synthetic corpus has no cross-source duplicates, so the
+    gate injects 3 boilerplate variants into every 7th doc (doc_id
+    round-robins over sources, so each variant lands on many sources)."""
+    d = _t(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    injected = d.withColumn(
+        "text",
+        F.when(
+            did % 7 == 0,
+            F.concat(
+                F.lit("shared mirror boilerplate "),
+                (did % 3).cast("string"),
+            ),
+        ).otherwise(F.col("text")),
+    )
+    return tx.source_mirror_matrix(injected)
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_filter_project": q02_filter_project,
@@ -1530,6 +1552,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "t63_threshold_sweep": t63_threshold_sweep,
     "t64_vocab_coverage": t64_vocab_coverage,
     "t65_jl_projection": t65_jl_projection,
+    "t66_source_mirrors": t66_source_mirrors,
 }
 
 # ---------------------------------------------------------------------------
@@ -3501,5 +3524,22 @@ def _jl_oracle_sql(out_dim: int = 8, in_dim: int = 64, seed: str = "jl") -> str:
 
 
 ORACLES["t65_jl_projection"] = _jl_oracle_sql()
+ORACLES["t66_source_mirrors"] = """
+    WITH inj AS (
+        SELECT source,
+               CASE WHEN doc_id % 7 = 0
+                    THEN 'shared mirror boilerplate ' || CAST(doc_id % 3 AS VARCHAR)
+                    ELSE text END AS text
+        FROM documents
+    ), fps AS (
+        SELECT DISTINCT source AS s,
+               md5(lower(regexp_replace(text, '\\s+', ' ', 'g'))) AS fp
+        FROM inj
+    )
+    SELECT a.s AS source_a, b.s AS source_b,
+           CAST(count(*) AS BIGINT) AS n_shared
+    FROM fps a JOIN fps b ON a.fp = b.fp AND a.s < b.s
+    GROUP BY 1, 2
+"""
 
 ORACLES = {k: v for k, v in ORACLES.items() if v is not None}

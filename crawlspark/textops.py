@@ -1692,12 +1692,15 @@ def vocab_coverage(
     counts: t56 ranks candidate merges, this sizes the vocabulary.
 
     Scale shape: the corpus collapses to the |vocab| (term, count)
-    aggregate in one hash-agg (within-doc repeats combine map-side);
-    the rank and cumulative windows run over that aggregate ONLY —
-    never over raw tokens (the same aggregate-windows-only rule as
-    t21/t26). The k-grid is config-tiny; coverage at k = the cumulative
-    count at rank min(k, |vocab|) via a grid×aggregate range join +
-    max().
+    aggregate in one hash-agg (within-doc repeats combine map-side).
+    Only the top max(ks) terms can ever matter, and ks is config-tiny
+    (vocab sizes of interest), so the candidate set is cut with
+    orderBy + limit — Spark's TakeOrderedAndProject, a per-partition
+    partial top-k + bounded merge, never a global sort — and the rank/
+    cumulative windows then run over those ≤ max(ks) rows. A web-scale
+    |vocab| (10^8 terms) never passes through a single-partition
+    window. Coverage at k = the cumulative count at rank min(k, |vocab|)
+    via a grid×candidates range join + max().
 
     Determinism: rank ties break term-ascending; coverage rounded 6 dp.
     Output: (k, n_terms, covered_tokens, coverage).
@@ -1712,11 +1715,14 @@ def vocab_coverage(
         .groupBy("term")
         .agg(F.count("*").cast("long").alias("cnt"))
     )
+    top = vocab.orderBy(F.desc("cnt"), F.asc("term")).limit(
+        int(max(ks))
+    )
     w_rank = Window.partitionBy(F.lit(1)).orderBy(
         F.desc("cnt"), F.asc("term")
     )
-    ranked = vocab.select(
-        "cnt", F.row_number().over(w_rank).alias("rnk")
+    ranked = top.select(
+        "cnt", "term", F.row_number().over(w_rank).alias("rnk")
     ).withColumn(
         "cum",
         F.sum("cnt").over(
@@ -1745,4 +1751,56 @@ def vocab_coverage(
                 F.col("covered_tokens").cast("double") / F.col("_tt"), 6
             ).alias("coverage"),
         )
+    )
+
+
+def source_mirror_matrix(
+    documents: DataFrame,
+    stratum_col: str = "source",
+    text_col: str = "text",
+) -> DataFrame:
+    """WHO mirrors WHOM: for every pair of sources/domains, the number
+    of exact-duplicate fingerprints shared between them — the
+    mirror-detection matrix that turns t03's corpus-wide duplicate rate
+    (and t35's per-domain rate) into actionable structure (cut the
+    mirror, keep the origin; Common Crawl's aggressive-dedup reports
+    have exactly this shape).
+
+    Scale shape: distinct (fingerprint, source) is one hash-agg
+    (within-source copies collapse map-side); the per-fingerprint
+    source-set is a second hash-agg whose payload is bounded by
+    |sources| regardless of how many documents share the fingerprint;
+    pairs come out of the sorted set with in-row array combinatorics
+    (the t04 posting trick — bounded at |sources|²/2 per fingerprint,
+    never a row explosion); the final count is a third hash-agg on
+    ≤ |sources|² rows. No self-join of the corpus (the oracle IS the
+    naive fp self-join, proving equivalence).
+
+    Output: (source_a, source_b, n_shared) with source_a < source_b,
+    only pairs sharing ≥ 1 fingerprint.
+    """
+    fps = documents.select(
+        F.col(stratum_col).alias("s"),
+        doc_fingerprint(F.col(text_col)).alias("fp"),
+    ).distinct()
+    sets = (
+        fps.groupBy("fp")
+        .agg(F.sort_array(F.collect_set("s")).alias("ss"))
+        .filter(F.size("ss") >= 2)
+    )
+    pairs = sets.select(
+        F.explode(
+            F.expr(
+                "flatten(transform(sequence(1, size(ss) - 1), i -> "
+                "transform(sequence(i + 1, size(ss)), j -> "
+                "struct(element_at(ss, i) AS a, element_at(ss, j) AS b))))"
+            )
+        ).alias("p")
+    )
+    return (
+        pairs.select(
+            F.col("p.a").alias("source_a"), F.col("p.b").alias("source_b")
+        )
+        .groupBy("source_a", "source_b")
+        .agg(F.count("*").cast("long").alias("n_shared"))
     )

@@ -1638,3 +1638,37 @@ def test_jl_project_preserves_relative_distance_order(spark):
         return sum((x - y) ** 2 for x, y in zip(a, b))
 
     assert dist(rows[0], rows[1]) < dist(rows[0], rows[2])
+
+
+# -- source mirror matrix (t66) -------------------------------------------------------
+
+
+def test_source_mirror_matrix_hand_counts(spark):
+    d = spark.createDataFrame(
+        [
+            (1, "A", "same text one"),
+            (2, "B", "same text one"),      # A-B share fp(one)
+            (3, "C", "same text one"),      # A-C, B-C share fp(one)
+            (4, "A", "same text two"),
+            (5, "B", "same text two"),      # A-B share fp(two) as well
+            (6, "A", "same text two"),      # within-source copy: no double count
+            (7, "C", "unique text"),
+        ],
+        ["doc_id", "source", "text"],
+    )
+    out = {
+        (r["source_a"], r["source_b"]): r["n_shared"]
+        for r in textops.source_mirror_matrix(d).collect()
+    }
+    assert out == {("A", "B"): 2, ("A", "C"): 1, ("B", "C"): 1}
+
+
+def test_source_mirror_matrix_whitespace_normalized(spark):
+    # the fingerprint is whitespace-normalized + lowercased, so mirrors
+    # that differ only in spacing/case still pair
+    d = spark.createDataFrame(
+        [(1, "A", "Hello   World"), (2, "B", "hello world")],
+        ["doc_id", "source", "text"],
+    )
+    out = textops.source_mirror_matrix(d).collect()
+    assert len(out) == 1 and out[0]["n_shared"] == 1
