@@ -44,6 +44,7 @@ SHOW = [
     "t64_vocab_coverage",
     "t65_jl_projection",
     "t66_source_mirrors",
+    "t67_line_correction",
 ]
 
 

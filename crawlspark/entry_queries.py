@@ -1456,6 +1456,32 @@ def t66_source_mirrors(spark, sf_dir):
     return tx.source_mirror_matrix(injected)
 
 
+def t67_line_correction(spark, sf_dir):
+    """RefinedWeb line-wise correction: junk lines (bullets, numbered
+    list markers, < 3-word stubs) stripped in-row with zero shuffles;
+    the gate appends 3 junk lines + 1 good line to every doc so the
+    filter visibly discriminates, and carries md5(text) so the value
+    hash verifies the reconstructed bytes without hauling the corpus."""
+    d = _t(spark, sf_dir, "documents")
+    injected = d.withColumn(
+        "text",
+        F.concat(
+            F.col("text"),
+            F.lit(
+                "\n- injected bullet\nshort one\n7. another bullet line\n"
+                "This injected line has plenty of words to keep."
+            ),
+        ),
+    )
+    out = tx.line_quality_filter(injected)
+    return out.select(
+        "doc_id",
+        F.md5("text").alias("text_md5"),
+        "n_lines_in",
+        "n_lines_kept",
+    )
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_filter_project": q02_filter_project,
@@ -1553,6 +1579,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "t64_vocab_coverage": t64_vocab_coverage,
     "t65_jl_projection": t65_jl_projection,
     "t66_source_mirrors": t66_source_mirrors,
+    "t67_line_correction": t67_line_correction,
 }
 
 # ---------------------------------------------------------------------------
@@ -3540,6 +3567,31 @@ ORACLES["t66_source_mirrors"] = """
            CAST(count(*) AS BIGINT) AS n_shared
     FROM fps a JOIN fps b ON a.fp = b.fp AND a.s < b.s
     GROUP BY 1, 2
+"""
+ORACLES["t67_line_correction"] = """
+    WITH inj AS (
+        SELECT doc_id,
+               text || chr(10) || '- injected bullet' || chr(10) ||
+               'short one' || chr(10) || '7. another bullet line' ||
+               chr(10) ||
+               'This injected line has plenty of words to keep.' AS text
+        FROM documents
+    ), f AS (
+        SELECT doc_id, string_split(text, chr(10)) AS ls FROM inj
+    ), k AS (
+        SELECT doc_id, ls,
+               list_filter(ls, l ->
+                   len(string_split_regex(trim(l), ' +')) >= 3
+                   AND NOT regexp_matches(trim(l),
+                                          '^([-*\u2022]|[0-9]+[.)])\\s')
+               ) AS kept
+        FROM f
+    )
+    SELECT doc_id,
+           md5(array_to_string(kept, chr(10))) AS text_md5,
+           CAST(len(ls) AS INT) AS n_lines_in,
+           CAST(len(kept) AS INT) AS n_lines_kept
+    FROM k
 """
 
 ORACLES = {k: v for k, v in ORACLES.items() if v is not None}

@@ -1804,3 +1804,47 @@ def source_mirror_matrix(
         .groupBy("source_a", "source_b")
         .agg(F.count("*").cast("long").alias("n_shared"))
     )
+
+
+def line_quality_filter(
+    documents: DataFrame,
+    min_words: int = 3,
+    require_terminal_punct: bool = False,
+    drop_list_markers: bool = True,
+    text_col: str = "text",
+    line_sep: str = "\n",
+) -> DataFrame:
+    """RefinedWeb-style LINE-WISE correction (Penedo et al. 2023 §3.3):
+    strip navigation/boilerplate lines from each document — too-short
+    lines, list-marker lines ("- ...", "* ...", numbered bullets),
+    optionally lines without terminal punctuation — and reconstruct the
+    text from the survivors. The per-doc complement of t19's GLOBAL
+    line dedup: t19 cuts lines repeated across documents, this cuts
+    lines that are structurally junk on their own.
+
+    Scale shape: entirely IN-ROW — split, higher-order filter, rejoin
+    (filter(lines, ...) + array_join) in whole-stage codegen. ZERO
+    shuffles, zero Python, no explode: the corpus is never even
+    re-keyed, so the operator composes for free anywhere in a pipeline.
+
+    Output: all input columns with text_col rewritten, plus
+    n_lines_in / n_lines_kept audit columns. Documents whose every line
+    is junk end up with empty text (filter downstream, as RefinedWeb
+    does).
+    """
+    conds = [f"size(split(trim(l), ' +')) >= {int(min_words)}"]
+    if drop_list_markers:
+        conds.append(r"NOT (trim(l) rlike '^([-*•]|[0-9]+[.)])\\s')")
+    if require_terminal_punct:
+        conds.append(r"trim(l) rlike '[.!?]$'")
+    pred = " AND ".join(conds)
+    sep = line_sep.replace("\\", "\\\\").replace("\n", "\\n").replace(
+        "\t", "\\t"
+    )
+    lines = f"split({text_col}, '{sep}')"
+    kept = f"filter({lines}, l -> {pred})"
+    return documents.withColumn(
+        "n_lines_in", F.expr(f"size({lines})").cast("int")
+    ).withColumn(
+        "n_lines_kept", F.expr(f"size({kept})").cast("int")
+    ).withColumn(text_col, F.expr(f"array_join({kept}, '{sep}')"))

@@ -1672,3 +1672,37 @@ def test_source_mirror_matrix_whitespace_normalized(spark):
     )
     out = textops.source_mirror_matrix(d).collect()
     assert len(out) == 1 and out[0]["n_shared"] == 1
+
+
+# -- RefinedWeb line-wise correction (t67) --------------------------------------------
+
+
+def test_line_quality_filter_strips_junk_reconstructs(spark):
+    d = spark.createDataFrame(
+        [
+            (1, "A proper sentence with many words here.\n- bullet junk\n"
+                "ok\n1. numbered junk line\nAnother good line with words"),
+            (2, "- only junk\nx y"),
+        ],
+        ["doc_id", "text"],
+    )
+    out = {r["doc_id"]: r for r in textops.line_quality_filter(d).collect()}
+    assert out[1]["text"] == (
+        "A proper sentence with many words here.\n"
+        "Another good line with words"
+    )
+    assert (out[1]["n_lines_in"], out[1]["n_lines_kept"]) == (5, 2)
+    # a fully-junk document reconstructs to empty (filter downstream)
+    assert out[2]["text"] == "" and out[2]["n_lines_kept"] == 0
+
+
+def test_line_quality_filter_terminal_punct_mode(spark):
+    d = spark.createDataFrame(
+        [(1, "good line ending with period.\nno terminal punct here")],
+        ["doc_id", "text"],
+    )
+    out = textops.line_quality_filter(
+        d, require_terminal_punct=True
+    ).collect()[0]
+    assert out["text"] == "good line ending with period."
+    assert out["n_lines_kept"] == 1
