@@ -45,6 +45,7 @@ SHOW = [
     "t65_jl_projection",
     "t66_source_mirrors",
     "t67_line_correction",
+    "t68_doc_keywords",
 ]
 
 

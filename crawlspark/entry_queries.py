@@ -1482,6 +1482,14 @@ def t67_line_correction(spark, sf_dir):
     )
 
 
+def t68_doc_keywords(spark, sf_dir):
+    """Per-doc TF-IDF top-3 keywords: integer micro-nats scores (tf ·
+    idf_micro — pure longs, rank can't flip on libm ulps), DF via the
+    in-row array_distinct trick, rank window partitioned per document."""
+    d = _t(spark, sf_dir, "documents")
+    return tx.doc_keywords(d, top_k=3)
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_filter_project": q02_filter_project,
@@ -1580,6 +1588,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "t65_jl_projection": t65_jl_projection,
     "t66_source_mirrors": t66_source_mirrors,
     "t67_line_correction": t67_line_correction,
+    "t68_doc_keywords": t68_doc_keywords,
 }
 
 # ---------------------------------------------------------------------------
@@ -3592,6 +3601,38 @@ ORACLES["t67_line_correction"] = """
            CAST(len(ls) AS INT) AS n_lines_in,
            CAST(len(kept) AS INT) AS n_lines_kept
     FROM k
+"""
+ORACLES["t68_doc_keywords"] = """
+    WITH toks AS (
+        SELECT doc_id,
+               list_filter(string_split(lower(text), ' '), w -> w != '') AS ts
+        FROM documents
+    ), tf AS (
+        SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+        FROM (SELECT doc_id, unnest(ts) AS term FROM toks)
+        GROUP BY 1, 2
+    ), dft AS (
+        SELECT term, count(*) AS df
+        FROM (SELECT DISTINCT doc_id, unnest(ts) AS term FROM toks)
+        GROUP BY 1
+    ), nd AS (
+        SELECT count(*) AS n FROM documents
+    ), idf AS (
+        SELECT term,
+               CAST(round(ln(CAST(nd.n AS DOUBLE) / dft.df) * 1e6, 0)
+                    AS BIGINT) AS idf_micro
+        FROM dft CROSS JOIN nd
+    ), scored AS (
+        SELECT tf.doc_id, tf.term, tf.tf,
+               tf.tf * idf.idf_micro AS score_micro
+        FROM tf JOIN idf ON idf.term = tf.term
+    )
+    SELECT doc_id, term, tf, score_micro,
+           CAST(row_number() OVER (
+               PARTITION BY doc_id
+               ORDER BY score_micro DESC, term ASC) AS INT) AS rank
+    FROM scored
+    QUALIFY rank <= 3
 """
 
 ORACLES = {k: v for k, v in ORACLES.items() if v is not None}

@@ -1848,3 +1848,66 @@ def line_quality_filter(
     ).withColumn(
         "n_lines_kept", F.expr(f"size({kept})").cast("int")
     ).withColumn(text_col, F.expr(f"array_join({kept}, '{sep}')"))
+
+
+def doc_keywords(
+    documents: DataFrame,
+    top_k: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-document TF-IDF keywords — the feature-extraction op behind
+    tagging/routing/clustering stages of a corpus pipeline (and the
+    per-doc application of t24's corpus-level DF vocabulary): for each
+    document, the top_k terms by tf·idf.
+
+    Scale shape: (doc, term) term frequencies are one hash-agg
+    (within-doc repeats combine map-side); document frequency is the
+    t24 trick — array_distinct BEFORE the explode, so within-doc dedup
+    happens in-row and the DF agg shuffles |distinct (doc, term)| at
+    most; the scoring join hits the ≤|vocab|-row idf table (AQE
+    broadcast); the rank window partitions BY DOCUMENT — bounded by a
+    doc's distinct terms, never a corpus-wide partition.
+
+    Determinism: idf is rounded to integer MICRO-NATS and the score is
+    tf · idf_micro — a pure INTEGER, so ranking can't be flipped by
+    libm ulps; ties break term-ascending.
+
+    Output: (id_col, term, tf, score_micro, rank), rank 1..top_k.
+    """
+    toks = documents.select(
+        id_col,
+        F.expr(f"filter(split(lower({text_col}), ' '), w -> w != '')").alias(
+            "ts"
+        ),
+    )
+    tf = (
+        toks.select(id_col, F.explode("ts").alias("term"))
+        .groupBy(id_col, "term")
+        .agg(F.count("*").cast("long").alias("tf"))
+    )
+    df_t = (
+        toks.select(id_col, F.explode(F.array_distinct("ts")).alias("term"))
+        .groupBy("term")
+        .agg(F.count("*").cast("long").alias("df"))
+    )
+    n_docs = documents.agg(F.count("*").alias("n"))
+    idf = df_t.crossJoin(n_docs).select(
+        "term",
+        F.round(
+            F.log(F.col("n").cast("double") / F.col("df")) * F.lit(1e6), 0
+        )
+        .cast("long")
+        .alias("idf_micro"),
+    )
+    scored = tf.join(idf, "term").withColumn(
+        "score_micro", F.col("tf") * F.col("idf_micro")
+    )
+    w = Window.partitionBy(id_col).orderBy(
+        F.desc("score_micro"), F.asc("term")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= int(top_k))
+        .select(id_col, "term", "tf", "score_micro", "rank")
+    )

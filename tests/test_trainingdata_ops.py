@@ -1706,3 +1706,37 @@ def test_line_quality_filter_terminal_punct_mode(spark):
     ).collect()[0]
     assert out["text"] == "good line ending with period."
     assert out["n_lines_kept"] == 1
+
+
+# -- per-doc TF-IDF keywords (t68) ----------------------------------------------------
+
+
+def test_doc_keywords_hand_math(spark):
+    # 3 docs: "rare" appears only in doc 1 (idf = ln 3), "common" in all
+    # (idf = 0 -> never a top keyword over a positive-idf term)
+    d = spark.createDataFrame(
+        [
+            (1, "rare rare common unique1"),
+            (2, "common unique2 unique2 unique2"),
+            (3, "common other3"),
+        ],
+        ["doc_id", "text"],
+    )
+    out = textops.doc_keywords(d, top_k=2).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    ln3 = round(math.log(3.0) * 1e6)
+    d1 = {r["term"]: r for r in by_doc[1]}
+    assert d1["rare"]["rank"] == 1
+    assert d1["rare"]["score_micro"] == 2 * ln3  # tf=2, df=1
+    assert d1["unique1"]["rank"] == 2
+    assert d1["unique1"]["score_micro"] == 1 * ln3
+    # common has idf_micro = 0 -> score 0, loses to any positive score
+    assert "common" not in d1
+    d2 = {r["term"]: r for r in by_doc[2]}
+    assert d2["unique2"]["rank"] == 1 and d2["unique2"]["tf"] == 3
+    # doc 3 has only one positive-idf term; common (score 0) fills rank 2
+    d3 = {r["rank"]: r for r in by_doc[3]}
+    assert d3[1]["term"] == "other3" and d3[2]["term"] == "common"
+    assert d3[2]["score_micro"] == 0
