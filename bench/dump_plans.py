@@ -46,6 +46,7 @@ SHOW = [
     "t66_source_mirrors",
     "t67_line_correction",
     "t68_doc_keywords",
+    "t69_nb_lang_id",
 ]
 
 

@@ -1490,6 +1490,16 @@ def t68_doc_keywords(spark, sf_dir):
     return tx.doc_keywords(d, top_k=3)
 
 
+def t69_nb_lang_id(spark, sf_dir):
+    """In-engine-trained char-trigram Naive Bayes language classifier
+    applied back to the corpus: per-doc predicted language + integer
+    micro-nats score (pure-long scoring end to end — the argmax cannot
+    flip on agg order or libm ulps). The honest trained model for the
+    lang-ID slot; the scorer seam still takes a real fastText."""
+    d = _t(spark, sf_dir, "documents")
+    return tx.nb_lang_id(d, add_k=0.5)
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_filter_project": q02_filter_project,
@@ -1589,6 +1599,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "t66_source_mirrors": t66_source_mirrors,
     "t67_line_correction": t67_line_correction,
     "t68_doc_keywords": t68_doc_keywords,
+    "t69_nb_lang_id": t69_nb_lang_id,
 }
 
 # ---------------------------------------------------------------------------
@@ -3633,6 +3644,57 @@ ORACLES["t68_doc_keywords"] = """
                ORDER BY score_micro DESC, term ASC) AS INT) AS rank
     FROM scored
     QUALIFY rank <= 3
+"""
+ORACLES["t69_nb_lang_id"] = """
+    WITH base AS (
+        SELECT doc_id, lang, lower(text) AS t
+        FROM documents WHERE length(lower(text)) >= 3
+    ), trigs AS (
+        SELECT doc_id, lang, substr(t, i, 3) AS trig
+        FROM base, unnest(range(1, length(t) - 1)) AS r(i)
+    ), ct AS (
+        SELECT lang, trig, CAST(count(*) AS BIGINT) AS c
+        FROM trigs GROUP BY 1, 2
+    ), nl AS (
+        SELECT lang, CAST(sum(c) AS BIGINT) AS n_l FROM ct GROUP BY 1
+    ), voc AS (
+        SELECT count(DISTINCT trig) AS v FROM ct
+    ), lp AS (
+        SELECT ct.lang AS cand, ct.trig,
+               CAST(round(ln((ct.c + 0.5) / (nl.n_l + 0.5 * voc.v)) * 1e6, 0)
+                    AS BIGINT) AS lp_micro
+        FROM ct JOIN nl ON nl.lang = ct.lang CROSS JOIN voc
+    ), lp0 AS (
+        SELECT nl.lang AS cand,
+               CAST(round(ln(0.5 / (nl.n_l + 0.5 * voc.v)) * 1e6, 0)
+                    AS BIGINT) AS lp0_micro
+        FROM nl CROSS JOIN voc
+    ), nd AS (
+        SELECT count(*) AS nd FROM base
+    ), prior AS (
+        SELECT lang AS cand,
+               CAST(round(ln(CAST(count(*) AS DOUBLE) / nd.nd) * 1e6, 0)
+                    AS BIGINT) AS prior_micro
+        FROM base CROSS JOIN nd GROUP BY lang, nd.nd
+    ), dt AS (
+        SELECT doc_id, lang, trig, CAST(count(*) AS BIGINT) AS tf
+        FROM trigs GROUP BY 1, 2, 3
+    ), scored AS (
+        SELECT dt.doc_id, dt.lang, p.cand,
+               CAST(p.prior_micro
+                    + sum(dt.tf * coalesce(lp.lp_micro, lp0.lp0_micro))
+                    AS BIGINT) AS score
+        FROM dt CROSS JOIN prior p
+        LEFT JOIN lp ON lp.cand = p.cand AND lp.trig = dt.trig
+        JOIN lp0 ON lp0.cand = p.cand
+        GROUP BY dt.doc_id, dt.lang, p.cand, p.prior_micro
+    )
+    SELECT doc_id, lang, cand AS predicted, score AS score_micro
+    FROM (
+        SELECT *, row_number() OVER (
+            PARTITION BY doc_id ORDER BY score DESC, cand ASC) AS rn
+        FROM scored
+    ) WHERE rn = 1
 """
 
 ORACLES = {k: v for k, v in ORACLES.items() if v is not None}

@@ -1911,3 +1911,131 @@ def doc_keywords(
         .filter(F.col("rank") <= int(top_k))
         .select(id_col, "term", "tf", "score_micro", "rank")
     )
+
+
+def nb_lang_id(
+    documents: DataFrame,
+    add_k: float = 0.5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    label_col: str = "lang",
+) -> DataFrame:
+    """Character-trigram multinomial Naive Bayes language classifier,
+    TRAINED IN-ENGINE on the corpus's own labels and applied back to
+    every document — the honest self-contained model for the lang-ID
+    slot (the heuristic `lang_id` stays the zero-shuffle default; the
+    `TextScorer` seam still takes a real fastText; THIS is the path
+    that needs no external artifact yet is a real trained classifier,
+    the t58 pattern applied to language identification).
+
+    Model: p(t|l) = (c(l,t)+k)/(N_l+k·V) over char-trigram occurrences,
+    prior p(l) = docs_l/docs. predicted = argmax_l [ln p(l) +
+    Σ_t ln p(t|l)]. Every log is rounded to integer MICRO-NATS before
+    any sum (scores are pure longs end to end — distributed agg order
+    and libm ulps cannot flip an argmax); unseen (l,t) pairs contribute
+    the lang's smoothing floor via coalesce onto the same join, no
+    second pass. Ties break language-ascending.
+
+    Scale shape: the model is hash-aggs bounded by |langs|·|trigram
+    vocab| (a few 10^5 rows for real charsets — broadcast-able by
+    construction); per-doc trigram counts partial-aggregate map-side;
+    scoring is the (doc, trig) relation × |langs| joined against the
+    bounded model table; argmax is one min(struct) hash-agg. No windows
+    over raw docs, no Python.
+
+    Docs with fewer than 3 characters have no trigrams and drop out.
+    Output: (id_col, label_col, predicted, score_micro).
+    """
+    k = float(add_k)
+    base = documents.select(
+        id_col, label_col, F.lower(F.col(text_col)).alias("_t")
+    ).filter(F.length("_t") >= 3)
+    trigs = base.select(
+        id_col,
+        label_col,
+        F.explode(
+            F.expr(
+                "transform(sequence(1, length(_t) - 2), i -> "
+                "substring(_t, i, 3))"
+            )
+        ).alias("trig"),
+    )
+    ct = trigs.groupBy(label_col, "trig").agg(
+        F.count("*").cast("long").alias("c")
+    )
+    nl = ct.groupBy(label_col).agg(F.sum("c").alias("n_l"))
+    vocab = ct.agg(F.countDistinct("trig").alias("v"))
+    lp = (
+        ct.join(nl, label_col)
+        .crossJoin(vocab)
+        .select(
+            F.col(label_col).alias("cand"),
+            "trig",
+            F.round(
+                F.log((F.col("c") + F.lit(k)) / (F.col("n_l") + F.lit(k) * F.col("v")))
+                * F.lit(1e6),
+                0,
+            )
+            .cast("long")
+            .alias("lp_micro"),
+        )
+    )
+    lp0 = (
+        nl.crossJoin(vocab)
+        .select(
+            F.col(label_col).alias("cand"),
+            F.round(
+                F.log(F.lit(k) / (F.col("n_l") + F.lit(k) * F.col("v")))
+                * F.lit(1e6),
+                0,
+            )
+            .cast("long")
+            .alias("lp0_micro"),
+        )
+    )
+    n_docs = base.agg(F.count("*").alias("nd"))
+    prior = (
+        base.groupBy(label_col)
+        .agg(F.count("*").alias("dl"))
+        .crossJoin(n_docs)
+        .select(
+            F.col(label_col).alias("cand"),
+            F.round(
+                F.log(F.col("dl").cast("double") / F.col("nd")) * F.lit(1e6),
+                0,
+            )
+            .cast("long")
+            .alias("prior_micro"),
+        )
+    )
+    dt = trigs.groupBy(id_col, label_col, "trig").agg(
+        F.count("*").cast("long").alias("tf")
+    )
+    langs = prior.select("cand", "prior_micro")
+    scored = (
+        dt.crossJoin(langs)
+        .join(lp, ["cand", "trig"], "left")
+        .join(lp0, "cand")
+        .groupBy(id_col, label_col, "cand", "prior_micro")
+        .agg(
+            F.sum(
+                F.col("tf") * F.coalesce("lp_micro", "lp0_micro")
+            ).alias("_body")
+        )
+        .select(
+            id_col,
+            label_col,
+            "cand",
+            (F.col("prior_micro") + F.col("_body")).alias("score"),
+        )
+    )
+    return (
+        scored.groupBy(id_col, label_col)
+        .agg(F.min(F.struct((-F.col("score")).alias("ns"), "cand")).alias("w"))
+        .select(
+            id_col,
+            label_col,
+            F.col("w.cand").alias("predicted"),
+            (-F.col("w.ns")).alias("score_micro"),
+        )
+    )

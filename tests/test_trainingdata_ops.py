@@ -1740,3 +1740,44 @@ def test_doc_keywords_hand_math(spark):
     d3 = {r["rank"]: r for r in by_doc[3]}
     assert d3[1]["term"] == "other3" and d3[2]["term"] == "common"
     assert d3[2]["score_micro"] == 0
+
+
+# -- NB trigram language classifier (t69) ---------------------------------------------
+
+
+def test_nb_lang_id_separable_corpus_classifies_perfectly(spark):
+    # two cleanly separable "languages" (disjoint charsets): the
+    # self-trained classifier must recover every label
+    rows = [(i, "aa", "aaa bbb aab abb baa") for i in range(5)]
+    rows += [(i + 10, "zz", "zzz yyy zzy zyy yzz") for i in range(5)]
+    d = spark.createDataFrame(rows, ["doc_id", "lang", "text"])
+    out = textops.nb_lang_id(d).collect()
+    assert len(out) == 10
+    assert all(r["predicted"] == r["lang"] for r in out)
+
+
+def test_nb_lang_id_hand_math_two_docs(spark):
+    # 2 docs, 3-char texts -> one trigram each; verify the full scoring
+    # arithmetic (prior + seen/unseen terms) against pure python
+    d = spark.createDataFrame(
+        [(1, "aa", "abc"), (2, "zz", "xyz")], ["doc_id", "lang", "text"]
+    )
+    out = {r["doc_id"]: r for r in textops.nb_lang_id(d).collect()}
+    k, v = 0.5, 2          # vocab = {abc, xyz}
+    prior = round(math.log(1 / 2) * 1e6)
+    seen = round(math.log((1 + k) / (1 + k * v)) * 1e6)     # c=1, n_l=1
+    unseen = round(math.log(k / (1 + k * v)) * 1e6)
+    # own lang: prior + seen; other lang: prior + unseen -> own wins
+    assert out[1]["predicted"] == "aa"
+    assert out[1]["score_micro"] == prior + seen
+    assert out[2]["predicted"] == "zz"
+    assert out[2]["score_micro"] == prior + seen
+    assert seen > unseen
+
+
+def test_nb_lang_id_short_docs_drop(spark):
+    d = spark.createDataFrame(
+        [(1, "aa", "ab"), (2, "aa", "abcd")], ["doc_id", "lang", "text"]
+    )
+    out = textops.nb_lang_id(d).collect()
+    assert [r["doc_id"] for r in out] == [2]
