@@ -47,6 +47,7 @@ SHOW = [
     "t67_line_correction",
     "t68_doc_keywords",
     "t69_nb_lang_id",
+    "t70_nb_heldout_eval",
 ]
 
 

@@ -1500,6 +1500,27 @@ def t69_nb_lang_id(spark, sf_dir):
     return tx.nb_lang_id(d, add_k=0.5)
 
 
+def t70_nb_heldout_eval(spark, sf_dir):
+    """The accuracy CONTRACT for t69 (the q14c/t11b division of labor):
+    train the NB classifier on a 75% md5-coin split and score the
+    held-out 25% — per-language n/correct/accuracy card, the
+    methodologically honest eval (self-train accuracy flatters).
+    Dyadic 0.25 makes the split compare engine-exact."""
+    d = _t(spark, sf_dir, "documents")
+    u = tx.sample_fraction_col(F.col("doc_id"), salt="nbsplit")
+    train = d.filter(u >= 0.25)
+    test = d.filter(u < 0.25)
+    preds = tx.nb_lang_id(test, add_k=0.5, train=train)
+    hit = F.when(F.col("predicted") == F.col("lang"), 1).otherwise(0)
+    return preds.groupBy("lang").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum(hit).cast("long").alias("n_correct"),
+        F.round(
+            F.sum(hit).cast("double") / F.count("*"), 6
+        ).alias("accuracy"),
+    )
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_filter_project": q02_filter_project,
@@ -1600,6 +1621,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "t67_line_correction": t67_line_correction,
     "t68_doc_keywords": t68_doc_keywords,
     "t69_nb_lang_id": t69_nb_lang_id,
+    "t70_nb_heldout_eval": t70_nb_heldout_eval,
 }
 
 # ---------------------------------------------------------------------------
@@ -3695,6 +3717,82 @@ ORACLES["t69_nb_lang_id"] = """
             PARTITION BY doc_id ORDER BY score DESC, cand ASC) AS rn
         FROM scored
     ) WHERE rn = 1
+"""
+ORACLES["t70_nb_heldout_eval"] = """
+    WITH hx AS (
+        SELECT doc_id, lang, lower(text) AS t,
+               (4096.0 * (strpos('0123456789abcdef',
+                    substr(md5('nbsplit:' || CAST(doc_id AS VARCHAR)), 1, 1)) - 1)
+                + 256.0 * (strpos('0123456789abcdef',
+                    substr(md5('nbsplit:' || CAST(doc_id AS VARCHAR)), 2, 1)) - 1)
+                + 16.0 * (strpos('0123456789abcdef',
+                    substr(md5('nbsplit:' || CAST(doc_id AS VARCHAR)), 3, 1)) - 1)
+                + (strpos('0123456789abcdef',
+                    substr(md5('nbsplit:' || CAST(doc_id AS VARCHAR)), 4, 1)) - 1))
+               / 65536.0 AS u
+        FROM documents
+        WHERE length(lower(text)) >= 3
+    ), tb AS (
+        SELECT doc_id, lang, t FROM hx WHERE u >= 0.25
+    ), base AS (
+        SELECT doc_id, lang, t FROM hx WHERE u < 0.25
+    ), mtrigs AS (
+        SELECT doc_id, lang, substr(t, i, 3) AS trig
+        FROM tb, unnest(range(1, length(t) - 1)) AS r(i)
+    ), ct AS (
+        SELECT lang, trig, CAST(count(*) AS BIGINT) AS c
+        FROM mtrigs GROUP BY 1, 2
+    ), nl AS (
+        SELECT lang, CAST(sum(c) AS BIGINT) AS n_l FROM ct GROUP BY 1
+    ), voc AS (
+        SELECT count(DISTINCT trig) AS v FROM ct
+    ), lp AS (
+        SELECT ct.lang AS cand, ct.trig,
+               CAST(round(ln((ct.c + 0.5) / (nl.n_l + 0.5 * voc.v)) * 1e6, 0)
+                    AS BIGINT) AS lp_micro
+        FROM ct JOIN nl ON nl.lang = ct.lang CROSS JOIN voc
+    ), lp0 AS (
+        SELECT nl.lang AS cand,
+               CAST(round(ln(0.5 / (nl.n_l + 0.5 * voc.v)) * 1e6, 0)
+                    AS BIGINT) AS lp0_micro
+        FROM nl CROSS JOIN voc
+    ), nd AS (
+        SELECT count(*) AS nd FROM tb
+    ), prior AS (
+        SELECT lang AS cand,
+               CAST(round(ln(CAST(count(*) AS DOUBLE) / nd.nd) * 1e6, 0)
+                    AS BIGINT) AS prior_micro
+        FROM tb CROSS JOIN nd GROUP BY lang, nd.nd
+    ), trigs AS (
+        SELECT doc_id, lang, substr(t, i, 3) AS trig
+        FROM base, unnest(range(1, length(t) - 1)) AS r(i)
+    ), dt AS (
+        SELECT doc_id, lang, trig, CAST(count(*) AS BIGINT) AS tf
+        FROM trigs GROUP BY 1, 2, 3
+    ), scored AS (
+        SELECT dt.doc_id, dt.lang, p.cand,
+               CAST(p.prior_micro
+                    + sum(dt.tf * coalesce(lp.lp_micro, lp0.lp0_micro))
+                    AS BIGINT) AS score
+        FROM dt CROSS JOIN prior p
+        LEFT JOIN lp ON lp.cand = p.cand AND lp.trig = dt.trig
+        JOIN lp0 ON lp0.cand = p.cand
+        GROUP BY dt.doc_id, dt.lang, p.cand, p.prior_micro
+    ), preds AS (
+        SELECT doc_id, lang, cand AS predicted
+        FROM (
+            SELECT *, row_number() OVER (
+                PARTITION BY doc_id ORDER BY score DESC, cand ASC) AS rn
+            FROM scored
+        ) WHERE rn = 1
+    )
+    SELECT lang,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(CASE WHEN predicted = lang THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_correct,
+           round(CAST(sum(CASE WHEN predicted = lang THEN 1 ELSE 0 END)
+                      AS DOUBLE) / count(*), 6) AS accuracy
+    FROM preds GROUP BY lang
 """
 
 ORACLES = {k: v for k, v in ORACLES.items() if v is not None}

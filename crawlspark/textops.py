@@ -1919,6 +1919,7 @@ def nb_lang_id(
     text_col: str = "text",
     id_col: str = "doc_id",
     label_col: str = "lang",
+    train: DataFrame | None = None,
 ) -> DataFrame:
     """Character-trigram multinomial Naive Bayes language classifier,
     TRAINED IN-ENGINE on the corpus's own labels and applied back to
@@ -1944,23 +1945,36 @@ def nb_lang_id(
     over raw docs, no Python.
 
     Docs with fewer than 3 characters have no trigrams and drop out.
+    ``train`` (default: documents itself — self-train mode) supplies
+    the labeled relation the model is ESTIMATED from; pass a split's
+    train half to score held-out docs with an honestly-fitted model
+    (t70 composes this with the md5 split coin).
     Output: (id_col, label_col, predicted, score_micro).
     """
     k = float(add_k)
-    base = documents.select(
-        id_col, label_col, F.lower(F.col(text_col)).alias("_t")
-    ).filter(F.length("_t") >= 3)
-    trigs = base.select(
-        id_col,
-        label_col,
-        F.explode(
-            F.expr(
-                "transform(sequence(1, length(_t) - 2), i -> "
-                "substring(_t, i, 3))"
-            )
-        ).alias("trig"),
-    )
-    ct = trigs.groupBy(label_col, "trig").agg(
+
+    def _base(df: DataFrame) -> DataFrame:
+        return df.select(
+            id_col, label_col, F.lower(F.col(text_col)).alias("_t")
+        ).filter(F.length("_t") >= 3)
+
+    def _trigs(df: DataFrame) -> DataFrame:
+        return df.select(
+            id_col,
+            label_col,
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, length(_t) - 2), i -> "
+                    "substring(_t, i, 3))"
+                )
+            ).alias("trig"),
+        )
+
+    base = _base(documents)
+    trigs = _trigs(base)
+    tb = base if train is None else _base(train)
+    mtrigs = trigs if train is None else _trigs(tb)
+    ct = mtrigs.groupBy(label_col, "trig").agg(
         F.count("*").cast("long").alias("c")
     )
     nl = ct.groupBy(label_col).agg(F.sum("c").alias("n_l"))
@@ -1993,9 +2007,9 @@ def nb_lang_id(
             .alias("lp0_micro"),
         )
     )
-    n_docs = base.agg(F.count("*").alias("nd"))
+    n_docs = tb.agg(F.count("*").alias("nd"))
     prior = (
-        base.groupBy(label_col)
+        tb.groupBy(label_col)
         .agg(F.count("*").alias("dl"))
         .crossJoin(n_docs)
         .select(

@@ -1781,3 +1781,25 @@ def test_nb_lang_id_short_docs_drop(spark):
     )
     out = textops.nb_lang_id(d).collect()
     assert [r["doc_id"] for r in out] == [2]
+
+
+def test_nb_lang_id_heldout_train_relation(spark):
+    # model trained only on `train`: a held-out doc of a separable
+    # charset still classifies to its language; and a language absent
+    # from train can never be predicted
+    train = spark.createDataFrame(
+        [(i, "aa", "aaa bba aab") for i in range(4)]
+        + [(i + 10, "zz", "zzz yzz zzy") for i in range(4)],
+        ["doc_id", "lang", "text"],
+    )
+    test = spark.createDataFrame(
+        [(100, "aa", "aab aaa"), (101, "qq", "qqq qqw")],
+        ["doc_id", "lang", "text"],
+    )
+    out = {
+        r["doc_id"]: r
+        for r in textops.nb_lang_id(test, train=train).collect()
+    }
+    assert out[100]["predicted"] == "aa"
+    # 'qq' never seen in train -> prediction must be one of the trained langs
+    assert out[101]["predicted"] in {"aa", "zz"}
