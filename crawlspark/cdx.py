@@ -130,3 +130,55 @@ def revisit_records(
             "bytes_saved",
         )
     )
+
+
+def nearest_capture(
+    captures: DataFrame,
+    queries: DataFrame,
+    url_col: str = "url",
+    ts_col: str = "ts",
+    query_ts_col: str = "q_ts",
+) -> DataFrame:
+    """Wayback-style nearest-capture resolution: for each (url, q_ts)
+    query, the capture of that url whose timestamp is closest to q_ts
+    (tie -> the EARLIER capture, the Memento TimeGate convention for
+    equidistant mementos; RFC 7089 §4.5.3 leaves it to the server —
+    pinning it makes replays byte-identical). This is the read path of
+    the CDX index ``cdx_index`` writes: a temporal point lookup batched
+    over the whole query relation at once instead of one binary search
+    per request.
+
+    Timestamps are integer epoch seconds end to end, so the distance
+    and the tiebreak compare longs — bit-portable across engines.
+
+    Scale shape: ONE equi-join on url (captures shard by url; a 10^10
+    capture index and a 10^8 query batch both shuffle on the same key,
+    AQE handles hot urls) + one min(struct) hash-agg that
+    partial-aggregates map-side — the per-(url, q_ts) winner reaches its
+    reducer as per-mapper minima. Never captures x queries beyond the
+    per-url candidate set. Queries for urls with no capture drop out
+    (inner join): absence IS the answer upstream handles.
+    """
+    caps = captures.select(
+        F.col(url_col).alias("url"), F.col(ts_col).cast("long").alias("_cts")
+    )
+    qs = queries.select(
+        F.col(url_col).alias("url"),
+        F.col(query_ts_col).cast("long").alias("q_ts"),
+    )
+    delta = F.abs(F.col("_cts") - F.col("q_ts"))
+    return (
+        qs.join(caps, "url")
+        .groupBy("url", "q_ts")
+        .agg(
+            F.min(
+                F.struct(delta.alias("d"), F.col("_cts").alias("ts"))
+            ).alias("w")
+        )
+        .select(
+            "url",
+            "q_ts",
+            F.col("w.ts").alias("capture_ts"),
+            F.col("w.d").alias("delta_seconds"),
+        )
+    )

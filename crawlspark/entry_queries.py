@@ -1521,6 +1521,100 @@ def t70_nb_heldout_eval(spark, sf_dir):
     )
 
 
+def t71_canonical_links(spark, sf_dir):
+    """Canonical-URL resolution + corpus-membership consolidation
+    (graph.canonical_links): one synthetic page per doc, canonical form
+    cycling through the four resolution branches by doc_id % 4 —
+    absolute (to the decade-first doc), root-relative (to doc_id+1),
+    self-canonical with the href-before-rel attribute order, and
+    directory-relative (never a corpus url). Membership discriminates
+    naturally: a root-relative target is in-corpus only when doc_id+1
+    shares the source host."""
+    d = _t(spark, sf_dir, "documents")
+    did = F.col("doc_id").cast("long")
+    page_url = F.concat(
+        F.lit("https://"), F.col("source"), F.lit(".example.com/d/"),
+        did.cast("string"),
+    )
+    html = (
+        F.when(
+            did % 4 == 0,
+            F.concat(
+                F.lit('<p>x</p><link rel="canonical" href="https://'),
+                F.col("source"), F.lit(".example.com/d/"),
+                (did - did % 10).cast("string"), F.lit('">'),
+            ),
+        )
+        .when(
+            did % 4 == 1,
+            F.concat(
+                F.lit('<link rel="canonical" href="/d/'),
+                (did + 1).cast("string"), F.lit('">'),
+            ),
+        )
+        .when(
+            did % 4 == 2,
+            F.concat(
+                F.lit('<link href="https://'), F.col("source"),
+                F.lit(".example.com/d/"), did.cast("string"),
+                F.lit('" rel="canonical">'),
+            ),
+        )
+        .otherwise(
+            F.concat(
+                F.lit('<link rel="canonical" href="c'),
+                (did % 5).cast("string"), F.lit('.html">'),
+            )
+        )
+    )
+    pages = d.select(page_url.alias("url"), html.alias("html"))
+    return gr.canonical_links(pages)
+
+
+def t72_soft404(spark, sf_dir):
+    """Soft-404 detection (textops.soft404_stats): every 37th doc
+    becomes a thin 'page not found' template (marker + short-for-host ->
+    flagged), every 41st gets the marker APPENDED to its real text
+    (marker but long -> kept), the rest keep their real text so host
+    token means are real. One row per page."""
+    d = _t(spark, sf_dir, "documents")
+    did = F.col("doc_id").cast("long")
+    url = F.concat(
+        F.lit("https://"), F.col("source"), F.lit(".example.com/d/"),
+        did.cast("string"),
+    )
+    text = (
+        F.when(did % 37 == 0, F.lit("page not found"))
+        .when(did % 41 == 0,
+              F.concat(F.col("text"), F.lit(" page not found")))
+        .otherwise(F.col("text"))
+    )
+    return tx.soft404_stats(d.select(url.alias("url"), text.alias("text")))
+
+
+def t73_nearest_capture(spark, sf_dir):
+    """Wayback-style nearest-capture lookup (cdx.nearest_capture): a
+    capture index of 50 urls x ~10 snapshots (ts = doc_id) probed by one
+    query per doc_id < 150 at q_ts = (doc_id * 7) % 500 — distances and
+    the equidistant->earlier tiebreak both exercised; url u49 gets no
+    query and query url 'missing' (never captured) drops out."""
+    from . import cdx
+
+    d = _t(spark, sf_dir, "documents")
+    did = F.col("doc_id").cast("long")
+    caps = d.select(
+        F.concat(F.lit("u"), (did % 50).cast("string")).alias("url"),
+        did.alias("ts"),
+    )
+    qs = d.filter(did < 150).select(
+        F.when(did % 29 == 0, F.lit("missing"))
+        .otherwise(F.concat(F.lit("u"), (did % 50).cast("string")))
+        .alias("url"),
+        ((did * 7) % 500).alias("q_ts"),
+    )
+    return cdx.nearest_capture(caps, qs)
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_filter_project": q02_filter_project,
@@ -1622,6 +1716,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "t68_doc_keywords": t68_doc_keywords,
     "t69_nb_lang_id": t69_nb_lang_id,
     "t70_nb_heldout_eval": t70_nb_heldout_eval,
+    "t71_canonical_links": t71_canonical_links,
+    "t72_soft404": t72_soft404,
+    "t73_nearest_capture": t73_nearest_capture,
 }
 
 # ---------------------------------------------------------------------------
@@ -3793,6 +3890,110 @@ ORACLES["t70_nb_heldout_eval"] = """
            round(CAST(sum(CASE WHEN predicted = lang THEN 1 ELSE 0 END)
                       AS DOUBLE) / count(*), 6) AS accuracy
     FROM preds GROUP BY lang
+"""
+
+ORACLES["t71_canonical_links"] = """
+    WITH pages AS (
+        SELECT 'https://' || source || '.example.com/d/'
+                   || CAST(doc_id AS VARCHAR) AS url,
+               CASE
+                 WHEN doc_id % 4 = 0 THEN
+                   '<p>x</p><link rel="canonical" href="https://' || source
+                   || '.example.com/d/'
+                   || CAST(doc_id - doc_id % 10 AS VARCHAR) || '">'
+                 WHEN doc_id % 4 = 1 THEN
+                   '<link rel="canonical" href="/d/'
+                   || CAST(doc_id + 1 AS VARCHAR) || '">'
+                 WHEN doc_id % 4 = 2 THEN
+                   '<link href="https://' || source || '.example.com/d/'
+                   || CAST(doc_id AS VARCHAR) || '" rel="canonical">'
+                 ELSE
+                   '<link rel="canonical" href="c'
+                   || CAST(doc_id % 5 AS VARCHAR) || '.html">'
+               END AS html
+        FROM documents
+    ), ex AS (
+        SELECT url,
+               nullif(coalesce(
+                   nullif(regexp_extract(html,
+                       '<link[^>]*rel="canonical"[^>]*href="([^"]+)"', 1),
+                       ''),
+                   nullif(regexp_extract(html,
+                       '<link[^>]*href="([^"]+)"[^>]*rel="canonical"', 1),
+                       '')), '') AS href,
+               regexp_extract(url, '^([a-z][a-z0-9+.-]*):', 1) AS scheme,
+               regexp_extract(url,
+                   '^([a-z][a-z0-9+.-]*://[^/?#]+)', 1) AS origin,
+               regexp_extract(url,
+                   '^([a-z][a-z0-9+.-]*://[^?#]*/)', 1) AS dirpfx
+        FROM pages
+    ), res AS (
+        SELECT url,
+               CASE
+                 WHEN regexp_matches(href, '^https?://') THEN href
+                 WHEN href LIKE '//%' THEN scheme || ':' || href
+                 WHEN href LIKE '/%' THEN origin || href
+                 ELSE coalesce(nullif(dirpfx, ''), origin || '/') || href
+               END AS canonical_url
+        FROM ex WHERE href IS NOT NULL
+    )
+    SELECT r.url, r.canonical_url,
+           r.canonical_url = r.url AS is_self,
+           m.url IS NOT NULL AS target_in_corpus
+    FROM res r
+    LEFT JOIN (SELECT DISTINCT url FROM pages) m
+      ON m.url = r.canonical_url
+"""
+
+ORACLES["t72_soft404"] = """
+    WITH pages AS (
+        SELECT 'https://' || source || '.example.com/d/'
+                   || CAST(doc_id AS VARCHAR) AS url,
+               CASE WHEN doc_id % 37 = 0 THEN 'page not found'
+                    WHEN doc_id % 41 = 0 THEN text || ' page not found'
+                    ELSE text END AS text
+        FROM documents
+    ), base AS (
+        SELECT url,
+               regexp_extract(url,
+                   '^[a-z][a-z0-9+.-]*://([^/?#]+)', 1) AS host,
+               CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+               regexp_matches(lower(text),
+                   'page not found|404 not found|error 404|does not exist|no longer available'
+               ) AS marker_hit
+        FROM pages
+    ), means AS (
+        SELECT host, avg(CAST(n_tokens AS DOUBLE)) AS m
+        FROM base GROUP BY host
+    )
+    SELECT b.url, b.host, b.n_tokens,
+           round(m.m, 6) AS host_mean_tokens,
+           b.marker_hit,
+           (b.marker_hit AND CAST(b.n_tokens AS DOUBLE) < 0.5 * m.m)
+               AS is_soft404
+    FROM base b JOIN means m USING (host)
+"""
+
+ORACLES["t73_nearest_capture"] = """
+    WITH caps AS (
+        SELECT 'u' || CAST(doc_id % 50 AS VARCHAR) AS url,
+               CAST(doc_id AS BIGINT) AS cts
+        FROM documents
+    ), qs AS (
+        SELECT CASE WHEN doc_id % 29 = 0 THEN 'missing'
+                    ELSE 'u' || CAST(doc_id % 50 AS VARCHAR) END AS url,
+               CAST((doc_id * 7) % 500 AS BIGINT) AS q_ts
+        FROM documents WHERE doc_id < 150
+    ), joined AS (
+        SELECT q.url, q.q_ts, c.cts,
+               abs(c.cts - q.q_ts) AS d,
+               row_number() OVER (
+                   PARTITION BY q.url, q.q_ts
+                   ORDER BY abs(c.cts - q.q_ts), c.cts) AS rn
+        FROM qs q JOIN caps c USING (url)
+    )
+    SELECT url, q_ts, cts AS capture_ts, d AS delta_seconds
+    FROM joined WHERE rn = 1
 """
 
 ORACLES = {k: v for k, v in ORACLES.items() if v is not None}

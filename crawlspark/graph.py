@@ -372,3 +372,74 @@ def outlink_stats(
             6,
         ).alias("external_ratio"),
     )
+
+
+def canonical_links(
+    pages: DataFrame,
+    url_col: str = "url",
+    html_col: str = "html",
+) -> DataFrame:
+    """Canonical-URL resolution per page: extract ``<link
+    rel="canonical" href=...>`` from raw HTML and resolve it against the
+    page's own URL — the consolidation signal Common-Crawl-style dedup
+    uses to collapse URL aliases (?utm= twins, mobile mirrors, paginated
+    variants) onto one representative BEFORE content hashing. The
+    reference crawls canonical-free (its dupefilter keys raw request
+    fingerprints, /root/reference/dupefilter.py:20-40); at corpus scale
+    canonical consolidation is a declarative pass over the HTML already
+    fetched.
+
+    Output one row per page carrying a canonical tag: (url,
+    canonical_url, is_self, target_in_corpus). ``is_self`` marks pages
+    that are their own canonical (the keep set); alias rows with
+    ``target_in_corpus`` true can be dropped with a witness, rows with
+    false feed the frontier (the canonical target is a DISCOVERED URL).
+
+    Scale shape: both attribute orders (rel-first / href-first) extract
+    via two regexp_extract calls inside scan codegen — no Python, no
+    explode. Resolution is pure column algebra: absolute http(s) kept,
+    protocol-relative adopts the page scheme, root-relative joins
+    scheme://host, directory-relative joins the page's directory prefix
+    (query/fragment-free simplification, documented). Corpus membership
+    is ONE equi-join against the distinct page-url set — O(corpus),
+    partial-aggregated map-side, never corpus².
+    """
+    html_s = F.col("_h")
+    rel_first = F.regexp_extract(
+        html_s, r'<link[^>]*rel="canonical"[^>]*href="([^"]+)"', 1
+    )
+    href_first = F.regexp_extract(
+        html_s, r'<link[^>]*href="([^"]+)"[^>]*rel="canonical"', 1
+    )
+    href = F.nullif(F.coalesce(F.nullif(rel_first, F.lit("")),
+                               F.nullif(href_first, F.lit(""))), F.lit(""))
+    url = F.col("url")
+    scheme = F.regexp_extract(url, r"^([a-z][a-z0-9+.-]*):", 1)
+    origin = F.regexp_extract(url, r"^([a-z][a-z0-9+.-]*://[^/?#]+)", 1)
+    dirpfx = F.regexp_extract(url, r"^([a-z][a-z0-9+.-]*://[^?#]*/)", 1)
+    canon = (
+        F.when(href.rlike("^https?://"), href)
+        .when(href.startswith("//"), F.concat(scheme, F.lit(":"), href))
+        .when(href.startswith("/"), F.concat(origin, href))
+        .otherwise(
+            F.concat(F.coalesce(F.nullif(dirpfx, F.lit("")),
+                                F.concat(origin, F.lit("/"))), href)
+        )
+    )
+    tagged = (
+        pages.select(F.col(url_col).alias("url"),
+                     F.col(html_col).cast("string").alias("_h"))
+        .select("url", canon.alias("canonical_url"))
+        .filter(F.col("canonical_url").isNotNull())
+    )
+    members = pages.select(F.col(url_col).alias("canonical_url")).distinct()
+    return (
+        tagged.join(members.withColumn("_in", F.lit(True)),
+                    "canonical_url", "left")
+        .select(
+            "url",
+            "canonical_url",
+            (F.col("canonical_url") == F.col("url")).alias("is_self"),
+            F.coalesce(F.col("_in"), F.lit(False)).alias("target_in_corpus"),
+        )
+    )

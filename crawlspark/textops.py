@@ -2053,3 +2053,73 @@ def nb_lang_id(
             (-F.col("w.ns")).alias("score_micro"),
         )
     )
+
+
+SOFT404_MARKERS = (
+    "page not found",
+    "404 not found",
+    "error 404",
+    "does not exist",
+    "no longer available",
+)
+
+
+def soft404_stats(
+    pages: DataFrame,
+    url_col: str = "url",
+    text_col: str = "text",
+    markers: tuple = SOFT404_MARKERS,
+    short_frac: float = 0.5,
+) -> DataFrame:
+    """Soft-404 detection: error pages served with HTTP 200 — the
+    corpus pollution a status-code filter cannot see (every large crawl
+    probes for them; Bar-Yossef et al. 2004, "Sic transit gloria telae").
+    The reference trusts status codes alone (its spiders drop non-200 in
+    Scrapy middleware); at corpus scale the content signal is a
+    declarative pass.
+
+    A page is flagged when BOTH hold: (a) its lowercased text matches a
+    not-found marker phrase, and (b) it is short for its host — token
+    count below ``short_frac`` x the host's mean (error templates are
+    uniform and thin; host-relative beats a global cutoff because sites
+    differ 100x in typical page size).
+
+    Scale shape: the marker test and token count are scan-codegen column
+    algebra (one rlike over an alternation, no Python); the host mean is
+    one partial-aggregatable hash-agg to |hosts| rows joined back —
+    O(corpus) with an aggregate-sided build, never corpus². Output one
+    row per page: (url, host, n_tokens, host_mean_tokens, marker_hit,
+    is_soft404); host_mean_tokens rounds to 6dp for oracle exactness.
+    """
+    from .urlfilter import host_col
+
+    import re as _re
+
+    pat = "|".join(_re.escape(m) for m in markers)
+    t = F.col(text_col)
+    base = pages.select(
+        F.col(url_col).alias("url"),
+        host_col(F.col(url_col)).alias("host"),
+        token_count(t).cast("long").alias("n_tokens"),
+        F.lower(t).rlike(pat).alias("marker_hit"),
+    )
+    means = base.groupBy("host").agg(
+        F.avg(F.col("n_tokens").cast("double")).alias("_mean")
+    )
+    return (
+        base.join(means, "host")
+        .select(
+            "url",
+            "host",
+            "n_tokens",
+            F.round(F.col("_mean"), 6).alias("host_mean_tokens"),
+            "marker_hit",
+            (
+                F.col("marker_hit")
+                & (
+                    F.col("n_tokens").cast("double")
+                    < F.lit(float(short_frac)) * F.col("_mean")
+                )
+            ).alias("is_soft404"),
+        )
+    )

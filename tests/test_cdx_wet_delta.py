@@ -286,3 +286,25 @@ def test_warc_write_defaults_status_200(spark, tmp_path):
     warc.write_warc(corpus, out).collect()
     back = warc.read_warc(spark, out).collect()
     assert {r.http_status for r in back} == {200}
+
+
+def test_nearest_capture_distance_tie_and_missing(spark):
+    from crawlspark import cdx
+
+    caps = spark.createDataFrame(
+        [("u1", 100), ("u1", 200), ("u1", 300), ("u3", 50)], ["url", "ts"]
+    )
+    qs = spark.createDataFrame(
+        [("u1", 140), ("u1", 150), ("u1", 290), ("u2", 10)],
+        ["url", "q_ts"],
+    )
+    got = {
+        (r["url"], r["q_ts"]): (r["capture_ts"], r["delta_seconds"])
+        for r in cdx.nearest_capture(caps, qs).collect()
+    }
+    assert got == {
+        ("u1", 140): (100, 40),
+        ("u1", 150): (100, 50),  # equidistant -> earlier capture
+        ("u1", 290): (300, 10),
+        # u2 has no captures -> absent
+    }

@@ -1803,3 +1803,59 @@ def test_nb_lang_id_heldout_train_relation(spark):
     assert out[100]["predicted"] == "aa"
     # 'qq' never seen in train -> prediction must be one of the trained langs
     assert out[101]["predicted"] in {"aa", "zz"}
+
+
+def test_canonical_links_resolution_membership_and_attr_order(spark):
+    from crawlspark import graph
+
+    rows = [
+        # absolute canonical, target NOT a corpus page
+        ("https://a.com/dir/p1",
+         '<link rel="canonical" href="https://a.com/p1">'),
+        # root-relative canonical -> corpus page p2 (alias collapse)
+        ("https://a.com/p2?utm=x", '<link rel="canonical" href="/p2">'),
+        # href-before-rel attribute order, self-canonical
+        ("https://a.com/p2",
+         '<link href="https://a.com/p2" rel="canonical">'),
+        # directory-relative resolves against the page's directory
+        ("https://b.com/d/p3", '<link rel="canonical" href="c.html">'),
+        # protocol-relative adopts the page scheme
+        ("https://b.com/p4", '<link rel="canonical" href="//a.com/p2">'),
+        # no canonical tag -> no output row
+        ("https://b.com/p5", "<p>nothing</p>"),
+    ]
+    d = spark.createDataFrame(rows, ["url", "html"])
+    got = {
+        r["url"]: (r["canonical_url"], r["is_self"], r["target_in_corpus"])
+        for r in graph.canonical_links(d).collect()
+    }
+    assert got == {
+        "https://a.com/dir/p1": ("https://a.com/p1", False, False),
+        "https://a.com/p2?utm=x": ("https://a.com/p2", False, True),
+        "https://a.com/p2": ("https://a.com/p2", True, True),
+        "https://b.com/d/p3": ("https://b.com/d/c.html", False, False),
+        "https://b.com/p4": ("https://a.com/p2", False, True),
+    }
+
+
+def test_soft404_requires_marker_and_host_relative_shortness(spark):
+    w9 = " ".join(["w"] * 9)
+    rows = [
+        ("https://a.com/1", w9),
+        ("https://a.com/2", w9),
+        ("https://a.com/3", w9),
+        # marker + 3 tokens vs host mean 7.5 -> short -> soft404
+        ("https://a.com/gone", "page not found"),
+        # marker but LONG for its host (15 tokens vs mean 12) -> kept
+        ("https://b.com/long404", "page not found " + " ".join(["x"] * 12)),
+        ("https://b.com/ok", w9),
+    ]
+    d = spark.createDataFrame(rows, ["url", "text"])
+    got = {
+        r["url"]: (r["n_tokens"], r["host_mean_tokens"], r["marker_hit"],
+                   r["is_soft404"])
+        for r in textops.soft404_stats(d).collect()
+    }
+    assert got["https://a.com/gone"] == (3, 7.5, True, True)
+    assert got["https://b.com/long404"] == (15, 12.0, True, False)
+    assert got["https://a.com/1"] == (9, 7.5, False, False)
