@@ -1615,6 +1615,85 @@ def t73_nearest_capture(spark, sf_dir):
     return cdx.nearest_capture(caps, qs)
 
 
+def t74_cache_control(spark, sf_dir):
+    """Cache-Control -> revisit hints (scheduler.cache_control_hints):
+    headers cycle through the five parse branches by doc_id % 5 —
+    variable max-age (some above the clamp cap), no-store beating a
+    max-age in the same value, lowercase header name + no-cache,
+    no Cache-Control at all, and an X-Cache-Control decoy line ahead of
+    the real header (the line anchor must skip it)."""
+    d = _t(spark, sf_dir, "documents")
+    did = F.col("doc_id").cast("long")
+    url = F.concat(F.lit("u"), did.cast("string"))
+    headers = (
+        F.when(
+            did % 5 == 0,
+            F.concat(F.lit("Cache-Control: public, max-age="),
+                     ((did * 997) % 2000000).cast("string")),
+        )
+        .when(did % 5 == 1, F.lit("Cache-Control: no-store, max-age=500"))
+        .when(did % 5 == 2,
+              F.lit("content-type: text/html\r\ncache-control: no-cache"))
+        .when(did % 5 == 3, F.lit("Content-Type: text/html"))
+        .otherwise(
+            F.lit("X-Cache-Control: max-age=5\r\nCache-Control: max-age=120")
+        )
+    )
+    fetches = d.select(url.alias("url"), did.alias("fetch_ts"),
+                       headers.alias("headers"))
+    return sched.cache_control_hints(fetches)
+
+
+def t75_sitemap_lastmod(spark, sf_dir):
+    """Sitemap <lastmod> freshness (robots.sitemap_lastmod): one
+    synthetic sitemap per source host (doc_id < 20), each with a
+    full-datetime entry (truncates to the day), a date-only entry, and a
+    lastmod-free entry (dropped); every other doc is a decoy non-sitemap
+    page whose <url> blocks must be ignored."""
+    d = _t(spark, sf_dir, "documents")
+    did = F.col("doc_id").cast("long")
+    is_sm = did < 20
+    url = F.when(
+        is_sm,
+        F.concat(F.lit("https://"), F.col("source"),
+                 F.lit(".example.com/sitemap.xml")),
+    ).otherwise(
+        F.concat(F.lit("https://"), F.col("source"),
+                 F.lit(".example.com/d/"), did.cast("string"))
+    )
+    day = (did % 28 + 1).cast("string")
+    body = F.concat(
+        F.lit("<urlset><url><loc> https://"), F.col("source"),
+        F.lit(".example.com/a"), did.cast("string"),
+        F.lit(" </loc><lastmod>2024-03-"), F.lpad(day, 2, "0"),
+        F.lit("T08:30:00+00:00</lastmod></url><url><loc>https://"),
+        F.col("source"), F.lit(".example.com/b"), did.cast("string"),
+        F.lit("</loc><lastmod>2023-11-0"), (did % 9 + 1).cast("string"),
+        F.lit("</lastmod></url><url><loc>https://"), F.col("source"),
+        F.lit(".example.com/c"), did.cast("string"),
+        F.lit("</loc></url></urlset>"),
+    )
+    pages = d.select(url.alias("url"), body.alias("text"))
+    return rb.sitemap_lastmod(pages)
+
+
+def t76_seed_distance(spark, sf_dir):
+    """BFS hop distance from a seed set (graph.seed_distance) over a
+    40-node host graph: functional edges h(i) -> h(7i mod 40) plus a
+    partial chain h(i) -> h(i+1) for every third doc — multiple paths to
+    the same node exercise the min-distance winner; the 6-hop cap and
+    unreachable nodes discriminate vs the oracle's recursive-CTE walk."""
+    d = _t(spark, sf_dir, "documents")
+    did = F.col("doc_id").cast("long")
+    h = lambda c: F.concat(F.lit("h"), c.cast("string"))  # noqa: E731
+    fn = d.select(h(did % 40).alias("src"), h((did * 7) % 40).alias("dst"))
+    chain = d.filter(did % 3 == 0).select(
+        h(did % 40).alias("src"), h((did % 40) + 1).alias("dst")
+    )
+    seeds = spark.range(1).select(F.lit("h0").alias("node"))
+    return gr.seed_distance(fn.unionAll(chain), seeds, max_hops=6)
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_filter_project": q02_filter_project,
@@ -1719,6 +1798,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "t71_canonical_links": t71_canonical_links,
     "t72_soft404": t72_soft404,
     "t73_nearest_capture": t73_nearest_capture,
+    "t74_cache_control": t74_cache_control,
+    "t75_sitemap_lastmod": t75_sitemap_lastmod,
+    "t76_seed_distance": t76_seed_distance,
 }
 
 # ---------------------------------------------------------------------------
@@ -3994,6 +4076,119 @@ ORACLES["t73_nearest_capture"] = """
     )
     SELECT url, q_ts, cts AS capture_ts, d AS delta_seconds
     FROM joined WHERE rn = 1
+"""
+
+ORACLES["t74_cache_control"] = """
+    WITH f AS (
+        SELECT 'u' || CAST(doc_id AS VARCHAR) AS url,
+               CAST(doc_id AS BIGINT) AS fetch_ts,
+               CASE
+                 WHEN doc_id % 5 = 0 THEN
+                   'Cache-Control: public, max-age='
+                   || CAST((doc_id * 997) % 2000000 AS VARCHAR)
+                 WHEN doc_id % 5 = 1 THEN
+                   'Cache-Control: no-store, max-age=500'
+                 WHEN doc_id % 5 = 2 THEN
+                   'content-type: text/html' || chr(13) || chr(10)
+                   || 'cache-control: no-cache'
+                 WHEN doc_id % 5 = 3 THEN 'Content-Type: text/html'
+                 ELSE 'X-Cache-Control: max-age=5' || chr(13) || chr(10)
+                   || 'Cache-Control: max-age=120'
+               END AS headers
+        FROM documents
+    ), ex AS (
+        SELECT url, fetch_ts,
+               lower(regexp_extract(headers,
+                   '(?im)^cache-control:\\s*([^\\r\\n]*)', 1)) AS lcc
+        FROM f
+    ), dir AS (
+        SELECT url, fetch_ts, lcc,
+               regexp_extract(lcc, 'max-age\\s*=\\s*(-?\\d+)', 1) AS raw,
+               CASE
+                 WHEN lcc = '' THEN 'none'
+                 WHEN regexp_matches(lcc,
+                     '(^|[,\\s])no-store($|[,\\s])') THEN 'no-store'
+                 WHEN regexp_matches(lcc,
+                     '(^|[,\\s])no-cache($|[,\\s])') THEN 'no-cache'
+                 WHEN regexp_extract(lcc,
+                     'max-age\\s*=\\s*(-?\\d+)', 1) <> '' THEN 'max-age'
+                 ELSE 'none'
+               END AS directive
+        FROM ex
+    )
+    SELECT url, fetch_ts, directive,
+           CAST(CASE
+             WHEN directive IN ('no-store', 'no-cache') THEN 60
+             WHEN directive = 'max-age' THEN
+               greatest(60, least(604800, TRY_CAST(raw AS BIGINT)))
+             ELSE 86400
+           END AS BIGINT) AS max_age,
+           fetch_ts + CAST(CASE
+             WHEN directive IN ('no-store', 'no-cache') THEN 60
+             WHEN directive = 'max-age' THEN
+               greatest(60, least(604800, TRY_CAST(raw AS BIGINT)))
+             ELSE 86400
+           END AS BIGINT) AS next_fetch_ts
+    FROM dir
+"""
+
+ORACLES["t75_sitemap_lastmod"] = """
+    WITH pages AS (
+        SELECT CASE WHEN doc_id < 20
+                 THEN 'https://' || source || '.example.com/sitemap.xml'
+                 ELSE 'https://' || source || '.example.com/d/'
+                      || CAST(doc_id AS VARCHAR) END AS url,
+               '<urlset><url><loc> https://' || source || '.example.com/a'
+               || CAST(doc_id AS VARCHAR) || ' </loc><lastmod>2024-03-'
+               || lpad(CAST(doc_id % 28 + 1 AS VARCHAR), 2, '0')
+               || 'T08:30:00+00:00</lastmod></url><url><loc>https://'
+               || source || '.example.com/b' || CAST(doc_id AS VARCHAR)
+               || '</loc><lastmod>2023-11-0'
+               || CAST(doc_id % 9 + 1 AS VARCHAR)
+               || '</lastmod></url><url><loc>https://' || source
+               || '.example.com/c' || CAST(doc_id AS VARCHAR)
+               || '</loc></url></urlset>' AS text
+        FROM documents
+    ), sm AS (
+        SELECT regexp_extract(url,
+                   '^[a-z][a-z0-9+.-]*://([^/?#]+)', 1) AS host,
+               unnest(regexp_extract_all(text,
+                   '(?is)<url>(.*?)</url>', 1)) AS b
+        FROM pages
+        WHERE regexp_matches(url,
+            '^https?://[^/]+[^?#]*sitemap[^/?#]*\\.xml$')
+    ), ex AS (
+        SELECT host,
+               trim(regexp_extract(b,
+                   '(?is)<loc>\\s*([^<]*?)\\s*</loc>', 1)) AS loc,
+               regexp_extract(b,
+                   '(?is)<lastmod>\\s*(\\d{4}-\\d{2}-\\d{2})', 1) AS lm
+        FROM sm
+    )
+    SELECT DISTINCT host, loc, CAST(lm AS DATE) AS lastmod_date
+    FROM ex WHERE loc <> '' AND lm <> ''
+"""
+
+ORACLES["t76_seed_distance"] = """
+    WITH RECURSIVE e AS (
+        SELECT DISTINCT src, dst FROM (
+            SELECT 'h' || CAST(doc_id % 40 AS VARCHAR) AS src,
+                   'h' || CAST((doc_id * 7) % 40 AS VARCHAR) AS dst
+            FROM documents
+            UNION ALL
+            SELECT 'h' || CAST(doc_id % 40 AS VARCHAR) AS src,
+                   'h' || CAST((doc_id % 40) + 1 AS VARCHAR) AS dst
+            FROM documents WHERE doc_id % 3 = 0
+        )
+    ), walk(node, dist) AS (
+        SELECT 'h0', 0
+        UNION ALL
+        SELECT e.dst, w.dist + 1
+        FROM walk w JOIN e ON e.src = w.node
+        WHERE w.dist < 6
+    )
+    SELECT node, CAST(min(dist) AS BIGINT) AS dist
+    FROM walk GROUP BY node
 """
 
 ORACLES = {k: v for k, v in ORACLES.items() if v is not None}

@@ -443,3 +443,68 @@ def canonical_links(
             F.coalesce(F.col("_in"), F.lit(False)).alias("target_in_corpus"),
         )
     )
+
+
+def seed_distance(
+    edges: DataFrame,
+    seeds: DataFrame,
+    max_hops: int = 6,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    seed_col: str = "node",
+) -> DataFrame:
+    """BFS hop distance from a seed set over a link graph: (node, dist)
+    for every node reachable within ``max_hops`` — crawl depth measured
+    on the DISCOVERED graph rather than carried on requests (the
+    reference tracks depth per request via Scrapy's DepthMiddleware
+    meta; a shuffle engine derives the whole distance relation at once,
+    and frontier prioritization / trap containment read it per host).
+
+    Level-synchronous frontier BFS, the shape that shards: per hop, ONE
+    equi-join (current frontier x edges, shuffled on the join key) plus
+    ONE anti-join against the visited set and a distinct — cost is
+    O(frontier edges) per hop, never O(graph) re-scanned, and the
+    visited set only grows by genuinely new nodes. Early-exits when a
+    hop discovers nothing (the count is one action per hop, bounded by
+    max_hops). Lineage is truncated per hop exactly like
+    :func:`pagerank` (reliable checkpoint when configured, else
+    localCheckpoint) so deep BFS holds one copy of the state, not
+    max_hops copies. Distances are integers — bit-portable, and the
+    min-distance winner is unique by construction (a node enters the
+    visited set at its first hop and is anti-joined away after).
+    """
+    spark = edges.sparkSession
+    reliable = spark.sparkContext.getCheckpointDir() is not None
+
+    def _ckpt(df: DataFrame) -> DataFrame:
+        return df.checkpoint(eager=True) if reliable else df.localCheckpoint(
+            eager=True
+        )
+
+    e = edges.select(
+        F.col(src_col).alias("_s"), F.col(dst_col).alias("_d")
+    ).distinct()
+    dist = seeds.select(
+        F.col(seed_col).alias("node"), F.lit(0).cast("long").alias("dist")
+    ).distinct()
+    frontier = dist.select("node")
+    for hop in range(1, max_hops + 1):
+        nxt = (
+            frontier.join(e, frontier.node == e._s)
+            .select(F.col("_d").alias("node"))
+            .distinct()
+            .join(dist, "node", "left_anti")
+        )
+        new = _ckpt(
+            nxt.select(
+                "node", F.lit(hop).cast("long").alias("dist")
+            )
+        )
+        if new.isEmpty():
+            break
+        prev = dist
+        dist = _ckpt(prev.unionAll(new))
+        if not reliable:
+            prev.unpersist()
+        frontier = new.select("node")
+    return dist

@@ -187,3 +187,58 @@ def sitemap_entries(
         )
         .distinct()
     )
+
+
+def sitemap_lastmod(
+    pages: "DataFrame", url_col: str = "url", text_col: str = "text"
+) -> "DataFrame":
+    """Sitemap <lastmod> freshness extraction — the third leg of the
+    sitemap plane (:func:`sitemap_urls` discovers, :func:`sitemap_entries`
+    seeds, this PRIORITIZES): per sitemap ``<url>`` block, the entry URL
+    with its declared last-modification date, so frontier admission can
+    rank fresh pages first and :func:`crawlspark.scheduler.revisit_schedule`
+    gets a server-declared change signal for urls with no fetch history.
+
+    Input/filter contract matches sitemap_entries (pages whose url looks
+    like ``sitemap*.xml``). One row per distinct (host, loc,
+    lastmod_date); blocks without a <lastmod> are dropped — absence is
+    not a date, and the no-date entries already flow via
+    sitemap_entries. Dates parse from the leading YYYY-MM-DD of the W3C
+    datetime the spec mandates (full datetimes truncate to the day, the
+    granularity revisit policy works at).
+
+    Scale shape: page filter + case-insensitive regexp_extract_all of
+    whole <url> blocks in scan codegen, one explode, per-block
+    regexp_extract projections, one distinct hash-agg — within-snapshot
+    repeats collapse map-side. No Python.
+    """
+    from pyspark.sql import functions as F
+
+    from .urlfilter import host_col
+
+    is_sitemap = F.col(url_col).rlike(
+        r"^https?://[^/]+[^?#]*sitemap[^/?#]*\.xml$"
+    )
+    blocks = F.expr(
+        f"regexp_extract_all({text_col}, '(?is)<url>(.*?)</url>', 1)"
+    )
+    b = F.col("_b")
+    loc = F.trim(F.regexp_extract(b, r"(?is)<loc>\s*([^<]*?)\s*</loc>", 1))
+    lastmod = F.regexp_extract(
+        b, r"(?is)<lastmod>\s*(\d{4}-\d{2}-\d{2})", 1
+    )
+    return (
+        pages.filter(is_sitemap)
+        .select(
+            host_col(F.col(url_col)).alias("host"),
+            F.explode(blocks).alias("_b"),
+        )
+        .select(
+            "host",
+            loc.alias("loc"),
+            F.to_date(F.nullif(lastmod, F.lit(""))).alias("lastmod_date"),
+        )
+        .filter(F.col("loc").isNotNull() & (F.col("loc") != "")
+                & F.col("lastmod_date").isNotNull())
+        .distinct()
+    )

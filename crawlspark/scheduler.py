@@ -641,3 +641,73 @@ def crawl_budget_plan(
             .alias("budget"),
         )
     )
+
+
+def cache_control_hints(
+    fetches: "DataFrame",
+    url_col: str = "url",
+    ts_col: str = "fetch_ts",
+    headers_col: str = "headers",
+    default_age: int = 86400,
+    min_age: int = 60,
+    max_age_cap: int = 604800,
+) -> "DataFrame":
+    """HTTP Cache-Control -> revisit hints: turn the freshness lifetime
+    the SERVER declares (RFC 9111 max-age / no-cache / no-store) into a
+    next-fetch timestamp per URL — the header-driven complement of
+    :func:`revisit_schedule` (which infers change rate from observed
+    fetch history; production crawlers combine both, header hints
+    bootstrapping urls with no history yet). The reference ignores
+    caching headers entirely (Scrapy's HttpCacheMiddleware is not
+    enabled in its settings).
+
+    Precedence per RFC 9111 §5.2: no-store > no-cache > max-age >
+    absent (``default_age``). no-store/no-cache mean "revalidate next
+    chance" -> ``min_age``; max-age is clamped to [min_age,
+    max_age_cap] (a year-long max-age must not freeze a frontier row
+    forever, and 0/negative values collapse to the floor). Expires
+    dates are out of scope (HTTP-date parsing is a decode-kernel
+    concern; max-age overrides Expires wherever both appear anyway).
+
+    Scale shape: stateless projection — two case-insensitive regexps +
+    integer arithmetic inside scan codegen, zero shuffles, no Python.
+    Output: (url, fetch_ts, directive, max_age, next_fetch_ts).
+    """
+    h = F.col(headers_col)
+    cc = F.regexp_extract(h, r"(?im)^cache-control:\s*([^\r\n]*)", 1)
+    has_cc = cc != ""
+    lcc = F.lower(cc)
+    raw_age = F.regexp_extract(lcc, r"max-age\s*=\s*(-?\d+)", 1)
+    directive = (
+        F.when(~has_cc, F.lit("none"))
+        .when(lcc.rlike(r"(^|[,\s])no-store($|[,\s])"), F.lit("no-store"))
+        .when(lcc.rlike(r"(^|[,\s])no-cache($|[,\s])"), F.lit("no-cache"))
+        .when(raw_age != "", F.lit("max-age"))
+        .otherwise(F.lit("none"))
+    )
+    age = (
+        F.when(directive.isin("no-store", "no-cache"), F.lit(min_age))
+        .when(
+            directive == "max-age",
+            F.greatest(
+                F.lit(min_age),
+                F.least(
+                    # try_cast: an absurd 30-digit max-age must clamp to
+                    # the cap (null here -> least picks the cap), not
+                    # throw under ANSI overflow
+                    F.lit(max_age_cap).cast("long"),
+                    raw_age.try_cast("long"),
+                ),
+            ),
+        )
+        .otherwise(F.lit(default_age))
+        .cast("long")
+    )
+    ts = F.col(ts_col).cast("long")
+    return fetches.select(
+        F.col(url_col).alias("url"),
+        ts.alias("fetch_ts"),
+        directive.alias("directive"),
+        age.alias("max_age"),
+        (ts + age).alias("next_fetch_ts"),
+    )

@@ -1859,3 +1859,81 @@ def test_soft404_requires_marker_and_host_relative_shortness(spark):
     assert got["https://a.com/gone"] == (3, 7.5, True, True)
     assert got["https://b.com/long404"] == (15, 12.0, True, False)
     assert got["https://a.com/1"] == (9, 7.5, False, False)
+
+
+def test_cache_control_hints_precedence_clamps_and_anchor(spark):
+    from crawlspark import scheduler
+
+    rows = [
+        ("u1", 1000, "Content-Type: text/html\r\nCache-Control: public, max-age=3600"),
+        ("u2", 1000, "Cache-Control: no-store, max-age=500"),
+        ("u3", 1000, "Cache-Control: NO-CACHE"),
+        ("u4", 1000, "Cache-Control: max-age=99999999"),
+        ("u5", 1000, "Cache-Control: max-age=0"),
+        ("u6", 1000, "Content-Type: text/plain"),
+        # not a Cache-Control header line -> must not match
+        ("u7", 1000, "X-Cache-Control: max-age=5"),
+    ]
+    d = spark.createDataFrame(rows, ["url", "fetch_ts", "headers"])
+    got = {
+        r["url"]: (r["directive"], r["max_age"], r["next_fetch_ts"])
+        for r in scheduler.cache_control_hints(d).collect()
+    }
+    assert got == {
+        "u1": ("max-age", 3600, 4600),
+        "u2": ("no-store", 60, 1060),
+        "u3": ("no-cache", 60, 1060),
+        "u4": ("max-age", 604800, 605800),
+        "u5": ("max-age", 60, 1060),
+        "u6": ("none", 86400, 87400),
+        "u7": ("none", 86400, 87400),
+    }
+
+
+def test_sitemap_lastmod_parse_filter_and_dedup(spark):
+    import datetime
+
+    from crawlspark import robots
+
+    xml = (
+        "<urlset>"
+        "<url><loc> https://a.com/p1 </loc>"
+        "<lastmod>2024-05-06T12:00:00+00:00</lastmod></url>"
+        "<url><loc>https://a.com/p2</loc></url>"  # no lastmod -> dropped
+        "<url><loc>https://a.com/p1</loc>"
+        "<lastmod>2024-05-06</lastmod></url>"  # dup of p1 -> collapses
+        "</urlset>"
+    )
+    rows = [
+        ("https://a.com/sitemap.xml", xml),
+        ("https://a.com/page.html", xml),  # not a sitemap url -> ignored
+    ]
+    d = spark.createDataFrame(rows, ["url", "text"])
+    got = [
+        (r["host"], r["loc"], r["lastmod_date"])
+        for r in robots.sitemap_lastmod(d).collect()
+    ]
+    assert got == [
+        ("a.com", "https://a.com/p1", datetime.date(2024, 5, 6))
+    ]
+
+
+def test_seed_distance_bfs_hops_cap_and_cycle(spark):
+    from crawlspark import graph
+
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "d"), ("d", "a"), ("z", "z2")],
+        ["src", "dst"],
+    )
+    seeds = spark.createDataFrame([("a",), ("x",)], ["node"])
+    got = {
+        r["node"]: r["dist"]
+        for r in graph.seed_distance(edges, seeds, max_hops=6).collect()
+    }
+    # z/z2 unreachable -> absent; cycle d->a does not lower a's 0
+    assert got == {"a": 0, "x": 0, "b": 1, "c": 2, "d": 3}
+    capped = {
+        r["node"]: r["dist"]
+        for r in graph.seed_distance(edges, seeds, max_hops=2).collect()
+    }
+    assert capped == {"a": 0, "x": 0, "b": 1, "c": 2}
