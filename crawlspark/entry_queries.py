@@ -1694,6 +1694,40 @@ def t76_seed_distance(spark, sf_dir):
     return gr.seed_distance(fn.unionAll(chain), seeds, max_hops=6)
 
 
+def t77_collapse_lines(spark, sf_dir):
+    """Adjacent-duplicate line collapse (textops.collapse_repeated_lines):
+    every doc's text is doubled into two identical lines plus a distinct
+    tail (collapses 3 -> 2); every 5th doc is a pure triple-repeat
+    (3 -> 1). The reconstructed text itself is hash-verified."""
+    d = _t(spark, sf_dir, "documents")
+    did = F.col("doc_id").cast("long")
+    body = F.when(did % 5 == 0, F.lit("x\nx\nx")).otherwise(
+        F.concat(F.col("text"), F.lit("\n"), F.col("text"),
+                 F.lit("\ntail-"), (did % 7).cast("string"))
+    )
+    return tx.collapse_repeated_lines(
+        d.select("doc_id", body.alias("text"))
+    )
+
+
+def t78_encoding_audit(spark, sf_dir):
+    """Encoding-artifact audit (textops.encoding_audit): every 11th doc
+    gets three mojibake pairs appended (suspect), every 13th a U+FFFD
+    replacement char, every 17th a C0 control byte, one doc a SINGLE
+    mojibake marker (must stay clean); the rest are the real corpus
+    texts (clean)."""
+    d = _t(spark, sf_dir, "documents")
+    did = F.col("doc_id").cast("long")
+    text = (
+        F.when(did % 11 == 0, F.concat(F.col("text"), F.lit(" Ã© Ã¨ Ã¼")))
+        .when(did % 13 == 0, F.concat(F.col("text"), F.lit(" caf�")))
+        .when(did % 17 == 0, F.concat(F.col("text"), F.lit("\x07")))
+        .when(did == 1, F.concat(F.col("text"), F.lit(" Ã©")))
+        .otherwise(F.col("text"))
+    )
+    return tx.encoding_audit(d.select("doc_id", text.alias("text")))
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_filter_project": q02_filter_project,
@@ -1801,6 +1835,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "t74_cache_control": t74_cache_control,
     "t75_sitemap_lastmod": t75_sitemap_lastmod,
     "t76_seed_distance": t76_seed_distance,
+    "t77_collapse_lines": t77_collapse_lines,
+    "t78_encoding_audit": t78_encoding_audit,
 }
 
 # ---------------------------------------------------------------------------
@@ -4189,6 +4225,60 @@ ORACLES["t76_seed_distance"] = """
     )
     SELECT node, CAST(min(dist) AS BIGINT) AS dist
     FROM walk GROUP BY node
+"""
+
+ORACLES["t77_collapse_lines"] = """
+    WITH d AS (
+        SELECT doc_id,
+               CASE WHEN doc_id % 5 = 0 THEN 'x' || chr(10) || 'x'
+                        || chr(10) || 'x'
+                    ELSE text || chr(10) || text || chr(10) || 'tail-'
+                        || CAST(doc_id % 7 AS VARCHAR) END AS text
+        FROM documents
+    ), l AS (
+        SELECT doc_id, string_split(text, chr(10)) AS arr FROM d
+    ), ex AS (
+        SELECT l.doc_id, t.i, l.arr[t.i] AS line,
+               CASE WHEN t.i > 1 THEN l.arr[t.i - 1] END AS prev,
+               len(l.arr) AS n
+        FROM l, UNNEST(generate_series(1, len(l.arr))) AS t(i)
+    ), keep AS (
+        SELECT doc_id, i, line, n FROM ex
+        WHERE i = 1 OR line <> prev
+    )
+    SELECT doc_id,
+           string_agg(line, chr(10) ORDER BY i) AS text,
+           CAST(max(n) AS BIGINT) AS n_lines,
+           CAST(count(*) AS BIGINT) AS n_kept
+    FROM keep GROUP BY doc_id
+"""
+
+ORACLES["t78_encoding_audit"] = """
+    WITH d AS (
+        SELECT doc_id,
+               CASE
+                 WHEN doc_id % 11 = 0 THEN text || ' Ã© Ã¨ Ã¼'
+                 WHEN doc_id % 13 = 0 THEN text || ' caf�'
+                 WHEN doc_id % 17 = 0 THEN text || chr(7)
+                 WHEN doc_id = 1 THEN text || ' Ã©'
+                 ELSE text
+               END AS text
+        FROM documents
+    ), c AS (
+        SELECT doc_id,
+               CAST(len(regexp_extract_all(text, 'Ã.|â€'))
+                   AS BIGINT) AS n_mojibake,
+               CAST(len(regexp_extract_all(text, '�'))
+                   AS BIGINT) AS n_replacement,
+               CAST(len(regexp_extract_all(text,
+                   '[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F]'))
+                   AS BIGINT) AS n_ctrl
+        FROM d
+    )
+    SELECT doc_id, n_mojibake, n_replacement, n_ctrl,
+           (n_replacement > 0 OR n_ctrl > 0 OR n_mojibake >= 3)
+               AS suspect
+    FROM c
 """
 
 ORACLES = {k: v for k, v in ORACLES.items() if v is not None}

@@ -2123,3 +2123,74 @@ def soft404_stats(
             ).alias("is_soft404"),
         )
     )
+
+
+def collapse_repeated_lines(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Adjacent-duplicate line collapse WITHIN each document — the
+    in-row cleanup for machine-generated web text (terminal dumps, chat
+    transcripts, scraper echo, nav menus repeated by templating bugs)
+    where the same line repeats back-to-back. Distinct from
+    :func:`line_dedup_corpus` (cross-document global line dedup): this
+    keeps one copy of each CONSECUTIVE run inside one document and never
+    touches cross-document or non-adjacent repeats (a chorus that
+    returns later in the page survives — collapsing those is a semantic
+    judgment, not cleanup).
+
+    Scale shape: zero shuffles — split, index-aware higher-order filter
+    (keep line i when i == 0 or it differs from line i-1, both in-row
+    array ops), rejoin, all inside scan codegen. No Python, no explode:
+    the corpus never leaves its input partitioning.
+
+    Output: (id, text collapsed, n_lines original, n_kept).
+    """
+    lines = F.split(F.col(text_col), "\n")
+    kept = F.expr(
+        f"filter(split({text_col}, '\\n'), "
+        "(x, i) -> i = 0 OR x <> element_at(split("
+        f"{text_col}, '\\n'), i))"
+    )
+    return docs.select(
+        F.col(id_col),
+        F.array_join(kept, "\n").alias("text"),
+        F.size(lines).cast("long").alias("n_lines"),
+        F.size(kept).cast("long").alias("n_kept"),
+    )
+
+
+def encoding_audit(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Encoding-artifact audit: per-document counts of the classic
+    decode-failure markers — UTF-8-read-as-Latin-1 mojibake lead bytes
+    ('Ã', 'â€' sequences), U+FFFD replacement characters (the decoder
+    already gave up upstream), and C0 control characters that have no
+    business in text (everything below space except tab/newline/CR).
+    CCNet/RefinedWeb-class pipelines drop or re-decode these documents
+    before they poison tokenizer training; the reference never looks at
+    encoding (Scrapy hands it decoded strings).
+
+    Scale shape: stateless projection — three regexp_counts inside scan
+    codegen, zero shuffles, no Python. ``suspect`` is the drop verdict:
+    any replacement char, any control char, or >= ``mojibake_min``
+    mojibake markers (single 'Ã' can be legitimate text — 'Ã' IS a real
+    letter — so one marker alone does not condemn a document).
+    """
+    t = F.col(text_col)
+    moji = F.regexp_count(t, F.lit("Ã.|â€")).cast("long")
+    repl = F.regexp_count(t, F.lit("�")).cast("long")
+    ctrl = F.regexp_count(
+        t, F.lit("[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F]")
+    ).cast("long")
+    return docs.select(
+        F.col(id_col),
+        moji.alias("n_mojibake"),
+        repl.alias("n_replacement"),
+        ctrl.alias("n_ctrl"),
+        ((repl > 0) | (ctrl > 0) | (moji >= 3)).alias("suspect"),
+    )

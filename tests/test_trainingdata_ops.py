@@ -1937,3 +1937,44 @@ def test_seed_distance_bfs_hops_cap_and_cycle(spark):
         for r in graph.seed_distance(edges, seeds, max_hops=2).collect()
     }
     assert capped == {"a": 0, "x": 0, "b": 1, "c": 2}
+
+
+def test_collapse_repeated_lines_adjacent_only(spark):
+    rows = [
+        (1, "a\na\nb\na"),   # adjacent dup collapses; later 'a' survives
+        (2, "x\nx\nx"),
+        (3, "solo"),
+        (4, "p\nq\np\nq"),   # no adjacent dups -> unchanged
+    ]
+    d = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {
+        r["doc_id"]: (r["text"], r["n_lines"], r["n_kept"])
+        for r in textops.collapse_repeated_lines(d).collect()
+    }
+    assert got == {
+        1: ("a\nb\na", 4, 3),
+        2: ("x", 3, 1),
+        3: ("solo", 1, 1),
+        4: ("p\nq\np\nq", 4, 4),
+    }
+
+
+def test_encoding_audit_markers_and_verdict(spark):
+    rows = [
+        (1, "clean text"),
+        (2, "caf� broken"),          # replacement char
+        (3, "mÉlaise Ã© Ã¨ Ã¼"),  # 3 mojibake pairs
+        (4, "one Ã© only"),     # single marker -> not suspect
+        (5, "bell\x07char"),
+    ]
+    d = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {
+        r["doc_id"]: (r["n_mojibake"], r["n_replacement"], r["n_ctrl"],
+                      r["suspect"])
+        for r in textops.encoding_audit(d).collect()
+    }
+    assert got[1] == (0, 0, 0, False)
+    assert got[2] == (0, 1, 0, True)
+    assert got[3][0] >= 3 and got[3][3] is True
+    assert got[4] == (1, 0, 0, False)
+    assert got[5] == (0, 0, 1, True)
