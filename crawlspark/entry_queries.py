@@ -1728,6 +1728,48 @@ def t78_encoding_audit(spark, sf_dir):
     return tx.encoding_audit(d.select("doc_id", text.alias("text")))
 
 
+def t79_frontier_age(spark, sf_dir):
+    """Frontier-age histogram (scheduler.frontier_age_report): a
+    synthetic op log over 120 urls — insert at round doc_id%6, done at
+    insert + doc_id%4 for 3/4 of urls (repeat dones exercise the
+    first-done-wins min), the last quarter never fetched (the pending
+    age = -1 row)."""
+    d = _t(spark, sf_dir, "documents")
+    did = F.col("doc_id").cast("long")
+    u = F.concat(F.lit("u"), (did % 120).cast("string"))
+    ins = d.select(u.alias("url"), (did % 6).alias("round"),
+                   F.lit("insert").alias("op"))
+    done = d.filter(did % 120 < 90).select(
+        u.alias("url"), (did % 6 + did % 4).alias("round"),
+        F.lit("done").alias("op"),
+    )
+    return sched.frontier_age_report(ins.unionAll(done))
+
+
+def t80_hreflang(spark, sf_dir):
+    """hreflang alternate extraction (graph.hreflang_alternates): each
+    page declares an absolute uppercase-hreflang alternate, a
+    root-relative lowercase one, and a canonical decoy link that must
+    not match; within-corpus repeat tags collapse via distinct."""
+    d = _t(spark, sf_dir, "documents")
+    did = F.col("doc_id").cast("long")
+    url = F.concat(
+        F.lit("https://"), F.col("source"), F.lit(".example.com/en/d/"),
+        did.cast("string"),
+    )
+    html = F.concat(
+        F.lit('<link rel="alternate" hreflang="DE" href="https://'),
+        F.col("source"), F.lit(".example.com/de/d/"), did.cast("string"),
+        F.lit('"><link hreflang="fr" href="/fr/d/'), did.cast("string"),
+        F.lit('" rel="alternate"><link rel="canonical" href="https://'),
+        F.col("source"), F.lit(".example.com/en/d/"), did.cast("string"),
+        F.lit('">'),
+    )
+    return gr.hreflang_alternates(
+        d.select(url.alias("url"), html.alias("html"))
+    )
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_filter_project": q02_filter_project,
@@ -1837,6 +1879,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "t76_seed_distance": t76_seed_distance,
     "t77_collapse_lines": t77_collapse_lines,
     "t78_encoding_audit": t78_encoding_audit,
+    "t79_frontier_age": t79_frontier_age,
+    "t80_hreflang": t80_hreflang,
 }
 
 # ---------------------------------------------------------------------------
@@ -4279,6 +4323,81 @@ ORACLES["t78_encoding_audit"] = """
            (n_replacement > 0 OR n_ctrl > 0 OR n_mojibake >= 3)
                AS suspect
     FROM c
+"""
+
+ORACLES["t79_frontier_age"] = """
+    WITH ops AS (
+        SELECT 'u' || CAST(doc_id % 120 AS VARCHAR) AS url,
+               doc_id % 6 AS r, 'insert' AS op
+        FROM documents
+        UNION ALL
+        SELECT 'u' || CAST(doc_id % 120 AS VARCHAR) AS url,
+               doc_id % 6 + doc_id % 4 AS r, 'done' AS op
+        FROM documents WHERE doc_id % 120 < 90
+    ), per AS (
+        SELECT url,
+               min(CASE WHEN op = 'insert' THEN r END) AS ins,
+               min(CASE WHEN op = 'done' THEN r END) AS done
+        FROM ops GROUP BY url
+    ), aged AS (
+        SELECT CASE WHEN done IS NOT NULL
+                    THEN CAST(done - ins AS BIGINT)
+                    ELSE CAST(-1 AS BIGINT) END AS age
+        FROM per WHERE ins IS NOT NULL
+    ), hist AS (
+        SELECT age, CAST(count(*) AS BIGINT) AS n_urls
+        FROM aged GROUP BY age
+    )
+    SELECT age, n_urls,
+           round(CAST(n_urls AS DOUBLE)
+                 / sum(n_urls) OVER (), 6) AS share
+    FROM hist
+"""
+
+ORACLES["t80_hreflang"] = """
+    WITH pages AS (
+        SELECT 'https://' || source || '.example.com/en/d/'
+                   || CAST(doc_id AS VARCHAR) AS url,
+               '<link rel="alternate" hreflang="DE" href="https://'
+               || source || '.example.com/de/d/'
+               || CAST(doc_id AS VARCHAR)
+               || '"><link hreflang="fr" href="/fr/d/'
+               || CAST(doc_id AS VARCHAR)
+               || '" rel="alternate"><link rel="canonical" href="https://'
+               || source || '.example.com/en/d/'
+               || CAST(doc_id AS VARCHAR) || '">' AS html
+        FROM documents
+    ), tags AS (
+        SELECT url,
+               unnest(regexp_extract_all(html, '(?i)(<link[^>]*>)', 1))
+                   AS t
+        FROM pages
+    ), ex AS (
+        SELECT url,
+               regexp_extract(t, '(?i)hreflang="([A-Za-z0-9-]+)"', 1)
+                   AS lang,
+               regexp_extract(t, '(?i)href="([^"]+)"', 1) AS href
+        FROM tags
+        WHERE regexp_matches(t, '(?i)rel="alternate"')
+    ), res AS (
+        SELECT url, lower(lang) AS hreflang,
+               CASE
+                 WHEN regexp_matches(href, '^https?://') THEN href
+                 WHEN href LIKE '//%' THEN
+                   regexp_extract(url, '^([a-z][a-z0-9+.-]*):', 1)
+                   || ':' || href
+                 WHEN href LIKE '/%' THEN
+                   regexp_extract(url,
+                       '^([a-z][a-z0-9+.-]*://[^/?#]+)', 1) || href
+                 ELSE coalesce(nullif(regexp_extract(url,
+                       '^([a-z][a-z0-9+.-]*://[^?#]*/)', 1), ''),
+                       regexp_extract(url,
+                           '^([a-z][a-z0-9+.-]*://[^/?#]+)', 1) || '/')
+                   || href
+               END AS alt_url
+        FROM ex WHERE lang <> '' AND href <> ''
+    )
+    SELECT DISTINCT url, hreflang, alt_url FROM res
 """
 
 ORACLES = {k: v for k, v in ORACLES.items() if v is not None}

@@ -374,6 +374,28 @@ def outlink_stats(
     )
 
 
+def resolve_href(url: "F.Column", href: "F.Column") -> "F.Column":
+    """Resolve an href against its page URL as pure column algebra:
+    absolute http(s) kept, protocol-relative adopts the page scheme,
+    root-relative joins scheme://host, anything else joins the page's
+    directory prefix (query/fragment-free simplification — dot-segment
+    normalization is a decode-kernel concern). Shared by
+    :func:`canonical_links` and :func:`hreflang_alternates` so both
+    resolve identically; each oracle replays the same CASE."""
+    scheme = F.regexp_extract(url, r"^([a-z][a-z0-9+.-]*):", 1)
+    origin = F.regexp_extract(url, r"^([a-z][a-z0-9+.-]*://[^/?#]+)", 1)
+    dirpfx = F.regexp_extract(url, r"^([a-z][a-z0-9+.-]*://[^?#]*/)", 1)
+    return (
+        F.when(href.rlike("^https?://"), href)
+        .when(href.startswith("//"), F.concat(scheme, F.lit(":"), href))
+        .when(href.startswith("/"), F.concat(origin, href))
+        .otherwise(
+            F.concat(F.coalesce(F.nullif(dirpfx, F.lit("")),
+                                F.concat(origin, F.lit("/"))), href)
+        )
+    )
+
+
 def canonical_links(
     pages: DataFrame,
     url_col: str = "url",
@@ -413,19 +435,7 @@ def canonical_links(
     )
     href = F.nullif(F.coalesce(F.nullif(rel_first, F.lit("")),
                                F.nullif(href_first, F.lit(""))), F.lit(""))
-    url = F.col("url")
-    scheme = F.regexp_extract(url, r"^([a-z][a-z0-9+.-]*):", 1)
-    origin = F.regexp_extract(url, r"^([a-z][a-z0-9+.-]*://[^/?#]+)", 1)
-    dirpfx = F.regexp_extract(url, r"^([a-z][a-z0-9+.-]*://[^?#]*/)", 1)
-    canon = (
-        F.when(href.rlike("^https?://"), href)
-        .when(href.startswith("//"), F.concat(scheme, F.lit(":"), href))
-        .when(href.startswith("/"), F.concat(origin, href))
-        .otherwise(
-            F.concat(F.coalesce(F.nullif(dirpfx, F.lit("")),
-                                F.concat(origin, F.lit("/"))), href)
-        )
-    )
+    canon = resolve_href(F.col("url"), href)
     tagged = (
         pages.select(F.col(url_col).alias("url"),
                      F.col(html_col).cast("string").alias("_h"))
@@ -508,3 +518,48 @@ def seed_distance(
             prev.unpersist()
         frontier = new.select("node")
     return dist
+
+
+def hreflang_alternates(
+    pages: DataFrame,
+    url_col: str = "url",
+    html_col: str = "html",
+) -> DataFrame:
+    """hreflang alternate extraction: ``<link rel="alternate"
+    hreflang=.. href=..>`` tags -> (url, hreflang, alt_url) edges — the
+    i18n twin of :func:`canonical_links`. Language-aware dedup needs
+    these: translated mirrors of one page are NOT near-duplicates by
+    content (different language, same document), so the declared
+    alternate cluster is the only cheap signal that u/en, u/de, u/fr are
+    one logical page; mixture planning (textops.mixture_plan) also
+    counts a translated cluster once, not |langs| times.
+
+    Scale shape: regexp_extract_all of whole <link> tags in scan
+    codegen, one explode, per-tag projections (rel=alternate filter,
+    hreflang + href extraction tolerant of either attribute order),
+    resolution via :func:`resolve_href` — no Python, no joins. hreflang
+    values lowercase (BCP 47 is case-insensitive); within-page repeat
+    tags collapse via distinct.
+    """
+    tags = F.expr(
+        f"regexp_extract_all(cast({html_col} as string), "
+        "'(?i)(<link[^>]*>)', 1)"
+    )
+    t = F.col("_t")
+    lang = F.regexp_extract(t, r'(?i)hreflang="([A-Za-z0-9-]+)"', 1)
+    href = F.regexp_extract(t, r'(?i)href="([^"]+)"', 1)
+    return (
+        pages.select(
+            F.col(url_col).alias("url"), F.explode(tags).alias("_t")
+        )
+        .filter(
+            t.rlike('(?i)rel="alternate"')
+            & (lang != "") & (href != "")
+        )
+        .select(
+            "url",
+            F.lower(lang).alias("hreflang"),
+            resolve_href(F.col("url"), href).alias("alt_url"),
+        )
+        .distinct()
+    )

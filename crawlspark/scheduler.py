@@ -711,3 +711,58 @@ def cache_control_hints(
         age.alias("max_age"),
         (ts + age).alias("next_fetch_ts"),
     )
+
+
+def frontier_age_report(
+    ops: "DataFrame",
+    url_col: str = "url",
+    round_col: str = "round",
+    op_col: str = "op",
+) -> "DataFrame":
+    """Frontier-age histogram: how many rounds URLs sit queued between
+    discovery (first ``insert`` op) and fetch (first ``done`` op) — the
+    queue-latency observable that tells a crawl operator whether
+    priority classes are starving (a growing tail here is how trap
+    explosions and skewed hosts show up BEFORE throughput drops). The
+    reference exposes queue length only (its scheduler len(),
+    /root/reference/scheduler.py); age needs the event log a snapshot
+    store keeps anyway.
+
+    Input: a frontier op log (url, round, op) — the shape
+    store.FrontierStore's ops table already has. Never-fetched URLs are
+    excluded from the histogram (their age is censored, not observed)
+    but surfaced as the single ``age = -1`` row so the pending mass is
+    visible in the same card.
+
+    Scale shape: one conditional-min hash-agg per url (partial-
+    aggregated map-side — the shuffle carries |distinct urls|, never the
+    log), then one hash-agg to the bounded age histogram; the share
+    window runs over that tiny aggregate only (the t26/t50 pattern).
+    """
+    from pyspark.sql import Window
+
+    per = ops.groupBy(F.col(url_col).alias("url")).agg(
+        F.min(
+            F.when(F.col(op_col) == "insert", F.col(round_col))
+        ).alias("ins"),
+        F.min(
+            F.when(F.col(op_col) == "done", F.col(round_col))
+        ).alias("done"),
+    )
+    aged = per.filter(F.col("ins").isNotNull()).select(
+        F.when(
+            F.col("done").isNotNull(),
+            (F.col("done") - F.col("ins")).cast("long"),
+        )
+        .otherwise(F.lit(-1).cast("long"))
+        .alias("age")
+    )
+    hist = aged.groupBy("age").agg(F.count("*").cast("long").alias("n_urls"))
+    w = Window.partitionBy()
+    return hist.select(
+        "age",
+        "n_urls",
+        F.round(
+            F.col("n_urls").cast("double") / F.sum("n_urls").over(w), 6
+        ).alias("share"),
+    )

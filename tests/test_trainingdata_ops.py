@@ -1978,3 +1978,46 @@ def test_encoding_audit_markers_and_verdict(spark):
     assert got[3][0] >= 3 and got[3][3] is True
     assert got[4] == (1, 0, 0, False)
     assert got[5] == (0, 0, 1, True)
+
+
+def test_hreflang_alternates_orders_filter_and_resolution(spark):
+    from crawlspark import graph
+
+    rows = [
+        (
+            "https://a.com/en/p",
+            '<link rel="alternate" hreflang="DE" href="https://a.com/de/p">'
+            '<link hreflang="fr" href="/fr/p" rel="alternate">'
+            '<link rel="canonical" href="https://a.com/en/p">'   # no hreflang
+            '<link rel="alternate" hreflang="de" '
+            'href="https://a.com/de/p">',  # dup after lowercasing
+        ),
+        ("https://b.com/q", "<p>none</p>"),
+    ]
+    d = spark.createDataFrame(rows, ["url", "html"])
+    got = sorted(
+        (r["url"], r["hreflang"], r["alt_url"])
+        for r in graph.hreflang_alternates(d).collect()
+    )
+    assert got == [
+        ("https://a.com/en/p", "de", "https://a.com/de/p"),
+        ("https://a.com/en/p", "fr", "https://a.com/fr/p"),
+    ]
+
+
+def test_frontier_age_report_histogram_and_pending(spark):
+    from crawlspark import scheduler
+
+    rows = [
+        ("u1", 0, "insert"), ("u1", 2, "done"),     # age 2
+        ("u2", 1, "insert"), ("u2", 1, "done"),     # age 0
+        ("u3", 0, "insert"), ("u3", 2, "done"), ("u3", 5, "done"),  # first done wins: 2
+        ("u4", 3, "insert"),                          # pending -> age -1
+        ("u5", 4, "done"),                            # no insert -> excluded
+    ]
+    d = spark.createDataFrame(rows, ["url", "round", "op"])
+    got = {
+        r["age"]: (r["n_urls"], r["share"])
+        for r in scheduler.frontier_age_report(d).collect()
+    }
+    assert got == {2: (2, 0.5), 0: (1, 0.25), -1: (1, 0.25)}
