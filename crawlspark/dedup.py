@@ -942,3 +942,55 @@ def leakage_safe_split(
         .otherwise(F.lit("train"))
         .alias("split"),
     )
+
+
+def content_novelty_curve(
+    corpus: DataFrame,
+    round_col: str = "crawl_round",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-round content-novelty curve: of each crawl round's rows, how
+    many carry a content fingerprint first seen THAT round vs carried
+    over from any earlier round — the dedup-plane health metric big
+    crawls publish (Common Crawl's "new vs duplicate content per
+    snapshot" card) and the signal that says when a frontier has gone
+    stale (novelty decaying to boilerplate-only means the scheduler is
+    re-fetching mirrors, not discovering).
+
+    Scale shape: one md5 projection in codegen, one min(round) hash-agg
+    per fingerprint (partial-aggregated map-side — duplicate-heavy
+    rounds collapse before the shuffle, which carries |distinct
+    fingerprints|), one equi-join back on fingerprint (O(corpus)), one
+    bounded hash-agg to |rounds| rows. No windows over raw rows.
+
+    Output per round: (crawl_round, n_rows, n_novel, novelty_share) —
+    novel = the row's fingerprint has min(first_round) == this round.
+    NOTE the deliberate semantics: ALL rows of the introducing round
+    count novel (two copies landing in the same round are both "first
+    seen here"); in-round dedup is :func:`exact_dedup`'s job.
+    """
+    from .textops import doc_fingerprint
+
+    fp = corpus.select(
+        F.col(round_col).cast("long").alias("r"),
+        doc_fingerprint(F.col(text_col)).alias("fp"),
+    )
+    first = fp.groupBy("fp").agg(F.min("r").alias("first_r"))
+    return (
+        fp.join(first, "fp")
+        .groupBy(F.col("r").alias("crawl_round"))
+        .agg(
+            F.count("*").cast("long").alias("n_rows"),
+            F.sum(
+                F.when(F.col("r") == F.col("first_r"), 1).otherwise(0)
+            ).cast("long").alias("n_novel"),
+        )
+        .select(
+            "crawl_round",
+            "n_rows",
+            "n_novel",
+            F.round(
+                F.col("n_novel").cast("double") / F.col("n_rows"), 6
+            ).alias("novelty_share"),
+        )
+    )

@@ -1770,6 +1770,67 @@ def t80_hreflang(spark, sf_dir):
     )
 
 
+def t81_web_clean(spark, sf_dir):
+    """The composed WEB-side cleaning pipeline (pipeline.web_clean):
+    soft-404 drop -> encoding drop -> adjacent-line collapse -> exact
+    dedup by url, hash-verified END TO END (the t14 treatment for the
+    crawl-specific attrition stages). Injections: every 37th doc a thin
+    'page not found', every 11th mojibake x3, every 50th+7 a shared
+    template (dedups to one min-url winner), every 5th a doubled text
+    (collapses back to the original line)."""
+    from . import pipeline as pl
+
+    d = _t(spark, sf_dir, "documents")
+    did = F.col("doc_id").cast("long")
+    url = F.concat(
+        F.lit("https://"), F.col("source"), F.lit(".example.com/d/"),
+        did.cast("string"),
+    )
+    text = (
+        F.when(did % 37 == 0, F.lit("page not found"))
+        .when(did % 11 == 0, F.concat(F.col("text"), F.lit(" Ã© Ã¨ Ã¼")))
+        .when(did % 50 == 7, F.lit("duplicate template page"))
+        .when(did % 5 == 0,
+              F.concat(F.col("text"), F.lit("\n"), F.col("text")))
+        .otherwise(F.col("text"))
+    )
+    return pl.web_clean(d.select(url.alias("url"), text.alias("text")))
+
+
+def t82_novelty_curve(spark, sf_dir):
+    """Per-round content-novelty curve (dedup.content_novelty_curve):
+    4 synthetic crawl rounds (round = doc_id%4); every third doc carries
+    one of 20 shared templates that recur across rounds (carried-over
+    content), the rest keep their unique real text (novel in their
+    round)."""
+    d = _t(spark, sf_dir, "documents")
+    did = F.col("doc_id").cast("long")
+    text = F.when(
+        did % 3 == 0,
+        F.concat(F.lit("shared-template-"), (did % 20).cast("string")),
+    ).otherwise(F.col("text"))
+    corpus = d.select(
+        (did % 4).alias("crawl_round"), text.alias("text")
+    )
+    return dd.content_novelty_curve(corpus)
+
+
+def t83_degree_distribution(spark, sf_dir):
+    """Host degree audit (graph.degree_distribution) over a weighted
+    25-node functional graph (src = h(doc_id%25), dst = h(3*doc_id%25),
+    weight = doc_id%5+1): sources, sinks, and both-direction nodes all
+    occur, exercising the full-outer zero-fill."""
+    d = _t(spark, sf_dir, "documents")
+    did = F.col("doc_id").cast("long")
+    h = lambda c: F.concat(F.lit("h"), c.cast("string"))  # noqa: E731
+    edges = d.select(
+        h(did % 25).alias("src"),
+        h((did * 3) % 25).alias("dst"),
+        (did % 5 + 1).cast("double").alias("weight"),
+    )
+    return gr.degree_distribution(edges, weight_col="weight")
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_filter_project": q02_filter_project,
@@ -1881,6 +1942,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "t78_encoding_audit": t78_encoding_audit,
     "t79_frontier_age": t79_frontier_age,
     "t80_hreflang": t80_hreflang,
+    "t81_web_clean": t81_web_clean,
+    "t82_novelty_curve": t82_novelty_curve,
+    "t83_degree_distribution": t83_degree_distribution,
 }
 
 # ---------------------------------------------------------------------------
@@ -4398,6 +4462,112 @@ ORACLES["t80_hreflang"] = """
         FROM ex WHERE lang <> '' AND href <> ''
     )
     SELECT DISTINCT url, hreflang, alt_url FROM res
+"""
+
+ORACLES["t81_web_clean"] = """
+    WITH pages AS (
+        SELECT 'https://' || source || '.example.com/d/'
+                   || CAST(doc_id AS VARCHAR) AS url,
+               CASE
+                 WHEN doc_id % 37 = 0 THEN 'page not found'
+                 WHEN doc_id % 11 = 0 THEN text || ' Ã© Ã¨ Ã¼'
+                 WHEN doc_id % 50 = 7 THEN 'duplicate template page'
+                 WHEN doc_id % 5 = 0 THEN text || chr(10) || text
+                 ELSE text
+               END AS text
+        FROM documents
+    ), s404 AS (
+        SELECT url,
+               (regexp_matches(lower(text),
+                   'page not found|404 not found|error 404|does not exist|no longer available')
+                AND CAST(len(string_split(text, ' ')) AS DOUBLE)
+                    < 0.5 * avg(CAST(len(string_split(text, ' '))
+                                     AS DOUBLE)) OVER (
+                          PARTITION BY regexp_extract(url,
+                              '^[a-z][a-z0-9+.-]*://([^/?#]+)', 1)))
+                   AS is_soft404
+        FROM pages
+    ), enc AS (
+        SELECT url,
+               (len(regexp_extract_all(text, '�')) > 0
+                OR len(regexp_extract_all(text,
+                       '[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F]')) > 0
+                OR len(regexp_extract_all(text, 'Ã.|â€')) >= 3)
+                   AS suspect
+        FROM pages
+    ), kept AS (
+        SELECT p.url, p.text FROM pages p
+        JOIN s404 USING (url) JOIN enc USING (url)
+        WHERE NOT s404.is_soft404 AND NOT enc.suspect
+    ), l AS (
+        SELECT url, string_split(text, chr(10)) AS arr FROM kept
+    ), ex AS (
+        SELECT l.url, t.i, l.arr[t.i] AS line,
+               CASE WHEN t.i > 1 THEN l.arr[t.i - 1] END AS prev,
+               len(l.arr) AS n
+        FROM l, UNNEST(generate_series(1, len(l.arr))) AS t(i)
+    ), collapsed AS (
+        SELECT url,
+               string_agg(line, chr(10) ORDER BY i) AS text,
+               CAST(max(n) - count(*) AS BIGINT) AS n_collapsed_lines
+        FROM ex WHERE i = 1 OR line <> prev
+        GROUP BY url
+    ), fp AS (
+        SELECT url,
+               md5(lower(regexp_replace(text, '\\s+', ' ', 'g'))) AS f
+        FROM collapsed
+    ), winners AS (
+        SELECT min(url) AS url FROM fp GROUP BY f
+    )
+    SELECT c.url, c.text, c.n_collapsed_lines
+    FROM collapsed c JOIN winners w USING (url)
+"""
+
+ORACLES["t82_novelty_curve"] = """
+    WITH corpus AS (
+        SELECT CAST(doc_id % 4 AS BIGINT) AS r,
+               CASE WHEN doc_id % 3 = 0
+                    THEN 'shared-template-' || CAST(doc_id % 20 AS VARCHAR)
+                    ELSE text END AS text
+        FROM documents
+    ), fp AS (
+        SELECT r,
+               md5(lower(regexp_replace(text, '\\s+', ' ', 'g'))) AS f
+        FROM corpus
+    ), first AS (
+        SELECT f, min(r) AS first_r FROM fp GROUP BY f
+    )
+    SELECT fp.r AS crawl_round,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(CASE WHEN fp.r = first.first_r THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_novel,
+           round(CAST(sum(CASE WHEN fp.r = first.first_r THEN 1 ELSE 0 END)
+                      AS DOUBLE) / count(*), 6) AS novelty_share
+    FROM fp JOIN first USING (f)
+    GROUP BY fp.r
+"""
+
+ORACLES["t83_degree_distribution"] = """
+    WITH e AS (
+        SELECT 'h' || CAST(doc_id % 25 AS VARCHAR) AS src,
+               'h' || CAST((doc_id * 3) % 25 AS VARCHAR) AS dst,
+               CAST(doc_id % 5 + 1 AS DOUBLE) AS weight
+        FROM documents
+    ), o AS (
+        SELECT src AS node, CAST(count(*) AS BIGINT) AS out_degree,
+               sum(weight) AS out_weight
+        FROM e GROUP BY src
+    ), i AS (
+        SELECT dst AS node, CAST(count(*) AS BIGINT) AS in_degree,
+               sum(weight) AS in_weight
+        FROM e GROUP BY dst
+    )
+    SELECT coalesce(o.node, i.node) AS node,
+           coalesce(o.out_degree, 0) AS out_degree,
+           coalesce(i.in_degree, 0) AS in_degree,
+           round(coalesce(o.out_weight, 0), 6) AS out_weight,
+           round(coalesce(i.in_weight, 0), 6) AS in_weight
+    FROM o FULL OUTER JOIN i ON o.node = i.node
 """
 
 ORACLES = {k: v for k, v in ORACLES.items() if v is not None}

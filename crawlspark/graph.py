@@ -563,3 +563,46 @@ def hreflang_alternates(
         )
         .distinct()
     )
+
+
+def degree_distribution(
+    edges: DataFrame,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    weight_col: str | None = None,
+) -> DataFrame:
+    """Web-graph degree audit per node: (node, out_degree, in_degree,
+    out_weight, in_weight) — the sanity card every PageRank/OPIC input
+    needs before the iteration spends cluster-hours (a single node with
+    in_degree ~ |graph| is a link farm or an extraction bug; a huge
+    dangling share means the damping assumption is doing all the work).
+
+    Scale shape: two partial-aggregatable hash-aggs (one per direction;
+    each shuffle carries |distinct nodes|, never the edge count) merged
+    by one full-outer equi-join on node — O(nodes), never a window over
+    edges. Degrees are long, weights double; a node missing from one
+    direction gets 0 (dangling nodes are in_*-only rows, sources are
+    out_*-only).
+    """
+    w = F.col(weight_col) if weight_col else F.lit(1.0)
+    outd = edges.groupBy(F.col(src_col).alias("node")).agg(
+        F.count("*").cast("long").alias("out_degree"),
+        F.sum(w).cast("double").alias("out_weight"),
+    )
+    ind = edges.groupBy(F.col(dst_col).alias("node")).agg(
+        F.count("*").cast("long").alias("in_degree"),
+        F.sum(w).cast("double").alias("in_weight"),
+    )
+    z = F.lit(0).cast("long")
+    return (
+        outd.join(ind, "node", "full_outer")
+        .select(
+            "node",
+            F.coalesce("out_degree", z).alias("out_degree"),
+            F.coalesce("in_degree", z).alias("in_degree"),
+            F.round(F.coalesce("out_weight", F.lit(0.0)), 6)
+                .alias("out_weight"),
+            F.round(F.coalesce("in_weight", F.lit(0.0)), 6)
+                .alias("in_weight"),
+        )
+    )

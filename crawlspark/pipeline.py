@@ -66,3 +66,64 @@ def corpus_prep(
     clusters = dup_clusters(pairs)
     losers = clusters.filter(F.col("doc_id") != F.col("cluster_id")).select("doc_id")
     return survivors.join(losers, "doc_id", "left_anti").select("doc_id")
+
+
+def web_clean(
+    pages: DataFrame,
+    url_col: str = "url",
+    text_col: str = "text",
+    soft404_short_frac: float = 0.5,
+) -> DataFrame:
+    """The WEB-side cleaning pipeline that runs BEFORE
+    :func:`corpus_prep`'s language/quality/near-dup stages — the
+    crawl-specific attrition a Common-Crawl-style corpus needs first,
+    composed entirely from this repo's operators and, like corpus_prep,
+    expressible as one SQL statement (hash-verified end to end in the
+    driver gate):
+
+        pages
+          -> soft-404 drop         (textops.soft404_stats — error pages
+                                    served with 200)
+          -> encoding drop         (textops.encoding_audit — mojibake /
+                                    U+FFFD / control-char suspects)
+          -> line collapse         (textops.collapse_repeated_lines —
+                                    adjacent template/echo repeats)
+          -> exact dedup by URL    (keep the lexicographically-first
+                                    url per post-collapse fingerprint —
+                                    deterministic winner)
+
+    Order matters and is part of the contract: collapse runs BEFORE
+    dedup so two pages differing only in repeat-count of the same line
+    collapse to one fingerprint; the soft-404 host mean is computed on
+    the RAW corpus (dropping suspects first would shift every host mean
+    and make the filter self-referential).
+
+    Scale shape: the first three stages are the underlying operators'
+    shapes (one host hash-agg + join, two stateless projections); dedup
+    adds one min(struct) hash-agg + one semi-join — O(corpus), winner
+    partial-aggregated map-side. Output: surviving (url, text,
+    n_collapsed_lines) rows, text being the collapsed bytes.
+    """
+    base = pages.select(
+        F.col(url_col).alias("url"), F.col(text_col).alias("text")
+    )
+    s404 = tx.soft404_stats(base, short_frac=soft404_short_frac).select(
+        "url", "is_soft404"
+    )
+    enc = tx.encoding_audit(base, id_col="url").select("url", "suspect")
+    kept = (
+        base.join(s404, "url")
+        .join(enc, "url")
+        .filter(~F.col("is_soft404") & ~F.col("suspect"))
+        .select("url", "text")
+    )
+    collapsed = tx.collapse_repeated_lines(kept, id_col="url").select(
+        "url",
+        "text",
+        (F.col("n_lines") - F.col("n_kept")).alias("n_collapsed_lines"),
+    )
+    fp = collapsed.select(
+        "url", tx.doc_fingerprint(F.col("text")).alias("fp")
+    )
+    winners = fp.groupBy("fp").agg(F.min("url").alias("url")).select("url")
+    return collapsed.join(winners, "url", "left_semi")

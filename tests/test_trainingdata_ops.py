@@ -2021,3 +2021,29 @@ def test_frontier_age_report_histogram_and_pending(spark):
         for r in scheduler.frontier_age_report(d).collect()
     }
     assert got == {2: (2, 0.5), 0: (1, 0.25), -1: (1, 0.25)}
+
+
+def test_web_clean_composition_order_and_winners(spark):
+    from crawlspark import pipeline as pl
+
+    w9 = " ".join(["w"] * 9)
+    rows = [
+        ("https://a.com/1", w9),
+        ("https://a.com/2", w9 + " extra"),
+        ("https://a.com/3", "error 404"),             # soft404 -> dropped
+        ("https://a.com/4", "bad caf� bytes"),        # encoding -> dropped
+        ("https://a.com/5", "t\nt\nu"),               # collapses to t\nu
+        ("https://a.com/6", "t\nu"),                  # dup of 5 post-collapse
+        ("https://b.com/7", w9),                      # same text other host kept? no:
+    ]
+    # note: /1, /7 share text -> one winner (min url = a.com/1)
+    d = spark.createDataFrame(rows, ["url", "text"])
+    got = {
+        r["url"]: (r["text"], r["n_collapsed_lines"])
+        for r in pl.web_clean(d).collect()
+    }
+    assert got == {
+        "https://a.com/1": (w9, 0),
+        "https://a.com/2": (w9 + " extra", 0),
+        "https://a.com/5": ("t\nu", 1),  # beats /6 (collapse before dedup)
+    }
