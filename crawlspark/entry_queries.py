@@ -1831,6 +1831,47 @@ def t83_degree_distribution(spark, sf_dir):
     return gr.degree_distribution(edges, weight_col="weight")
 
 
+def t84_pmi_collocations(spark, sf_dir):
+    """PMI-ranked collocations (textops.pmi_collocations) over the raw
+    documents table: top-20 adjacent word pairs by integer-micro-nat
+    PMI with min_count=5 and lexicographic tiebreak."""
+    d = _t(spark, sf_dir, "documents")
+    return tx.pmi_collocations(d, min_count=5, top_k=20)
+
+
+def t85_host_components(spark, sf_dir):
+    """Site-family clustering (graph.host_components): connected
+    components over a synthetic host graph with multiple families —
+    group g = doc_id%10 owns hosts g-n0..g-n3, each doc links
+    n(doc_id%4) -> n((doc_id+1)%4) within its group, so components
+    never span groups and the min-label + size path is exercised over
+    ~20 families."""
+    d = _t(spark, sf_dir, "documents")
+    did = F.col("doc_id").cast("long")
+    mk = lambda m: F.concat(  # noqa: E731
+        F.lit("g"), (did % 10).cast("string"),
+        F.lit("n"), m.cast("string"),
+    )
+    edges = d.select(
+        mk(did % 4).alias("src"), mk((did + 1) % 4).alias("dst")
+    )
+    return gr.host_components(edges)
+
+
+def t86_hits(spark, sf_dir):
+    """HITS hub/authority (graph.hits, 3 iterations) over the 25-node
+    functional graph src=h(doc_id%25) -> dst=h(3*doc_id%25): the
+    integer-nano-unit recurrence is replayed iteration by iteration in
+    the SQL oracle, so every normalization division is hash-checked."""
+    d = _t(spark, sf_dir, "documents")
+    did = F.col("doc_id").cast("long")
+    h = lambda c: F.concat(F.lit("h"), c.cast("string"))  # noqa: E731
+    edges = d.select(
+        h(did % 25).alias("src"), h((did * 3) % 25).alias("dst")
+    )
+    return gr.hits(edges, iters=3)
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_filter_project": q02_filter_project,
@@ -1945,6 +1986,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "t81_web_clean": t81_web_clean,
     "t82_novelty_curve": t82_novelty_curve,
     "t83_degree_distribution": t83_degree_distribution,
+    "t84_pmi_collocations": t84_pmi_collocations,
+    "t85_host_components": t85_host_components,
+    "t86_hits": t86_hits,
 }
 
 # ---------------------------------------------------------------------------
@@ -4569,5 +4613,112 @@ ORACLES["t83_degree_distribution"] = """
            round(coalesce(i.in_weight, 0), 6) AS in_weight
     FROM o FULL OUTER JOIN i ON o.node = i.node
 """
+
+ORACLES["t84_pmi_collocations"] = """
+    WITH toks AS (
+        SELECT list_filter(string_split(lower(text), ' '), w -> w != '') AS ts
+        FROM documents
+    ), uni AS (
+        SELECT w, CAST(count(*) AS BIGINT) AS c
+        FROM (SELECT unnest(ts) AS w FROM toks) GROUP BY w
+    ), allbg AS (
+        SELECT w1, w2, CAST(count(*) AS BIGINT) AS c12 FROM (
+            SELECT ts[i] AS w1, ts[i + 1] AS w2
+            FROM toks, UNNEST(generate_series(1, len(ts) - 1)) AS t(i)
+            WHERE len(ts) >= 2
+        ) GROUP BY w1, w2
+    ), nu AS (SELECT sum(c) AS nu FROM uni),
+    nb AS (SELECT sum(c12) AS nb FROM allbg),
+    scored AS (
+        SELECT b.w1, b.w2, b.c12,
+               CAST(round(ln((CAST(b.c12 AS DOUBLE) / nb.nb)
+                             / ((CAST(u1.c AS DOUBLE) / nu.nu)
+                                * (CAST(u2.c AS DOUBLE) / nu.nu))) * 1e6)
+                    AS BIGINT) AS pmi_micro
+        FROM allbg b
+        JOIN uni u1 ON b.w1 = u1.w
+        JOIN uni u2 ON b.w2 = u2.w
+        CROSS JOIN nu CROSS JOIN nb
+        WHERE b.c12 >= 5
+    ), ranked AS (
+        SELECT w1, w2, c12, pmi_micro,
+               CAST(row_number() OVER (ORDER BY pmi_micro DESC, w1, w2)
+                    AS INTEGER) AS rank
+        FROM scored
+    )
+    SELECT * FROM ranked WHERE rank <= 20
+"""
+
+ORACLES["t85_host_components"] = (
+    """WITH RECURSIVE e0 AS (
+        SELECT 'g' || CAST(doc_id % 10 AS VARCHAR)
+                   || 'n' || CAST(doc_id % 4 AS VARCHAR) AS doc_a,
+               'g' || CAST(doc_id % 10 AS VARCHAR)
+                   || 'n' || CAST((doc_id + 1) % 4 AS VARCHAR) AS doc_b
+        FROM documents
+    )"""
+    + _closure_sql("SELECT doc_a, doc_b FROM e0 WHERE doc_a <> doc_b")
+    + """
+    , comp_sizes AS (
+        SELECT cluster_id AS component_id, CAST(count(*) AS BIGINT) AS n_hosts
+        FROM cc_labels GROUP BY cluster_id
+    )
+    SELECT l.doc_id AS host, l.cluster_id AS component_id, s.n_hosts
+    FROM cc_labels l JOIN comp_sizes s ON l.cluster_id = s.component_id
+"""
+)
+
+
+def _hits_oracle_sql(iters: int) -> str:
+    """Unrolled SQL twin of graph.hits: one (auth, hub) normalization
+    pair of CTEs per iteration, every value in integer nano-units so
+    each division is hash-checked bit-exactly."""
+    parts = ["""
+    WITH e AS (
+        SELECT DISTINCT 'h' || CAST(doc_id % 25 AS VARCHAR) AS src,
+               'h' || CAST((doc_id * 3) % 25 AS VARCHAR) AS dst
+        FROM documents
+    ), nodes AS (
+        SELECT src AS node FROM e UNION SELECT dst FROM e
+    ), h0 AS (
+        SELECT node,
+               CAST(floor(1e9 / (SELECT count(*) FROM nodes)) AS BIGINT)
+                   AS hub
+        FROM nodes
+    )"""]
+    for k in range(1, iters + 1):
+        parts.append(f"""
+    , a{k}r AS (
+        SELECT e.dst AS node, sum(h.hub) AS auth
+        FROM e JOIN h{k - 1} h ON e.src = h.node GROUP BY e.dst
+    ), a{k} AS (
+        SELECT node,
+               CAST(round(CAST(auth AS DOUBLE)
+                          / (SELECT sum(auth) FROM a{k}r) * 1e9) AS BIGINT)
+                   AS auth
+        FROM a{k}r
+    ), h{k}r AS (
+        SELECT e.src AS node, sum(a.auth) AS hub
+        FROM e JOIN a{k} a ON e.dst = a.node GROUP BY e.src
+    ), h{k} AS (
+        SELECT node,
+               CAST(round(CAST(hub AS DOUBLE)
+                          / (SELECT sum(hub) FROM h{k}r) * 1e9) AS BIGINT)
+                   AS hub
+        FROM h{k}r
+    )""")
+    parts.append(f"""
+    SELECT n.node,
+           round(CAST(coalesce(h.hub, 0) AS DOUBLE) / 1e9, 6) AS hub,
+           round(CAST(coalesce(a.auth, 0) AS DOUBLE) / 1e9, 6) AS auth
+    FROM nodes n
+    LEFT JOIN h{iters} h ON n.node = h.node
+    LEFT JOIN a{iters} a ON n.node = a.node
+""")
+    return "".join(parts)
+
+
+ORACLES["t86_hits"] = _hits_oracle_sql(3)
+
 
 ORACLES = {k: v for k, v in ORACLES.items() if v is not None}

@@ -606,3 +606,138 @@ def degree_distribution(
                 .alias("in_weight"),
         )
     )
+
+
+def host_components(
+    edges: DataFrame,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    max_iters: int = 25,
+) -> DataFrame:
+    """Site-family clusters: connected components over the (undirected)
+    host link graph — the mirror/CDN/parking-farm consolidation signal
+    (a component of 500 hosts all interlinking is ONE site for crawl
+    budgeting and dedup accounting; Common Crawl's host-level webgraph
+    releases ship exactly this clustering). Delegates to
+    :func:`crawlspark.dedup.dup_clusters`' min-label propagation —
+    string labels work unchanged because ``min`` on ASCII hostnames is
+    byte-identical across engines — and adds the component size.
+
+    Scale shape: inherits dup_clusters (one equi-join + one hash-agg
+    per iteration, per-iteration checkpoint truncation + unpersist,
+    O(component diameter) iterations — host graphs are shallow); the
+    size is one extra hash-agg over the |hosts| label table joined
+    back. Output: (host, component_id, n_hosts) for every host
+    incident to >= 1 edge, component_id = lexicographically-least
+    member.
+    """
+    from .dedup import dup_clusters
+
+    pairs = edges.select(
+        F.col(src_col).alias("doc_a"), F.col(dst_col).alias("doc_b")
+    ).filter(F.col("doc_a") != F.col("doc_b"))
+    labels = dup_clusters(pairs, max_iters=max_iters).select(
+        F.col("doc_id").alias("host"), F.col("cluster_id").alias("component_id")
+    )
+    sizes = labels.groupBy("component_id").agg(
+        F.count("*").cast("long").alias("n_hosts")
+    )
+    return labels.join(sizes, "component_id").select(
+        "host", "component_id", "n_hosts"
+    )
+
+
+def hits(edges: DataFrame, iters: int = 3) -> DataFrame:
+    """HITS hub/authority scores (Kleinberg 1999) over (src, dst)
+    edges, fixed iteration count — the third frontier-prioritization
+    primitive next to :func:`pagerank` and :func:`seed_distance`:
+    authorities are the pages worth fetching, hubs the pages worth
+    re-parsing for links (a crawl scheduler boosts hub re-visits to
+    discover, authority fetches to cover).
+
+    Exact-integer determinism (stronger than pagerank's round(9)
+    contract, because HITS normalizes by a GLOBAL sum each half-step,
+    where float sum order across 10^9 nodes could flip an ulp): scores
+    live in integer NANO-UNITS (longs summing to 10^9) end to end —
+    every propagation sum is a long sum (associative, order-free), and
+    each normalization divides two exact longs in double precision and
+    rounds back to nano-units, so Spark and the SQL oracle carry
+    bit-identical tables through every iteration. auth_{k}(v) =
+    norm(sum_{u->v} hub_{k-1}(u)); hub_k(u) = norm(sum_{u->v}
+    auth_k(v)); hub_0 = floor(10^9 / |nodes|).
+
+    Scale shape: per half-step one equi-join (edges x score table,
+    sharded on the join key) + one hash-agg; the norm total is a 1-row
+    aggregate cross-joined; per-iteration lineage truncated + previous
+    blocks unpersisted exactly like pagerank. Output: (node, hub,
+    auth) as doubles (nano / 1e9, rounded 6dp), every node incident to
+    an edge.
+    """
+    spark = edges.sparkSession
+    e = edges.select("src", "dst").distinct().persist()
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .unionByName(e.select(F.col("dst").alias("node")))
+        .distinct()
+    ).persist()
+    n = nodes.count()
+    if n == 0:
+        nodes.unpersist()
+        e.unpersist()
+        return nodes.withColumn("hub", F.lit(0.0)).withColumn(
+            "auth", F.lit(0.0)
+        )
+    reliable = spark.sparkContext.getCheckpointDir() is not None
+
+    def _ckpt(df: DataFrame) -> DataFrame:
+        return df.checkpoint(eager=True) if reliable else df.localCheckpoint(eager=True)
+
+    def _norm(df: DataFrame, col: str) -> DataFrame:
+        tot = df.agg(F.sum(col).alias("_tot"))
+        return df.crossJoin(tot).select(
+            "node",
+            F.round(F.col(col).cast("double") / F.col("_tot") * F.lit(1e9))
+            .cast("long")
+            .alias(col),
+        )
+
+    # floor, not round: floor(1e9/n) is unambiguous across engines
+    # (python round is banker's, SQL round is half-away)
+    init = 10**9 // n
+    hub = nodes.withColumn("hub", F.lit(init).cast("long"))
+    auth = None
+    for _ in range(iters):
+        auth_raw = (
+            e.join(hub, e.src == hub.node)
+            .groupBy(F.col("dst").alias("node"))
+            .agg(F.sum("hub").alias("auth"))
+        )
+        new_auth = _ckpt(_norm(auth_raw, "auth"))
+        hub_raw = (
+            e.join(new_auth, e.dst == new_auth.node)
+            .groupBy(F.col("src").alias("node"))
+            .agg(F.sum("auth").alias("hub"))
+        )
+        new_hub = _ckpt(_norm(hub_raw, "hub"))
+        # previous iteration's blocks are dead once the new eager
+        # checkpoints are materialized (the pagerank pattern); the
+        # round-0 hub is unpersisted as a no-op
+        if not reliable:
+            hub.unpersist()
+            if auth is not None:
+                auth.unpersist()
+        hub, auth = new_hub, new_auth
+    out = (
+        nodes.join(hub, "node", "left")
+        .join(auth, "node", "left")
+        .select(
+            "node",
+            F.round(F.coalesce("hub", F.lit(0)).cast("double") / F.lit(1e9), 6)
+                .alias("hub"),
+            F.round(F.coalesce("auth", F.lit(0)).cast("double") / F.lit(1e9), 6)
+                .alias("auth"),
+        )
+    )
+    nodes.unpersist()
+    e.unpersist()
+    return out

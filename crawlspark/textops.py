@@ -2194,3 +2194,93 @@ def encoding_audit(
         ctrl.alias("n_ctrl"),
         ((repl > 0) | (ctrl > 0) | (moji >= 3)).alias("suspect"),
     )
+
+
+def pmi_collocations(
+    documents: DataFrame,
+    min_count: int = 5,
+    top_k: int = 20,
+    text_col: str = "text",
+) -> DataFrame:
+    """PMI-ranked collocations (Church & Hanks 1990): the adjacent word
+    pairs whose joint frequency most exceeds chance —
+    ``pmi = ln( (c12/Nb) / ((c1/Nu)·(c2/Nu)) )`` with unigram counts
+    c over the token stream (Nu tokens) and bigram counts c12 over
+    adjacent pairs (Nb bigrams). The phrase-mining statistic tokenizer
+    and quality pipelines compute corpus-wide (multi-word entities,
+    boilerplate phrases); the reference has no corpus statistics plane.
+
+    Cross-engine determinism: the PMI is computed with an IDENTICAL
+    IEEE expression tree on Spark and the SQL oracle (divisions in the
+    same order over exact integer inputs), then rounded to integer
+    MICRO-NATS (``round(pmi·1e6)`` as long) — ranking compares longs,
+    ties break lexicographically on (w1, w2).
+
+    Scale shape: two partial-aggregatable hash-aggs (shuffles carry
+    |vocab| and |bigram vocab|, never the corpus), two equi-joins of
+    the bigram aggregate to the unigram aggregate (stopword heads are
+    the classic skew; AQE splits them), totals as 1-row aggregates
+    cross-joined. The global top-k is a TakeOrdered pre-cut at
+    ``top_k`` candidates before the single-partition rank window (the
+    t64 trick) — never a global sort of the bigram vocabulary.
+    ``min_count`` drops hapax pairs before the join (PMI's classic
+    low-count pathology). Output: (w1, w2, c12, pmi_micro, rank).
+    """
+    toks = documents.select(
+        F.expr(f"filter(split(lower({text_col}), ' '), w -> w != '')").alias(
+            "ts"
+        )
+    )
+    uni = toks.select(F.explode("ts").alias("w")).groupBy("w").agg(
+        F.count("*").cast("long").alias("c")
+    )
+    bg = (
+        toks.filter(F.size("ts") >= 2)
+        .select(
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(ts) - 1), i -> "
+                    "struct(element_at(ts, i) AS w1, "
+                    "element_at(ts, i + 1) AS w2))"
+                )
+            ).alias("b")
+        )
+        .select("b.w1", "b.w2")
+        .groupBy("w1", "w2")
+        .agg(F.count("*").cast("long").alias("c12"))
+    )
+    nu = uni.agg(F.sum("c").alias("nu"))
+    # Nb is the TOTAL bigram count — computed before the min_count cut,
+    # or p(w1,w2) would be conditioned on surviving pairs only
+    nb = bg.agg(F.sum("c12").alias("nb"))
+    bg = bg.filter(F.col("c12") >= int(min_count))
+    c1 = uni.select(F.col("w").alias("w1"), F.col("c").alias("c1"))
+    c2 = uni.select(F.col("w").alias("w2"), F.col("c").alias("c2"))
+    scored = (
+        bg.join(c1, "w1")
+        .join(c2, "w2")
+        .crossJoin(nu)
+        .crossJoin(nb)
+        .select(
+            "w1",
+            "w2",
+            "c12",
+            F.round(
+                F.log(
+                    (F.col("c12").cast("double") / F.col("nb"))
+                    / (
+                        (F.col("c1").cast("double") / F.col("nu"))
+                        * (F.col("c2").cast("double") / F.col("nu"))
+                    )
+                )
+                * F.lit(1e6)
+            )
+            .cast("long")
+            .alias("pmi_micro"),
+        )
+    )
+    cut = scored.orderBy(
+        F.desc("pmi_micro"), F.asc("w1"), F.asc("w2")
+    ).limit(int(top_k))
+    w = Window.partitionBy().orderBy(F.desc("pmi_micro"), F.asc("w1"), F.asc("w2"))
+    return cut.withColumn("rank", F.row_number().over(w).cast("int"))

@@ -2047,3 +2047,87 @@ def test_web_clean_composition_order_and_winners(spark):
         "https://a.com/2": (w9 + " extra", 0),
         "https://a.com/5": ("t\nu", 1),  # beats /6 (collapse before dedup)
     }
+
+
+def test_pmi_collocations_hand_math(spark):
+    rows = [(0, "new york a"), (1, "new york b"), (2, "a b")]
+    d = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = textops.pmi_collocations(d, min_count=2, top_k=5).collect()
+    # only (new, york) reaches c12 >= 2; Nu=8 Nb=5 c1=c2=2
+    # pmi = ln((2/5) / ((2/8)*(2/8))) = ln(6.4)
+    assert len(got) == 1
+    r = got[0]
+    assert (r["w1"], r["w2"], r["c12"], r["rank"]) == ("new", "york", 2, 1)
+    assert r["pmi_micro"] == round(math.log(6.4) * 1e6)
+
+
+def test_pmi_topk_tiebreak_lexicographic(spark):
+    # two pairs with identical counts everywhere -> identical pmi;
+    # rank must break on (w1, w2) ascending
+    rows = [(0, "p q"), (1, "p q"), (2, "x y"), (3, "x y")]
+    d = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {
+        r["rank"]: (r["w1"], r["w2"])
+        for r in textops.pmi_collocations(d, min_count=2, top_k=5).collect()
+    }
+    assert got == {1: ("p", "q"), 2: ("x", "y")}
+
+
+def test_host_components_families_and_sizes(spark):
+    from crawlspark import graph
+
+    edges = spark.createDataFrame(
+        [("a.com", "b.com"), ("b.com", "c.com"), ("d.com", "e.com"),
+         ("a.com", "a.com")],  # self-loop dropped
+        ["src", "dst"],
+    )
+    got = {
+        r["host"]: (r["component_id"], r["n_hosts"])
+        for r in graph.host_components(edges).collect()
+    }
+    assert got == {
+        "a.com": ("a.com", 3),
+        "b.com": ("a.com", 3),
+        "c.com": ("a.com", 3),
+        "d.com": ("d.com", 2),
+        "e.com": ("d.com", 2),
+    }
+
+
+def test_hits_one_iteration_hand_math(spark):
+    from crawlspark import graph
+
+    edges = spark.createDataFrame(
+        [("h1", "a1"), ("h1", "a2"), ("h2", "a1")], ["src", "dst"]
+    )
+    got = {
+        r["node"]: (r["hub"], r["auth"])
+        for r in graph.hits(edges, iters=1).collect()
+    }
+    # n=4, init hub=250000000 each
+    # auth_raw: a1=5e8, a2=2.5e8; tot=7.5e8
+    #   a1 -> round(5e8/7.5e8*1e9)=666666667, a2 -> 333333333
+    # hub_raw: h1=a1+a2=1000000000, h2=a1=666666667; tot=1666666667
+    #   h1 -> round(1e9/1666666667*1e9)=600000000, h2 -> 400000000
+    assert got == {
+        "h1": (0.6, 0.0),
+        "h2": (0.4, 0.0),
+        "a1": (0.0, 0.666667),
+        "a2": (0.0, 0.333333),
+    }
+
+
+def test_hits_authority_ordering_multi_iter(spark):
+    from crawlspark import graph
+
+    # a1 cited by 3 hubs, a2 by 1 -> a1 must dominate after 3 iters;
+    # scores stay normalized (each column sums to ~1e9 nano = ~1.0)
+    edges = spark.createDataFrame(
+        [("h1", "a1"), ("h2", "a1"), ("h3", "a1"), ("h3", "a2")],
+        ["src", "dst"],
+    )
+    got = {r["node"]: r for r in graph.hits(edges, iters=3).collect()}
+    assert got["a1"]["auth"] > got["a2"]["auth"] > 0
+    assert got["h3"]["hub"] > got["h1"]["hub"] > 0
+    assert abs(sum(r["auth"] for r in got.values()) - 1.0) < 1e-6
+    assert abs(sum(r["hub"] for r in got.values()) - 1.0) < 1e-6
