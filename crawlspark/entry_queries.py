@@ -1872,6 +1872,133 @@ def t86_hits(spark, sf_dir):
     return gr.hits(edges, iters=3)
 
 
+def t87_char_entropy(spark, sf_dir):
+    """Per-doc character-level Shannon entropy (textops.char_entropy)
+    in integer micro-nats over the raw documents table — every rounded
+    per-character term is hash-checked through the associative long
+    sum."""
+    d = _t(spark, sf_dir, "documents")
+    return tx.char_entropy(d)
+
+
+def t88_pld_link_stats(spark, sf_dir):
+    """PLD self-promotion audit (graph.pld_link_stats): synthetic
+    subdomain graph s(doc_id%2).d(doc_id%5).com where every 4th doc
+    links CROSS-pld (dom+1) — targets split into all-self (share 1.0,
+    flagged at 0.75) and mixed hosts, so the flag discriminates."""
+    d = _t(spark, sf_dir, "documents")
+    did = F.col("doc_id").cast("long")
+    host = lambda sub, dom: F.concat(  # noqa: E731
+        F.lit("s"), sub.cast("string"),
+        F.lit(".d"), dom.cast("string"), F.lit(".com"),
+    )
+    shift = (did % 4 == 0).cast("long")
+    edges = d.select(
+        host(did % 2, did % 5).alias("src"),
+        host((did + 1) % 2, (did % 5 + shift) % 5).alias("dst"),
+    )
+    return gr.pld_link_stats(edges, min_in=2, self_share_min=0.75)
+
+
+def t89_robots_stats(spark, sf_dir):
+    """robots.txt directive audit (robots.robots_directive_stats): one
+    synthetic robots.txt per source host (doc_id < 20) whose
+    Allow/Disallow/Crawl-delay/Sitemap lines vary by doc_id, with
+    line-anchoring decoys (X-Disallow:, mid-line 'see Disallow:') and
+    non-robots pages carrying real Disallow lines that the url filter
+    must ignore."""
+    d = _t(spark, sf_dir, "documents")
+    did = F.col("doc_id").cast("long")
+    is_r = did < 20
+    url = F.when(
+        is_r,
+        F.concat(F.lit("https://"), F.col("source"),
+                 F.lit(".example.com/robots.txt")),
+    ).otherwise(
+        F.concat(F.lit("https://"), F.col("source"),
+                 F.lit(".example.com/d/"), did.cast("string"))
+    )
+    body = F.when(
+        is_r,
+        F.concat(
+            F.lit("User-agent: *\n"),
+            F.when(did % 2 == 0, F.lit("Allow: /pub\n")).otherwise(F.lit("")),
+            F.lit("Disallow: /private\n"),
+            F.when(did % 3 == 0, F.lit("Disallow: /tmp\n")).otherwise(
+                F.lit("")
+            ),
+            F.when(did % 5 == 0, F.lit("Disallow: /\n")).otherwise(F.lit("")),
+            F.when(
+                did % 3 != 1,
+                F.concat(F.lit("Crawl-delay: "), (did % 7).cast("string"),
+                         F.lit("\n")),
+            ).otherwise(F.lit("")),
+            F.lit("X-Disallow: /decoy\nsee Disallow: inline mention\n"),
+            F.concat(F.lit("Sitemap: https://"), F.col("source"),
+                     F.lit(".example.com/sitemap.xml\n")),
+        ),
+    ).otherwise(F.concat(F.lit("Disallow: /\n"), F.col("text")))
+    pages = d.select(url.alias("url"), body.alias("text"))
+    return rb.robots_directive_stats(pages)
+
+
+def t90_meta_robots(spark, sf_dir):
+    """Page-level indexing directives (textops.meta_robots): html
+    variants cycle noindex+nofollow, content-first attribute order,
+    index+canonical, canonical-only with href-first order, and a
+    name="viewport" decoy whose content must NOT read as robots."""
+    d = _t(spark, sf_dir, "documents")
+    did = F.col("doc_id").cast("long")
+    url = F.concat(F.lit("https://"), F.col("source"),
+                   F.lit(".example.com/d/"), did.cast("string"))
+    html = (
+        F.when(did % 5 == 0,
+               F.lit('<meta name="robots" content="noindex, nofollow">'))
+        .when(did % 5 == 1,
+              F.lit('<meta content="nofollow" name="robots">'))
+        .when(did % 5 == 2,
+              F.lit('<meta name="robots" content="index, follow">'
+                    '<link rel="canonical" href="https://e.com/c">'))
+        .when(did % 5 == 3,
+              F.lit('<link href="https://e.com/c" rel="canonical">'))
+        .otherwise(F.lit('<meta name="viewport" content="noindex">'))
+    )
+    pages = d.select(url.alias("url"), html.alias("html"))
+    return tx.meta_robots(pages)
+
+
+def t91_shard_integrity(spark, sf_dir):
+    """Publishing integrity card (textops.shard_integrity): 8 synthetic
+    shards (doc_id % 8); each shard's digest is the md5 of its docs'
+    content-md5s in doc_id order, so the gate hash-checks the ordered
+    concatenation itself."""
+    d = _t(spark, sf_dir, "documents")
+    did = F.col("doc_id").cast("long")
+    c = d.select(
+        F.concat(F.lit("sh"), (did % 8).cast("string")).alias("shard"),
+        F.col("doc_id"),
+        F.col("text"),
+    )
+    return tx.shard_integrity(c)
+
+
+def t92_script_profile(spark, sf_dir):
+    """Unicode script mix (textops.script_profile): doc_id%7 cycles
+    pure-Cyrillic, half-Latin/half-Cyrillic homoglyph-style mixes,
+    CJK, and digit/punct junk into the corpus so every flag branch
+    (mixed-script, mostly-other, each script column) discriminates."""
+    d = _t(spark, sf_dir, "documents")
+    did = F.col("doc_id").cast("long")
+    text = (
+        F.when(did % 7 == 0, F.lit("привет мир как дела"))
+        .when(did % 7 == 1, F.lit("word слово word слово"))
+        .when(did % 7 == 2, F.lit("汉字测试汉字测试"))
+        .when(did % 7 == 3, F.lit("12345 !!! ### 678"))
+        .otherwise(F.col("text"))
+    )
+    return tx.script_profile(d.select("doc_id", text.alias("text")))
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_filter_project": q02_filter_project,
@@ -1989,6 +2116,12 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "t84_pmi_collocations": t84_pmi_collocations,
     "t85_host_components": t85_host_components,
     "t86_hits": t86_hits,
+    "t87_char_entropy": t87_char_entropy,
+    "t88_pld_link_stats": t88_pld_link_stats,
+    "t89_robots_stats": t89_robots_stats,
+    "t90_meta_robots": t90_meta_robots,
+    "t91_shard_integrity": t91_shard_integrity,
+    "t92_script_profile": t92_script_profile,
 }
 
 # ---------------------------------------------------------------------------
@@ -4719,6 +4852,210 @@ def _hits_oracle_sql(iters: int) -> str:
 
 
 ORACLES["t86_hits"] = _hits_oracle_sql(3)
+
+
+ORACLES["t87_char_entropy"] = """
+    WITH ch AS (
+        SELECT doc_id, unnest(regexp_extract_all(text, '(?s:.)')) AS ch
+        FROM documents
+    ), counts AS (
+        SELECT doc_id, ch, CAST(count(*) AS BIGINT) AS c
+        FROM ch GROUP BY doc_id, ch
+    ), n AS (
+        SELECT doc_id, CAST(sum(c) AS BIGINT) AS n
+        FROM counts GROUP BY doc_id
+    ), terms AS (
+        SELECT counts.doc_id, n.n,
+               CAST(round((0.0 - CAST(c AS DOUBLE) / n.n)
+                          * ln(CAST(c AS DOUBLE) / n.n) * 1e6) AS BIGINT)
+                   AS t
+        FROM counts JOIN n USING (doc_id)
+    )
+    SELECT doc_id,
+           CAST(max(n) AS BIGINT) AS n_chars,
+           CAST(sum(t) AS BIGINT) AS entropy_micro,
+           round(CAST(sum(t) AS DOUBLE) / 1e6, 6) AS entropy
+    FROM terms GROUP BY doc_id
+"""
+
+ORACLES["t88_pld_link_stats"] = """
+    WITH e AS (
+        SELECT 's' || CAST(doc_id % 2 AS VARCHAR)
+                   || '.d' || CAST(doc_id % 5 AS VARCHAR) || '.com' AS src,
+               's' || CAST((doc_id + 1) % 2 AS VARCHAR)
+                   || '.d' || CAST((doc_id % 5
+                        + CASE WHEN doc_id % 4 = 0 THEN 1 ELSE 0 END) % 5
+                        AS VARCHAR) || '.com' AS dst
+        FROM documents
+    ), marked AS (
+        SELECT dst AS host,
+               regexp_extract(dst, '([^.]+\\.[^.]+)$', 1) AS pld,
+               CASE WHEN regexp_extract(src, '([^.]+\\.[^.]+)$', 1)
+                         = regexp_extract(dst, '([^.]+\\.[^.]+)$', 1)
+                    THEN 1 ELSE 0 END AS is_self
+        FROM e WHERE src <> dst
+    ), agg AS (
+        SELECT host, pld, CAST(count(*) AS BIGINT) AS n_in,
+               CAST(sum(is_self) AS BIGINT) AS n_self
+        FROM marked GROUP BY host, pld
+    )
+    SELECT host, pld, n_in, n_self,
+           round(CAST(n_self AS DOUBLE) / n_in, 6) AS self_share,
+           (n_in >= 2 AND round(CAST(n_self AS DOUBLE) / n_in, 6) >= 0.75)
+               AS is_self_promoting
+    FROM agg
+"""
+
+
+ORACLES["t89_robots_stats"] = """
+    WITH pages AS (
+        SELECT CASE WHEN doc_id < 20
+                    THEN 'https://' || source || '.example.com/robots.txt'
+                    ELSE 'https://' || source || '.example.com/d/'
+                         || CAST(doc_id AS VARCHAR) END AS url,
+               CASE WHEN doc_id < 20 THEN
+                    'User-agent: *' || chr(10)
+                    || CASE WHEN doc_id % 2 = 0
+                            THEN 'Allow: /pub' || chr(10) ELSE '' END
+                    || 'Disallow: /private' || chr(10)
+                    || CASE WHEN doc_id % 3 = 0
+                            THEN 'Disallow: /tmp' || chr(10) ELSE '' END
+                    || CASE WHEN doc_id % 5 = 0
+                            THEN 'Disallow: /' || chr(10) ELSE '' END
+                    || CASE WHEN doc_id % 3 <> 1
+                            THEN 'Crawl-delay: '
+                                 || CAST(doc_id % 7 AS VARCHAR) || chr(10)
+                            ELSE '' END
+                    || 'X-Disallow: /decoy' || chr(10)
+                    || 'see Disallow: inline mention' || chr(10)
+                    || 'Sitemap: https://' || source
+                    || '.example.com/sitemap.xml' || chr(10)
+               ELSE 'Disallow: /' || chr(10) || text END AS text
+        FROM documents
+    ), r AS (
+        SELECT regexp_extract(url, '^[a-z][a-z0-9+.-]*://([^/?#]+)', 1)
+                   AS host,
+               CAST(len(regexp_extract_all(text, '(?im)^allow[ \t]*:'))
+                    AS BIGINT) AS n_allow,
+               CAST(len(regexp_extract_all(text, '(?im)^disallow[ \t]*:'))
+                    AS BIGINT) AS n_disallow,
+               CAST(len(regexp_extract_all(text, '(?im)^sitemap[ \t]*:'))
+                    AS BIGINT) AS n_sitemaps,
+               TRY_CAST(regexp_extract(text,
+                   '(?im)^crawl-delay[ \t]*:[ \t]*([0-9.]+)', 1) AS DOUBLE)
+                   AS crawl_delay,
+               regexp_matches(text, '(?im)^disallow[ \t]*:[ \t]*/[ \t\r]*$')
+                   AS blanket_block
+        FROM pages
+        WHERE regexp_matches(url, '^https?://[^/]+/robots\\.txt$')
+    )
+    SELECT host, max(n_allow) AS n_allow, max(n_disallow) AS n_disallow,
+           max(n_sitemaps) AS n_sitemaps, max(crawl_delay) AS crawl_delay,
+           max(blanket_block) AS blanket_block
+    FROM r GROUP BY host
+"""
+
+ORACLES["t90_meta_robots"] = """
+    WITH pages AS (
+        SELECT 'https://' || source || '.example.com/d/'
+                   || CAST(doc_id AS VARCHAR) AS url,
+               CASE doc_id % 5
+                 WHEN 0 THEN '<meta name="robots" content="noindex, nofollow">'
+                 WHEN 1 THEN '<meta content="nofollow" name="robots">'
+                 WHEN 2 THEN '<meta name="robots" content="index, follow">'
+                             || '<link rel="canonical" href="https://e.com/c">'
+                 WHEN 3 THEN '<link href="https://e.com/c" rel="canonical">'
+                 ELSE '<meta name="viewport" content="noindex">'
+               END AS html
+        FROM documents
+    ), ext AS (
+        SELECT url,
+               nullif(coalesce(
+                   nullif(regexp_extract(html,
+                       '(?i)<meta[^>]*name="robots"[^>]*content="([^"]*)"', 1),
+                       ''),
+                   nullif(regexp_extract(html,
+                       '(?i)<meta[^>]*content="([^"]*)"[^>]*name="robots"', 1),
+                       '')), '') AS robots_content,
+               (regexp_matches(html,
+                    '(?i)<link[^>]*rel="canonical"[^>]*href="[^"]+"')
+                OR regexp_matches(html,
+                    '(?i)<link[^>]*href="[^"]+"[^>]*rel="canonical"'))
+                   AS has_canonical
+        FROM pages
+    )
+    SELECT url, robots_content,
+           coalesce(contains(lower(robots_content), 'noindex'), false)
+               AS noindex,
+           coalesce(contains(lower(robots_content), 'nofollow'), false)
+               AS nofollow,
+           has_canonical
+    FROM ext
+"""
+
+
+ORACLES["t91_shard_integrity"] = """
+    WITH per AS (
+        SELECT 'sh' || CAST(doc_id % 8 AS VARCHAR) AS shard,
+               doc_id AS _id, md5(text) AS _fp,
+               CAST(strlen(text) AS BIGINT) AS _b
+        FROM documents
+    )
+    SELECT shard, CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(_b) AS BIGINT) AS total_bytes,
+           md5(string_agg(_fp, '' ORDER BY _id)) AS shard_digest
+    FROM per GROUP BY shard
+"""
+
+
+ORACLES["t92_script_profile"] = """
+    WITH pages AS (
+        SELECT doc_id,
+               CASE doc_id % 7
+                 WHEN 0 THEN 'привет мир как дела'
+                 WHEN 1 THEN 'word слово word слово'
+                 WHEN 2 THEN '汉字测试汉字测试'
+                 WHEN 3 THEN '12345 !!! ### 678'
+                 ELSE text
+               END AS text
+        FROM documents
+    ), c AS (
+        SELECT doc_id,
+               CAST(len(regexp_extract_all(text,
+                   '[A-Za-z\\x{00C0}-\\x{024F}]')) AS BIGINT) AS n_latin,
+               CAST(len(regexp_extract_all(text,
+                   '[\\x{0400}-\\x{04FF}]')) AS BIGINT) AS n_cyrillic,
+               CAST(len(regexp_extract_all(text,
+                   '[\\x{4E00}-\\x{9FFF}\\x{3040}-\\x{30FF}\\x{AC00}-\\x{D7AF}]'))
+                   AS BIGINT) AS n_cjk,
+               CAST(len(regexp_extract_all(text,
+                   '[\\x{0600}-\\x{06FF}]')) AS BIGINT) AS n_arabic,
+               CAST(len(regexp_extract_all(text, '[0-9]')) AS BIGINT)
+                   AS n_digit,
+               CAST(length(text) AS BIGINT) AS n_total
+        FROM pages
+    )
+    SELECT doc_id, n_latin, n_cyrillic, n_cjk, n_arabic, n_digit, n_total,
+           CASE WHEN n_latin + n_cyrillic + n_cjk + n_arabic > 0
+                THEN round(CAST(greatest(n_latin, n_cyrillic, n_cjk,
+                                         n_arabic) AS DOUBLE)
+                           / (n_latin + n_cyrillic + n_cjk + n_arabic), 6)
+           END AS dominant_share,
+           coalesce(
+               CASE WHEN n_latin + n_cyrillic + n_cjk + n_arabic > 0
+                    THEN CAST(n_latin + n_cyrillic + n_cjk + n_arabic
+                              - greatest(n_latin, n_cyrillic, n_cjk,
+                                         n_arabic) AS DOUBLE)
+                         / (n_latin + n_cyrillic + n_cjk + n_arabic) >= 0.1
+               END, false) AS is_mixed_script,
+           round(CAST(n_total - (n_latin + n_cyrillic + n_cjk + n_arabic)
+                      - n_digit AS DOUBLE)
+                 / greatest(n_total, 1), 6) AS other_share,
+           round(CAST(n_total - (n_latin + n_cyrillic + n_cjk + n_arabic)
+                      - n_digit AS DOUBLE)
+                 / greatest(n_total, 1), 6) >= 0.5 AS is_mostly_other
+    FROM c
+"""
 
 
 ORACLES = {k: v for k, v in ORACLES.items() if v is not None}

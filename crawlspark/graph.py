@@ -741,3 +741,56 @@ def hits(edges: DataFrame, iters: int = 3) -> DataFrame:
     nodes.unpersist()
     e.unpersist()
     return out
+
+
+def pld_link_stats(
+    edges: DataFrame,
+    min_in: int = 2,
+    self_share_min: float = 0.8,
+) -> DataFrame:
+    """Self-promotion audit per target host: what share of a host's
+    in-links come from hosts under the SAME registrable (pay-level)
+    domain — the cheap half of TrustRank/anti-spam link analysis (a
+    host whose in-degree is manufactured by its own subdomain farm
+    ranks itself; cross-PLD in-links are the only endorsement signal
+    PageRank should trust). Common Crawl's webgraph releases publish
+    host- AND pld-level graphs for exactly this collapse.
+
+    PLD here = last two dot-labels (honest approximation; a public-
+    suffix-list seam would slot in where the regex is — same contract
+    as textops.lang_id's model slot). Self-loops (src == dst) are
+    dropped: a page linking its own host is navigation, not promotion.
+
+    Scale shape: stateless PLD projection in scan codegen + ONE
+    partial-aggregatable hash-agg to |distinct dst hosts| rows (the
+    same-PLD test is computed per edge BEFORE the shuffle — no join
+    against a component or domain table). Output: (host, pld, n_in,
+    n_self, self_share, is_self_promoting) — flagged when n_in >=
+    ``min_in`` and self_share >= ``self_share_min``.
+    """
+    pld = lambda c: F.regexp_extract(c, r"([^.]+\.[^.]+)$", 1)  # noqa: E731
+    e = edges.filter(F.col("src") != F.col("dst")).select(
+        F.col("dst").alias("host"),
+        pld(F.col("dst")).alias("pld"),
+        (pld(F.col("src")) == pld(F.col("dst")))
+        .cast("long")
+        .alias("is_self"),
+    )
+    agg = e.groupBy("host", "pld").agg(
+        F.count("*").cast("long").alias("n_in"),
+        F.sum("is_self").cast("long").alias("n_self"),
+    )
+    share = F.round(
+        F.col("n_self").cast("double") / F.col("n_in"), 6
+    )
+    return agg.select(
+        "host",
+        "pld",
+        "n_in",
+        "n_self",
+        share.alias("self_share"),
+        (
+            (F.col("n_in") >= int(min_in))
+            & (share >= float(self_share_min))
+        ).alias("is_self_promoting"),
+    )

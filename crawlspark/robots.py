@@ -242,3 +242,59 @@ def sitemap_lastmod(
                 & F.col("lastmod_date").isNotNull())
         .distinct()
     )
+
+
+def robots_directive_stats(
+    pages: DataFrame, url_col: str = "url", text_col: str = "text"
+) -> DataFrame:
+    """Corpus-wide robots.txt audit: per host, how many Allow/Disallow
+    rules it publishes, whether it blanket-blocks (``Disallow: /``),
+    its Crawl-delay, and how many sitemaps it advertises — the
+    frontier-planning card a large crawl computes BEFORE spending
+    budget on a host (a blanket-blocked host's queued URLs are dead
+    weight; a 60 s crawl-delay host can never yield more than
+    1 URL/min no matter the cluster size). The reference consults
+    robots per-request (scrapy's RobotsTxtMiddleware); corpus-scale
+    planning wants the whole relation at once.
+
+    Pure column algebra in scan codegen: line-anchored
+    case-insensitive regexp_counts (an ``X-Disallow:`` decoy or a
+    mid-line mention cannot trip them — the t74 header-anchoring
+    rule), first-match Crawl-delay via try_cast (a malformed delay
+    becomes NULL, never an ANSI throw), one distinct-collapsing
+    hash-agg per host (snapshots repeat; max() keeps the audit
+    deterministic if a host's robots body varies across captures).
+    Output: (host, n_allow, n_disallow, n_sitemaps, crawl_delay,
+    blanket_block).
+    """
+    from .urlfilter import host_col
+
+    t = F.col(text_col)
+    is_robots = F.col(url_col).rlike(r"^https?://[^/]+/robots\.txt$")
+    delay = F.expr(
+        f"try_cast(regexp_extract({text_col}, "
+        r"'(?im)^crawl-delay[ \\t]*:[ \\t]*([0-9.]+)', 1) as double)"
+    )
+    base = pages.filter(is_robots).select(
+        host_col(F.col(url_col)).alias("host"),
+        F.regexp_count(t, F.lit(r"(?im)^allow[ \t]*:")).cast("long").alias(
+            "n_allow"
+        ),
+        F.regexp_count(t, F.lit(r"(?im)^disallow[ \t]*:"))
+        .cast("long")
+        .alias("n_disallow"),
+        F.regexp_count(t, F.lit(r"(?im)^sitemap[ \t]*:"))
+        .cast("long")
+        .alias("n_sitemaps"),
+        delay.alias("crawl_delay"),
+        t.rlike(r"(?im)^disallow[ \t]*:[ \t]*/[ \t\r]*$").alias(
+            "blanket_block"
+        ),
+    )
+    return base.groupBy("host").agg(
+        F.max("n_allow").alias("n_allow"),
+        F.max("n_disallow").alias("n_disallow"),
+        F.max("n_sitemaps").alias("n_sitemaps"),
+        F.max("crawl_delay").alias("crawl_delay"),
+        F.max("blanket_block").alias("blanket_block"),
+    )

@@ -2284,3 +2284,242 @@ def pmi_collocations(
     ).limit(int(top_k))
     w = Window.partitionBy().orderBy(F.desc("pmi_micro"), F.asc("w1"), F.asc("w2"))
     return cut.withColumn("rank", F.row_number().over(w).cast("int"))
+
+
+def char_entropy(
+    documents: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-document character-level Shannon entropy — the cheap junk
+    detector quality pipelines run before tokenization: random/encrypted
+    blobs sit near the alphabet's max entropy, single-character spam and
+    padding near zero, natural language in a stable band (Gopher's
+    symbol-ratio rules are a coarser cut of the same signal). The
+    reference never inspects content statistics.
+
+    Cross-engine determinism (the t58 integer trick): each character's
+    term ``-p·ln(p)`` (p = c/n) is rounded to integer MICRO-NATS before
+    the per-doc sum — long sums are associative, so shard order cannot
+    flip a bit; one divide/round at the end. Docs with empty text have
+    no characters and drop out.
+
+    Scale shape: one explode to (doc, char) — the same cost class as
+    every token explode in this module — then two partial-aggregatable
+    hash-aggs ((doc_id, char) counts collapse map-side; per-doc sum
+    partial-aggregates). No windows, no Python. Output:
+    (doc_id, n_chars, entropy_micro, entropy).
+    """
+    ch = documents.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(
+            F.expr(f"regexp_extract_all({text_col}, '(?s:.)', 0)")
+        ).alias("ch"),
+    )
+    counts = ch.groupBy("doc_id", "ch").agg(
+        F.count("*").cast("long").alias("c")
+    )
+    n = counts.groupBy("doc_id").agg(F.sum("c").alias("n"))
+    p = F.col("c").cast("double") / F.col("n")
+    terms = counts.join(n, "doc_id").select(
+        "doc_id",
+        "n",
+        F.round((F.lit(0.0) - p) * F.log(p) * F.lit(1e6))
+        .cast("long")
+        .alias("t"),
+    )
+    return (
+        terms.groupBy("doc_id")
+        .agg(
+            F.max("n").cast("long").alias("n_chars"),
+            F.sum("t").cast("long").alias("entropy_micro"),
+        )
+        .select(
+            "doc_id",
+            "n_chars",
+            "entropy_micro",
+            F.round(
+                F.col("entropy_micro").cast("double") / F.lit(1e6), 6
+            ).alias("entropy"),
+        )
+    )
+
+
+def meta_robots(
+    pages: DataFrame, url_col: str = "url", html_col: str = "html"
+) -> DataFrame:
+    """Per-page indexing directives from raw HTML: ``<meta
+    name="robots">`` noindex/nofollow flags plus canonical-tag
+    presence — the page-level crawl-control signals robots.txt cannot
+    express (robots.txt gates FETCHING; meta robots gates what the
+    fetched page contributes: a nofollow page must not emit its links
+    into the frontier, a noindex page is fetch-and-discard for a
+    corpus). The reference's spiders parse content fields only and
+    ignore both directives.
+
+    Both attribute orders extract via two regexp_extracts each inside
+    scan codegen (the canonical_links double-quoted-attribute
+    simplification, same contract); flags are substring tests on the
+    lowercased content value. Zero shuffles, zero Python — a
+    stateless projection safe to fuse into any corpus scan. Output:
+    (url, robots_content, noindex, nofollow, has_canonical);
+    robots_content is NULL when no robots meta tag exists (flags then
+    false).
+    """
+    h = F.col("_h")
+    name_first = F.regexp_extract(
+        h, r'(?i)<meta[^>]*name="robots"[^>]*content="([^"]*)"', 1
+    )
+    content_first = F.regexp_extract(
+        h, r'(?i)<meta[^>]*content="([^"]*)"[^>]*name="robots"', 1
+    )
+    content = F.nullif(
+        F.coalesce(F.nullif(name_first, F.lit("")),
+                   F.nullif(content_first, F.lit(""))),
+        F.lit(""),
+    )
+    canon = (
+        h.rlike(r'(?i)<link[^>]*rel="canonical"[^>]*href="[^"]+"')
+        | h.rlike(r'(?i)<link[^>]*href="[^"]+"[^>]*rel="canonical"')
+    )
+    low = F.lower(F.col("robots_content"))
+    return (
+        pages.select(
+            F.col(url_col).alias("url"),
+            F.col(html_col).cast("string").alias("_h"),
+        )
+        .select(
+            "url",
+            content.alias("robots_content"),
+            canon.alias("has_canonical"),
+        )
+        .select(
+            "url",
+            "robots_content",
+            F.coalesce(low.contains("noindex"), F.lit(False)).alias(
+                "noindex"
+            ),
+            F.coalesce(low.contains("nofollow"), F.lit(False)).alias(
+                "nofollow"
+            ),
+            "has_canonical",
+        )
+    )
+
+
+def shard_integrity(
+    corpus: DataFrame,
+    shard_col: str = "shard",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-shard integrity card for corpus publishing: document count,
+    total text bytes, and a deterministic shard digest = md5 of the
+    per-document content-md5s concatenated in ``id_col`` order — what a
+    WET/WARC/packed-shard manifest carries so a consumer can verify a
+    shard without re-reading its neighbors, and what makes two
+    independently produced copies of "the same" corpus provably
+    byte-equal shard by shard (pair with :func:`shard_plan`, which
+    assigns the shards this audits).
+
+    Determinism: the digest orders by the primary key, never by
+    partition layout, so reruns/resumes/engines agree byte for byte.
+    Scale shape: ONE hash-agg per shard; the concatenation payload is
+    O(32 bytes x shard docs) — bounded by the shard size the plan
+    already targets, never the corpus (collect_list carries doc-md5s,
+    not text). Output: (shard, n_docs, total_bytes, shard_digest).
+    """
+    per_doc = corpus.select(
+        F.col(shard_col).alias("shard"),
+        F.col(id_col).alias("_id"),
+        F.md5(F.col(text_col).cast("binary")).alias("_fp"),
+        F.length(F.col(text_col).cast("binary")).cast("long").alias("_b"),
+    )
+    return (
+        per_doc.groupBy("shard")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum("_b").cast("long").alias("total_bytes"),
+            F.md5(
+                F.array_join(
+                    F.transform(
+                        F.array_sort(
+                            F.collect_list(F.struct("_id", "_fp"))
+                        ),
+                        lambda x: x["_fp"],
+                    ),
+                    "",
+                ).cast("binary")
+            ).alias("shard_digest"),
+        )
+    )
+
+
+def script_profile(
+    documents: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    other_min: float = 0.5,
+) -> DataFrame:
+    """Per-document Unicode script mix: counts of Latin / Cyrillic /
+    CJK / Arabic letters, digits, and everything-else, plus the
+    dominant-script share — the script-level complement of lang-ID
+    that catches what trigram models cannot: mixed-script spam
+    (Cyrillic lookalikes inside Latin words — the homoglyph trick),
+    wrong-decode survivors, and CJK/Arabic docs a Latin-trained
+    pipeline should route differently. FastText-class pipelines run
+    exactly this as a pre-filter.
+
+    Scale shape: stateless projection — five regexp_counts over
+    explicit code-point classes in scan codegen, zero shuffles, no
+    Python (the t78 encoding_audit shape). Ranges use \\x{hhhh}
+    class syntax — the one form Java regex and RE2 share (RE2 has no
+    \\uXXXX), so the oracle mirrors the patterns verbatim. ``is_mixed_script`` flags
+    docs whose letters split across >= 2 scripts with the minority
+    above 10%; ``other_share`` >= ``other_min`` flags docs that are
+    mostly non-letter junk. Counts are code points, not bytes, on
+    both engines.
+    """
+    t = F.col(text_col)
+    lat = F.regexp_count(t, F.lit("[A-Za-z\\x{00C0}-\\x{024F}]")).cast("long")
+    cyr = F.regexp_count(t, F.lit("[\\x{0400}-\\x{04FF}]")).cast("long")
+    cjk = F.regexp_count(
+        t, F.lit("[\\x{4E00}-\\x{9FFF}\\x{3040}-\\x{30FF}\\x{AC00}-\\x{D7AF}]")
+    ).cast("long")
+    ara = F.regexp_count(t, F.lit("[\\x{0600}-\\x{06FF}]")).cast("long")
+    dig = F.regexp_count(t, F.lit("[0-9]")).cast("long")
+    total = F.length(t).cast("long")
+    letters = F.col("n_latin") + F.col("n_cyrillic") + F.col("n_cjk") + F.col("n_arabic")
+    top = F.greatest("n_latin", "n_cyrillic", "n_cjk", "n_arabic")
+    base = documents.select(
+        F.col(id_col).alias("doc_id"),
+        lat.alias("n_latin"),
+        cyr.alias("n_cyrillic"),
+        cjk.alias("n_cjk"),
+        ara.alias("n_arabic"),
+        dig.alias("n_digit"),
+        total.alias("n_total"),
+    )
+    return base.select(
+        "doc_id",
+        "n_latin",
+        "n_cyrillic",
+        "n_cjk",
+        "n_arabic",
+        "n_digit",
+        "n_total",
+        F.when(letters > 0,
+               F.round(top.cast("double") / letters, 6)).alias(
+            "dominant_share"
+        ),
+        F.when(
+            letters > 0, (letters - top).cast("double") / letters >= 0.1
+        ).otherwise(F.lit(False)).alias("is_mixed_script"),
+        F.round(
+            (F.col("n_total") - letters - F.col("n_digit")).cast("double")
+            / F.greatest(F.col("n_total"), F.lit(1).cast("long")),
+            6,
+        ).alias("other_share"),
+    ).withColumn(
+        "is_mostly_other", F.col("other_share") >= float(other_min)
+    )

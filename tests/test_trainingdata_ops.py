@@ -2129,5 +2129,142 @@ def test_hits_authority_ordering_multi_iter(spark):
     got = {r["node"]: r for r in graph.hits(edges, iters=3).collect()}
     assert got["a1"]["auth"] > got["a2"]["auth"] > 0
     assert got["h3"]["hub"] > got["h1"]["hub"] > 0
-    assert abs(sum(r["auth"] for r in got.values()) - 1.0) < 1e-6
-    assert abs(sum(r["hub"] for r in got.values()) - 1.0) < 1e-6
+    # each output value is rounded to 6dp, so a 5-node column sum can
+    # sit up to 5 * 0.5e-6 from 1.0 (and the python float sum order
+    # follows collect() order, which varies with session state)
+    assert abs(sum(r["auth"] for r in got.values()) - 1.0) < 5e-6
+    assert abs(sum(r["hub"] for r in got.values()) - 1.0) < 5e-6
+
+
+def test_char_entropy_hand_math(spark):
+    d = spark.createDataFrame(
+        [(0, "aab"), (1, "abcd"), (2, "zzzz")], ["doc_id", "text"]
+    )
+    got = {
+        r["doc_id"]: (r["n_chars"], r["entropy_micro"], r["entropy"])
+        for r in textops.char_entropy(d).collect()
+    }
+    # "aab": -(2/3)ln(2/3)*1e6 -> 270310; -(1/3)ln(1/3)*1e6 -> 366204
+    assert got[0] == (3, 636514, 0.636514)
+    # uniform over 4 chars: 4 * round(-(1/4)ln(1/4)*1e6) = 4*346574
+    assert got[1] == (4, 1386296, 1.386296)
+    # single symbol: ln(1) = 0
+    assert got[2] == (4, 0, 0.0)
+
+
+def test_pld_link_stats_self_vs_cross(spark):
+    from crawlspark import graph
+
+    edges = spark.createDataFrame(
+        [
+            ("a.x.com", "www.x.com"),
+            ("b.x.com", "www.x.com"),
+            ("c.y.com", "www.x.com"),
+            ("a.z.com", "spam.z.com"),
+            ("b.z.com", "spam.z.com"),
+            ("q.q.com", "q.q.com"),  # self-loop dropped
+        ],
+        ["src", "dst"],
+    )
+    got = {
+        r["host"]: (r["pld"], r["n_in"], r["n_self"], r["self_share"],
+                    r["is_self_promoting"])
+        for r in graph.pld_link_stats(edges).collect()
+    }
+    assert got == {
+        "www.x.com": ("x.com", 3, 2, 0.666667, False),
+        "spam.z.com": ("z.com", 2, 2, 1.0, True),
+    }
+
+
+def test_robots_directive_stats_anchoring_and_decoys(spark):
+    from crawlspark import robots as rb
+
+    body = (
+        "User-agent: *\n"
+        "Allow: /pub\n"
+        "Disallow: /private\n"
+        "disallow: /tmp\n"          # case-insensitive
+        "Disallow: / \n"            # blanket (trailing space ok)
+        "X-Disallow: /decoy\n"      # anchored: must not count
+        "see Disallow: inline\n"    # mid-line: must not count
+        "Crawl-delay: 2.5\n"
+        "Sitemap: https://a.com/s.xml\n"
+    )
+    pages = spark.createDataFrame(
+        [
+            ("https://a.com/robots.txt", body),
+            ("https://b.com/robots.txt", "User-agent: *\nDisallow:\n"),
+            ("https://c.com/page", "Disallow: /\nnot a robots file"),
+        ],
+        ["url", "text"],
+    )
+    got = {
+        r["host"]: (r["n_allow"], r["n_disallow"], r["n_sitemaps"],
+                    r["crawl_delay"], r["blanket_block"])
+        for r in rb.robots_directive_stats(pages).collect()
+    }
+    assert got == {
+        "a.com": (1, 3, 1, 2.5, True),
+        "b.com": (0, 1, 0, None, False),
+    }
+
+
+def test_meta_robots_orders_and_decoy(spark):
+    rows = [
+        ("u0", '<meta name="robots" content="NOINDEX, nofollow">'),
+        ("u1", '<meta content="nofollow" name="robots">'),
+        ("u2", '<link rel="canonical" href="https://e.com/c">'),
+        ("u3", '<link href="https://e.com/c" rel="canonical">'),
+        ("u4", '<meta name="viewport" content="noindex">'),
+    ]
+    pages = spark.createDataFrame(rows, ["url", "html"])
+    got = {
+        r["url"]: (r["robots_content"], r["noindex"], r["nofollow"],
+                   r["has_canonical"])
+        for r in textops.meta_robots(pages).collect()
+    }
+    assert got == {
+        "u0": ("NOINDEX, nofollow", True, True, False),
+        "u1": ("nofollow", False, True, False),
+        "u2": (None, False, False, True),
+        "u3": (None, False, False, True),
+        "u4": (None, False, False, False),
+    }
+
+
+def test_shard_integrity_ordered_digest(spark):
+    import hashlib
+
+    rows = [("s1", 2, "bb"), ("s1", 1, "aaa"), ("s2", 3, "c")]
+    d = spark.createDataFrame(rows, ["shard", "doc_id", "text"])
+    got = {
+        r["shard"]: (r["n_docs"], r["total_bytes"], r["shard_digest"])
+        for r in textops.shard_integrity(d).collect()
+    }
+    m = lambda t: hashlib.md5(t.encode()).hexdigest()  # noqa: E731
+    # digest orders by doc_id: md5(md5("aaa") + md5("bb"))
+    assert got == {
+        "s1": (2, 5, m(m("aaa") + m("bb"))),
+        "s2": (1, 1, m(m("c"))),
+    }
+
+
+def test_script_profile_hand_counts(spark):
+    rows = [(0, "ab вг 12 ."), (1, "汉汉汉"), (2, "!!!")]
+    d = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {r["doc_id"]: r for r in textops.script_profile(d).collect()}
+    r0 = got[0]
+    assert (r0["n_latin"], r0["n_cyrillic"], r0["n_digit"],
+            r0["n_total"]) == (2, 2, 2, 10)
+    assert r0["dominant_share"] == 0.5
+    assert r0["is_mixed_script"] is True
+    assert r0["other_share"] == 0.4 and r0["is_mostly_other"] is False
+    r1 = got[1]
+    assert (r1["n_cjk"], r1["dominant_share"], r1["is_mixed_script"]) == (
+        3, 1.0, False)
+    assert r1["other_share"] == 0.0
+    r2 = got[2]
+    assert r2["dominant_share"] is None
+    assert r2["is_mixed_script"] is False
+    assert r2["other_share"] == 1.0 and r2["is_mostly_other"] is True
