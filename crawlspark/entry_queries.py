@@ -1999,6 +1999,51 @@ def t92_script_profile(spark, sf_dir):
     return tx.script_profile(d.select("doc_id", text.alias("text")))
 
 
+def t93_link_reciprocity(spark, sf_dir):
+    """Link-exchange audit (graph.link_reciprocity) over a 10-host ring
+    graph: +1 edges exist in both directions (reciprocated), +2 edges
+    only forward — except host 2's, whose reverse is injected
+    (doc_id%30==2) so exactly one host reaches share 1.0 and flags."""
+    d = _t(spark, sf_dir, "documents")
+    did = F.col("doc_id").cast("long")
+    h = lambda c: F.concat(F.lit("h"), (c % 10).cast("string"))  # noqa: E731
+    edges = d.select(
+        F.when(did % 30 == 2, h(did + 2))
+        .when(did % 3 == 0, h(did))
+        .when(did % 3 == 1, h(did + 1))
+        .otherwise(h(did)).alias("src"),
+        F.when(did % 30 == 2, h(did))
+        .when(did % 3 == 0, h(did + 1))
+        .when(did % 3 == 1, h(did))
+        .otherwise(h(did + 2)).alias("dst"),
+    )
+    return gr.link_reciprocity(edges)
+
+
+def t94_politeness_ceiling(spark, sf_dir):
+    """Politeness-bound throughput plan (scheduler.politeness_ceiling):
+    frontier queue depths synthesized per 20 hosts; robots delays known
+    for 10 of them (0.5..5.0 s), the rest fall back to the 1 s default;
+    bottleneck cut at 30 s drain."""
+    d = _t(spark, sf_dir, "documents")
+    did = F.col("doc_id").cast("long")
+    counts = (
+        d.select(F.concat(F.lit("h"), (did % 20).cast("string")).alias("host"))
+        .groupBy("host")
+        .agg(F.count("*").cast("long").alias("n_queued"))
+    )
+    delays = (
+        d.filter(did < 10)
+        .select(
+            F.concat(F.lit("h"), did.cast("string")).alias("host"),
+            (did.cast("double") * 0.5 + 0.5).alias("crawl_delay"),
+        )
+    )
+    return sched.politeness_ceiling(
+        counts, delays, default_delay=1.0, bottleneck_seconds=30.0
+    )
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_filter_project": q02_filter_project,
@@ -2122,6 +2167,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "t90_meta_robots": t90_meta_robots,
     "t91_shard_integrity": t91_shard_integrity,
     "t92_script_profile": t92_script_profile,
+    "t93_link_reciprocity": t93_link_reciprocity,
+    "t94_politeness_ceiling": t94_politeness_ceiling,
 }
 
 # ---------------------------------------------------------------------------
@@ -5055,6 +5102,63 @@ ORACLES["t92_script_profile"] = """
                       - n_digit AS DOUBLE)
                  / greatest(n_total, 1), 6) >= 0.5 AS is_mostly_other
     FROM c
+"""
+
+
+ORACLES["t93_link_reciprocity"] = """
+    WITH e AS (
+        SELECT CASE
+                 WHEN doc_id % 30 = 2 THEN 'h' || CAST((doc_id + 2) % 10 AS VARCHAR)
+                 WHEN doc_id % 3 = 0 THEN 'h' || CAST(doc_id % 10 AS VARCHAR)
+                 WHEN doc_id % 3 = 1 THEN 'h' || CAST((doc_id + 1) % 10 AS VARCHAR)
+                 ELSE 'h' || CAST(doc_id % 10 AS VARCHAR)
+               END AS src,
+               CASE
+                 WHEN doc_id % 30 = 2 THEN 'h' || CAST(doc_id % 10 AS VARCHAR)
+                 WHEN doc_id % 3 = 0 THEN 'h' || CAST((doc_id + 1) % 10 AS VARCHAR)
+                 WHEN doc_id % 3 = 1 THEN 'h' || CAST(doc_id % 10 AS VARCHAR)
+                 ELSE 'h' || CAST((doc_id + 2) % 10 AS VARCHAR)
+               END AS dst
+        FROM documents
+    ), pairs AS (
+        SELECT DISTINCT src AS a, dst AS b FROM e WHERE src <> dst
+    ), agg AS (
+        SELECT p.a AS host, CAST(count(*) AS BIGINT) AS n_out_hosts,
+               CAST(sum(CASE WHEN r.a IS NOT NULL THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_reciprocal
+        FROM pairs p
+        LEFT JOIN pairs r ON r.a = p.b AND r.b = p.a
+        GROUP BY p.a
+    )
+    SELECT host, n_out_hosts, n_reciprocal,
+           round(CAST(n_reciprocal AS DOUBLE) / n_out_hosts, 6)
+               AS reciprocal_share,
+           (n_out_hosts >= 2
+            AND round(CAST(n_reciprocal AS DOUBLE) / n_out_hosts, 6) >= 0.8)
+               AS is_link_exchange
+    FROM agg
+"""
+
+ORACLES["t94_politeness_ceiling"] = """
+    WITH counts AS (
+        SELECT 'h' || CAST(doc_id % 20 AS VARCHAR) AS host,
+               CAST(count(*) AS BIGINT) AS n_queued
+        FROM documents GROUP BY 1
+    ), delays AS (
+        SELECT 'h' || CAST(doc_id AS VARCHAR) AS host,
+               CAST(doc_id AS DOUBLE) * 0.5 + 0.5 AS crawl_delay
+        FROM documents WHERE doc_id < 10
+    ), j AS (
+        SELECT c.host, c.n_queued,
+               coalesce(d.crawl_delay, 1.0) AS delay
+        FROM counts c LEFT JOIN delays d ON c.host = d.host
+    )
+    SELECT host, n_queued,
+           round(delay, 6) AS crawl_delay,
+           round(1.0 / delay, 6) AS max_rate,
+           round(CAST(n_queued AS DOUBLE) * delay, 6) AS drain_seconds,
+           (CAST(n_queued AS DOUBLE) * delay >= 30.0) AS is_bottleneck
+    FROM j
 """
 
 

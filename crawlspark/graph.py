@@ -794,3 +794,61 @@ def pld_link_stats(
             & (share >= float(self_share_min))
         ).alias("is_self_promoting"),
     )
+
+
+def link_reciprocity(
+    edges: DataFrame,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    min_out: int = 2,
+    reciprocal_share_min: float = 0.8,
+) -> DataFrame:
+    """Link-exchange audit per source host: how many of the DISTINCT
+    hosts it links to link back — organic web linking is strongly
+    asymmetric (reciprocity on the host graph is low), while link-
+    exchange rings ("you link me, I link you") sit near 1.0, which is
+    why reciprocal-share is a standard link-spam feature alongside
+    :func:`pld_link_stats`' self-promotion share (TrustRank-family
+    systems compute both before letting PageRank spend trust).
+
+    Scale shape: collapse to the DISTINCT directed host-pair relation
+    first (one hash-agg — weights don't matter for reciprocity, so the
+    shuffle carries |distinct pairs|, never raw links), then ONE
+    self-equi-join on the reversed pair (left semi — O(pairs), AQE
+    shards it) and one hash-agg per source host. Self-loops dropped.
+    Output: (host, n_out_hosts, n_reciprocal, reciprocal_share,
+    is_link_exchange) — flagged when n_out_hosts >= ``min_out`` and
+    share >= ``reciprocal_share_min``.
+    """
+    pairs = (
+        edges.filter(F.col(src_col) != F.col(dst_col))
+        .select(F.col(src_col).alias("a"), F.col(dst_col).alias("b"))
+        .distinct()
+    )
+    rev = pairs.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    marked = pairs.join(rev, ["a", "b"], "left_semi").select(
+        "a", "b", F.lit(1).cast("long").alias("r")
+    )
+    agg = (
+        pairs.join(marked.select("a", "b", "r"), ["a", "b"], "left")
+        .groupBy(F.col("a").alias("host"))
+        .agg(
+            F.count("*").cast("long").alias("n_out_hosts"),
+            F.sum(F.coalesce("r", F.lit(0))).cast("long").alias(
+                "n_reciprocal"
+            ),
+        )
+    )
+    share = F.round(
+        F.col("n_reciprocal").cast("double") / F.col("n_out_hosts"), 6
+    )
+    return agg.select(
+        "host",
+        "n_out_hosts",
+        "n_reciprocal",
+        share.alias("reciprocal_share"),
+        (
+            (F.col("n_out_hosts") >= int(min_out))
+            & (share >= float(reciprocal_share_min))
+        ).alias("is_link_exchange"),
+    )

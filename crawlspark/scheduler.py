@@ -766,3 +766,52 @@ def frontier_age_report(
             F.col("n_urls").cast("double") / F.sum("n_urls").over(w), 6
         ).alias("share"),
     )
+
+
+def politeness_ceiling(
+    queue_counts: DataFrame,
+    delays: DataFrame | None = None,
+    default_delay: float = 1.0,
+    bottleneck_seconds: float = 3600.0,
+) -> DataFrame:
+    """The politeness-bound throughput plan — the planning card behind
+    the north-star framing itself (the reference's 0.60 URL/s is
+    politeness-bound, not compute-bound): per host, the maximum
+    sustainable fetch rate is ``1 / crawl_delay`` regardless of cluster
+    size, so a frontier's drain time is ``n_queued x crawl_delay`` and
+    the CRAWL-WIDE ceiling is ``sum(1/delay)`` over hosts with work —
+    adding executors past that buys nothing (scale the host count, not
+    the cluster). Every large crawler plans against this identity; the
+    engine's admission budgets (N1-N3) enforce it per round, this
+    operator exposes it per frontier.
+
+    Input: ``queue_counts`` (host, n_queued) — e.g. the frontier's
+    queued counts; ``delays`` (host, crawl_delay) — e.g.
+    :func:`crawlspark.robots.robots_directive_stats` output; missing or
+    NULL delays fall back to ``default_delay``. One left join + pure
+    column algebra, zero windows. Output: (host, n_queued,
+    crawl_delay, max_rate, drain_seconds, is_bottleneck) — flagged
+    when a single host alone needs more than ``bottleneck_seconds`` to
+    drain politely (the long-tail host that dominates crawl wall time;
+    route it to revisit/requeue policy instead of waiting).
+    """
+    q = queue_counts.select(
+        F.col("host"), F.col("n_queued").cast("long").alias("n_queued")
+    )
+    if delays is not None:
+        d = delays.select("host", F.col("crawl_delay").cast("double"))
+        q = q.join(d, "host", "left")
+    else:
+        q = q.withColumn("crawl_delay", F.lit(None).cast("double"))
+    delay = F.coalesce(F.col("crawl_delay"), F.lit(float(default_delay)))
+    return q.select(
+        "host",
+        "n_queued",
+        F.round(delay, 6).alias("crawl_delay"),
+        F.round(F.lit(1.0) / delay, 6).alias("max_rate"),
+        F.round(F.col("n_queued").cast("double") * delay, 6).alias(
+            "drain_seconds"
+        ),
+        (F.col("n_queued").cast("double") * delay
+         >= float(bottleneck_seconds)).alias("is_bottleneck"),
+    )

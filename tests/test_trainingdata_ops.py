@@ -2268,3 +2268,41 @@ def test_script_profile_hand_counts(spark):
     assert r2["dominant_share"] is None
     assert r2["is_mixed_script"] is False
     assert r2["other_share"] == 1.0 and r2["is_mostly_other"] is True
+
+
+def test_link_reciprocity_hand_counts(spark):
+    from crawlspark import graph
+
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "a"), ("a", "c"), ("c", "c"), ("a", "b")],
+        ["src", "dst"],
+    )
+    got = {
+        r["host"]: (r["n_out_hosts"], r["n_reciprocal"],
+                    r["reciprocal_share"], r["is_link_exchange"])
+        for r in graph.link_reciprocity(edges, min_out=1).collect()
+    }
+    # a -> {b, c}: b reciprocates, c does not; duplicate a->b collapses;
+    # c's only edge is a dropped self-loop so c has no out row
+    assert got == {
+        "a": (2, 1, 0.5, False),
+        "b": (1, 1, 1.0, True),
+    }
+
+
+def test_politeness_ceiling_defaults_and_bottleneck(spark):
+    from crawlspark import scheduler
+
+    q = spark.createDataFrame([("x", 10), ("y", 5)], ["host", "n_queued"])
+    d = spark.createDataFrame([("x", 2.0)], ["host", "crawl_delay"])
+    got = {
+        r["host"]: (r["crawl_delay"], r["max_rate"], r["drain_seconds"],
+                    r["is_bottleneck"])
+        for r in scheduler.politeness_ceiling(
+            q, d, default_delay=1.0, bottleneck_seconds=10.0
+        ).collect()
+    }
+    assert got == {
+        "x": (2.0, 0.5, 20.0, True),
+        "y": (1.0, 1.0, 5.0, False),
+    }
