@@ -2044,6 +2044,71 @@ def t94_politeness_ceiling(spark, sf_dir):
     )
 
 
+def t95_apply_canonical(spark, sf_dir):
+    """Canonical consolidation, applying half (graph.apply_canonical):
+    pages live on doc-derived hosts h(doc_id%20) so the absolute-branch
+    canonical (the decade-first doc's TRUE url) IS in corpus — those
+    aliases drop and their targets accumulate n_aliases; the
+    root-relative branch resolves to a same-host url of the NEXT doc
+    (never in corpus — hosts cycle mod 20), exercising the
+    keep-and-discover branch; self and directory-relative branches
+    survive."""
+    d = _t(spark, sf_dir, "documents")
+    did = F.col("doc_id").cast("long")
+    page = lambda i: F.concat(  # noqa: E731
+        F.lit("https://h"), (i % 20).cast("string"),
+        F.lit(".example.com/d/"), i.cast("string"),
+    )
+    html = (
+        F.when(
+            did % 4 == 0,
+            F.concat(F.lit('<p>x</p><link rel="canonical" href="'),
+                     page(did - did % 10), F.lit('">')),
+        )
+        .when(
+            did % 4 == 1,
+            F.concat(F.lit('<link rel="canonical" href="/d/'),
+                     (did + 1).cast("string"), F.lit('">')),
+        )
+        .when(
+            did % 4 == 2,
+            F.concat(F.lit('<link href="'), page(did),
+                     F.lit('" rel="canonical">')),
+        )
+        .otherwise(
+            F.concat(F.lit('<link rel="canonical" href="c'),
+                     (did % 5).cast("string"), F.lit('.html">'))
+        )
+    )
+    return gr.apply_canonical(
+        d.select(page(did).alias("url"), html.alias("html"))
+    )
+
+
+def t96_round_admission_plan(spark, sf_dir):
+    """Full admission composition (scheduler.round_admission_plan):
+    min(largest-remainder score budget, floor(round_wall/crawl_delay),
+    queue depth) per host — 20 hosts, scores k%4 (zero-score hosts
+    keep their queue with budget 0), robots delays for 10 hosts, 1 s
+    default for the rest."""
+    d = _t(spark, sf_dir, "documents")
+    did = F.col("doc_id").cast("long")
+    host = F.concat(F.lit("h"), (did % 20).cast("string"))
+    counts = d.select(host.alias("host")).groupBy("host").agg(
+        F.count("*").cast("long").alias("n_queued")
+    )
+    scores = d.select(
+        host.alias("host"), ((did % 20) % 4).cast("double").alias("score")
+    ).distinct()
+    delays = d.filter(did < 10).select(
+        F.concat(F.lit("h"), did.cast("string")).alias("host"),
+        (did.cast("double") * 0.5 + 0.5).alias("crawl_delay"),
+    )
+    return sched.round_admission_plan(
+        counts, scores, total_budget=300, round_wall=20.0, delays=delays
+    )
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_filter_project": q02_filter_project,
@@ -2169,6 +2234,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "t92_script_profile": t92_script_profile,
     "t93_link_reciprocity": t93_link_reciprocity,
     "t94_politeness_ceiling": t94_politeness_ceiling,
+    "t95_apply_canonical": t95_apply_canonical,
+    "t96_round_admission_plan": t96_round_admission_plan,
 }
 
 # ---------------------------------------------------------------------------
@@ -5158,6 +5225,119 @@ ORACLES["t94_politeness_ceiling"] = """
            round(1.0 / delay, 6) AS max_rate,
            round(CAST(n_queued AS DOUBLE) * delay, 6) AS drain_seconds,
            (CAST(n_queued AS DOUBLE) * delay >= 30.0) AS is_bottleneck
+    FROM j
+"""
+
+
+ORACLES["t95_apply_canonical"] = """
+    WITH pages AS (
+        SELECT 'https://h' || CAST(doc_id % 20 AS VARCHAR)
+                   || '.example.com/d/' || CAST(doc_id AS VARCHAR) AS url,
+               CASE
+                 WHEN doc_id % 4 = 0 THEN
+                   '<p>x</p><link rel="canonical" href="https://h'
+                   || CAST((doc_id - doc_id % 10) % 20 AS VARCHAR)
+                   || '.example.com/d/'
+                   || CAST(doc_id - doc_id % 10 AS VARCHAR) || '">'
+                 WHEN doc_id % 4 = 1 THEN
+                   '<link rel="canonical" href="/d/'
+                   || CAST(doc_id + 1 AS VARCHAR) || '">'
+                 WHEN doc_id % 4 = 2 THEN
+                   '<link href="https://h' || CAST(doc_id % 20 AS VARCHAR)
+                   || '.example.com/d/' || CAST(doc_id AS VARCHAR)
+                   || '" rel="canonical">'
+                 ELSE
+                   '<link rel="canonical" href="c'
+                   || CAST(doc_id % 5 AS VARCHAR) || '.html">'
+               END AS html
+        FROM documents
+    ), ex AS (
+        SELECT url,
+               nullif(coalesce(
+                   nullif(regexp_extract(html,
+                       '<link[^>]*rel="canonical"[^>]*href="([^"]+)"', 1),
+                       ''),
+                   nullif(regexp_extract(html,
+                       '<link[^>]*href="([^"]+)"[^>]*rel="canonical"', 1),
+                       '')), '') AS href,
+               regexp_extract(url, '^([a-z][a-z0-9+.-]*):', 1) AS scheme,
+               regexp_extract(url,
+                   '^([a-z][a-z0-9+.-]*://[^/?#]+)', 1) AS origin,
+               regexp_extract(url,
+                   '^([a-z][a-z0-9+.-]*://[^?#]*/)', 1) AS dirpfx
+        FROM pages
+    ), res AS (
+        SELECT url,
+               CASE
+                 WHEN regexp_matches(href, '^https?://') THEN href
+                 WHEN href LIKE '//%' THEN scheme || ':' || href
+                 WHEN href LIKE '/%' THEN origin || href
+                 ELSE coalesce(nullif(dirpfx, ''), origin || '/') || href
+               END AS canonical_url
+        FROM ex WHERE href IS NOT NULL
+    ), mem AS (SELECT DISTINCT url FROM pages)
+    , drops AS (
+        SELECT r.url, r.canonical_url
+        FROM res r JOIN mem m ON m.url = r.canonical_url
+        WHERE r.canonical_url <> r.url
+    ), surv AS (
+        SELECT p.url FROM mem p
+        LEFT JOIN drops d ON d.url = p.url
+        WHERE d.url IS NULL
+    ), cnt AS (
+        SELECT canonical_url AS url, CAST(count(*) AS BIGINT) AS n
+        FROM drops GROUP BY canonical_url
+    )
+    SELECT s.url, coalesce(c.n, CAST(0 AS BIGINT)) AS n_aliases
+    FROM surv s LEFT JOIN cnt c ON c.url = s.url
+"""
+
+ORACLES["t96_round_admission_plan"] = """
+    WITH counts AS (
+        SELECT 'h' || CAST(doc_id % 20 AS VARCHAR) AS host,
+               CAST(count(*) AS BIGINT) AS n_queued
+        FROM documents GROUP BY 1
+    ), scores AS (
+        SELECT DISTINCT 'h' || CAST(doc_id % 20 AS VARCHAR) AS host,
+               CAST((doc_id % 20) % 4 AS DOUBLE) AS score
+        FROM documents
+    ), delays AS (
+        SELECT 'h' || CAST(doc_id AS VARCHAR) AS host,
+               CAST(doc_id AS DOUBLE) * 0.5 + 0.5 AS crawl_delay
+        FROM documents WHERE doc_id < 10
+    ), p AS (
+        SELECT host, score FROM scores WHERE score > 0
+    ), tot AS (SELECT CAST(sum(score) AS DOUBLE) AS tot FROM p),
+    qta AS (
+        SELECT host, CAST(300 AS DOUBLE) * CAST(score AS DOUBLE) / tot.tot
+                   AS quota
+        FROM p CROSS JOIN tot
+    ), b AS (
+        SELECT host, CAST(floor(quota) AS BIGINT) AS base,
+               quota - floor(quota) AS rem
+        FROM qta
+    ), l AS (SELECT 300 - sum(base) AS leftover FROM b),
+    r AS (
+        SELECT host, base, rem,
+               row_number() OVER (ORDER BY rem DESC, host ASC) AS rnk
+        FROM b
+    ), budget AS (
+        SELECT host,
+               CAST(base + CASE WHEN rnk <= l.leftover THEN 1 ELSE 0 END
+                    AS BIGINT) AS budget
+        FROM r CROSS JOIN l
+    ), j AS (
+        SELECT c.host, c.n_queued,
+               coalesce(bu.budget, CAST(0 AS BIGINT)) AS budget,
+               CAST(floor(20.0 / coalesce(d.crawl_delay, 1.0)) AS BIGINT)
+                   AS politeness_cap
+        FROM counts c
+        LEFT JOIN delays d ON c.host = d.host
+        LEFT JOIN budget bu ON c.host = bu.host
+    )
+    SELECT host, n_queued, budget, politeness_cap,
+           least(budget, politeness_cap, n_queued) AS admitted,
+           n_queued - least(budget, politeness_cap, n_queued) AS leftover
     FROM j
 """
 

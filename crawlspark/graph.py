@@ -852,3 +852,38 @@ def link_reciprocity(
             & (share >= float(reciprocal_share_min))
         ).alias("is_link_exchange"),
     )
+
+
+def apply_canonical(
+    pages: DataFrame,
+    url_col: str = "url",
+    html_col: str = "html",
+) -> DataFrame:
+    """The APPLYING half of :func:`canonical_links` (the t29/t17
+    producing/audit split): consolidate the corpus onto canonical
+    representatives — every page whose canonical tag points at a
+    DIFFERENT in-corpus URL is dropped, and each survivor carries how
+    many aliases collapsed onto it. Pages that are their own
+    canonical, carry no tag, or point outside the corpus all survive
+    (an out-of-corpus canonical is a frontier DISCOVERY, not a drop —
+    feed it to ingest_urls).
+
+    Scale shape: inherits canonical_links (regex extraction in scan
+    codegen, one membership equi-join), plus one anti-join to drop
+    aliases and one |targets|-bounded hash-agg joined back for the
+    alias counts — O(corpus) end to end, no windows. Output:
+    (url, n_aliases) — one row per surviving page.
+    """
+    links = canonical_links(pages, url_col=url_col, html_col=html_col)
+    drops = links.filter(
+        (~F.col("is_self")) & F.col("target_in_corpus")
+    ).select("url", "canonical_url")
+    survivors = pages.select(F.col(url_col).alias("url")).distinct().join(
+        drops.select("url"), "url", "left_anti"
+    )
+    counts = drops.groupBy(F.col("canonical_url").alias("url")).agg(
+        F.count("*").cast("long").alias("n_aliases")
+    )
+    return survivors.join(counts, "url", "left").select(
+        "url", F.coalesce("n_aliases", F.lit(0).cast("long")).alias("n_aliases")
+    )

@@ -815,3 +815,61 @@ def politeness_ceiling(
         (F.col("n_queued").cast("double") * delay
          >= float(bottleneck_seconds)).alias("is_bottleneck"),
     )
+
+
+def round_admission_plan(
+    queue_counts: DataFrame,
+    host_scores: DataFrame,
+    total_budget: int,
+    round_wall: float,
+    delays: DataFrame | None = None,
+    default_delay: float = 1.0,
+) -> DataFrame:
+    """The full per-round admission composition — the three planning
+    planes this engine computes, intersected the way a real scheduler
+    must: a host's admitted fetch count is
+    ``min(score budget, politeness cap, queue depth)`` where the score
+    budget is :func:`crawl_budget_plan`'s largest-remainder share of
+    ``total_budget``, the politeness cap is
+    ``floor(round_wall / crawl_delay)`` (the :func:`politeness_ceiling`
+    identity applied to one round), and the queue depth is what the
+    frontier actually holds. The three caps come from three different
+    planes (link/quality analysis, robots, frontier state); any
+    scheduler that applies fewer over- or under-crawls some host.
+
+    Scale shape: every input is a per-host aggregate; one
+    crawl_budget_plan (windows over |hosts|), two left equi-joins,
+    pure column algebra — no new windows. Output: (host, n_queued,
+    budget, politeness_cap, admitted, leftover) where leftover =
+    n_queued - admitted stays for the next round. Hosts with no
+    positive score get budget 0 (crawl_budget_plan's contract) but
+    still appear, carrying their queue.
+    """
+    q = queue_counts.select(
+        "host", F.col("n_queued").cast("long").alias("n_queued")
+    )
+    b = crawl_budget_plan(host_scores, total_budget).select("host", "budget")
+    if delays is not None:
+        d = delays.select("host", F.col("crawl_delay").cast("double"))
+        q = q.join(d, "host", "left")
+    else:
+        q = q.withColumn("crawl_delay", F.lit(None).cast("double"))
+    delay = F.coalesce(F.col("crawl_delay"), F.lit(float(default_delay)))
+    cap = F.floor(F.lit(float(round_wall)) / delay).cast("long")
+    admitted = F.least(
+        F.coalesce(F.col("budget"), F.lit(0).cast("long")),
+        F.col("_cap"),
+        F.col("n_queued"),
+    )
+    return (
+        q.join(b, "host", "left")
+        .withColumn("_cap", cap)
+        .select(
+            "host",
+            "n_queued",
+            F.coalesce("budget", F.lit(0).cast("long")).alias("budget"),
+            F.col("_cap").alias("politeness_cap"),
+            admitted.alias("admitted"),
+            (F.col("n_queued") - admitted).alias("leftover"),
+        )
+    )

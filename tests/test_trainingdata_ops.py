@@ -2306,3 +2306,51 @@ def test_politeness_ceiling_defaults_and_bottleneck(spark):
         "x": (2.0, 0.5, 20.0, True),
         "y": (1.0, 1.0, 5.0, False),
     }
+
+
+def test_apply_canonical_drops_aliases_counts_survivors(spark):
+    from crawlspark import graph
+
+    mk = '<link rel="canonical" href="%s">'
+    rows = [
+        ("https://s.com/a", mk % "https://s.com/b"),   # alias of b -> drop
+        ("https://s.com/b", mk % "https://s.com/b"),   # self -> keep
+        ("https://s.com/c", "<p>no tag</p>"),          # no tag -> keep
+        ("https://s.com/d", mk % "https://x.com/out"), # external -> keep
+    ]
+    pages = spark.createDataFrame(rows, ["url", "html"])
+    got = {
+        r["url"]: r["n_aliases"]
+        for r in graph.apply_canonical(pages).collect()
+    }
+    assert got == {
+        "https://s.com/b": 1,
+        "https://s.com/c": 0,
+        "https://s.com/d": 0,
+    }
+
+
+def test_round_admission_plan_three_caps(spark):
+    from crawlspark import scheduler
+
+    q = spark.createDataFrame(
+        [("x", 10), ("y", 50), ("z", 5)], ["host", "n_queued"]
+    )
+    s = spark.createDataFrame(
+        [("x", 1.0), ("y", 3.0), ("z", 0.0)], ["host", "score"]
+    )
+    d = spark.createDataFrame([("y", 2.0)], ["host", "crawl_delay"])
+    got = {
+        r["host"]: (r["budget"], r["politeness_cap"], r["admitted"],
+                    r["leftover"])
+        for r in scheduler.round_admission_plan(
+            q, s, total_budget=40, round_wall=20.0, delays=d
+        ).collect()
+    }
+    # budgets: x 10, y 30 (largest-remainder over scores 1:3), z 0
+    # caps: x floor(20/1)=20, y floor(20/2)=10, z 20
+    assert got == {
+        "x": (10, 20, 10, 0),
+        "y": (30, 10, 10, 40),
+        "z": (0, 20, 0, 5),
+    }
