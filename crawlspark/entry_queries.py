@@ -2109,6 +2109,53 @@ def t96_round_admission_plan(spark, sf_dir):
     )
 
 
+def t97_retry_outcomes(spark, sf_dir):
+    """N9 retry-funnel observable (scheduler.retry_outcome_report):
+    synthetic fetch log where url k's attempt count is k%4+1 (tiers
+    0-3 all populated) and the final attempt's status mixes 2xx/503 —
+    the per-tier success-rate curve that prices the retry budget."""
+    d = _t(spark, sf_dir, "documents")
+    did = F.col("doc_id").cast("long")
+    log = d.select(
+        F.concat(F.lit("u"), (did % 100).cast("string")).alias("url"),
+        F.floor(did / 100).cast("long").alias("retry_count"),
+        F.when((did * 3) % 7 < 3, F.lit(200)).otherwise(F.lit(503)).alias(
+            "status"
+        ),
+    ).filter(F.col("retry_count") <= (did % 100) % 4)
+    return sched.retry_outcome_report(log)
+
+
+def t98_robots_churn(spark, sf_dir):
+    """robots.txt churn audit (robots.robots_churn): every third doc is
+    a robots capture for host h(doc_id%20) at ts=doc_id; hosts with
+    host%4==1 keep a stable body (changed=false), the rest alternate
+    versions by capture epoch; non-robots decoys carry Disallow lines
+    the url filter must ignore."""
+    d = _t(spark, sf_dir, "documents")
+    did = F.col("doc_id").cast("long")
+    is_r = did % 3 == 0
+    url = F.when(
+        is_r,
+        F.concat(F.lit("https://h"), (did % 20).cast("string"),
+                 F.lit(".example.com/robots.txt")),
+    ).otherwise(
+        F.concat(F.lit("https://h"), (did % 20).cast("string"),
+                 F.lit(".example.com/d/"), did.cast("string"))
+    )
+    body = F.when(
+        is_r & ((did % 20) % 4 == 1),
+        F.lit("User-agent: *\nDisallow: /stable"),
+    ).when(
+        is_r,
+        F.concat(F.lit("User-agent: *\nDisallow: /v"),
+                 F.when(did % 40 < 20, F.lit("A")).otherwise(F.lit("B"))),
+    ).otherwise(F.concat(F.lit("Disallow: /decoy\n"), F.col("text")))
+    pages = d.select(url.alias("url"), did.alias("warc_ts"),
+                     body.alias("text"))
+    return rb.robots_churn(pages)
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_filter_project": q02_filter_project,
@@ -2236,6 +2283,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "t94_politeness_ceiling": t94_politeness_ceiling,
     "t95_apply_canonical": t95_apply_canonical,
     "t96_round_admission_plan": t96_round_admission_plan,
+    "t97_retry_outcomes": t97_retry_outcomes,
+    "t98_robots_churn": t98_robots_churn,
 }
 
 # ---------------------------------------------------------------------------
@@ -5339,6 +5388,70 @@ ORACLES["t96_round_admission_plan"] = """
            least(budget, politeness_cap, n_queued) AS admitted,
            n_queued - least(budget, politeness_cap, n_queued) AS leftover
     FROM j
+"""
+
+
+ORACLES["t97_retry_outcomes"] = """
+    WITH log AS (
+        SELECT 'u' || CAST(doc_id % 100 AS VARCHAR) AS url,
+               CAST(floor(doc_id / 100) AS BIGINT) AS r,
+               CASE WHEN (doc_id * 3) % 7 < 3 THEN 200 ELSE 503 END AS s
+        FROM documents
+        WHERE floor(doc_id / 100) <= (doc_id % 100) % 4
+    ), fin AS (
+        SELECT url, r, s,
+               row_number() OVER (PARTITION BY url
+                                  ORDER BY r DESC, s DESC) AS rn
+        FROM log
+    ), per AS (
+        SELECT url, r AS retry_count,
+               CASE WHEN s >= 200 AND s < 300 THEN 1 ELSE 0 END AS ok
+        FROM fin WHERE rn = 1
+    )
+    SELECT retry_count, CAST(count(*) AS BIGINT) AS n_urls,
+           CAST(sum(ok) AS BIGINT) AS n_success,
+           round(CAST(sum(ok) AS DOUBLE) / count(*), 6) AS success_rate
+    FROM per GROUP BY retry_count
+"""
+
+ORACLES["t98_robots_churn"] = """
+    WITH pages AS (
+        SELECT CASE WHEN doc_id % 3 = 0
+                    THEN 'https://h' || CAST(doc_id % 20 AS VARCHAR)
+                         || '.example.com/robots.txt'
+                    ELSE 'https://h' || CAST(doc_id % 20 AS VARCHAR)
+                         || '.example.com/d/' || CAST(doc_id AS VARCHAR)
+               END AS url,
+               CAST(doc_id AS BIGINT) AS ts,
+               CASE WHEN doc_id % 3 = 0 AND (doc_id % 20) % 4 = 1
+                    THEN 'User-agent: *' || chr(10) || 'Disallow: /stable'
+                    WHEN doc_id % 3 = 0
+                    THEN 'User-agent: *' || chr(10) || 'Disallow: /v'
+                         || CASE WHEN doc_id % 40 < 20 THEN 'A' ELSE 'B' END
+                    ELSE 'Disallow: /decoy' || chr(10) || text
+               END AS text
+        FROM documents
+    ), r AS (
+        SELECT regexp_extract(url, '^[a-z][a-z0-9+.-]*://([^/?#]+)', 1)
+                   AS host,
+               ts,
+               md5(lower(regexp_replace(text, '\\s+', ' ', 'g'))) AS fp
+        FROM pages
+        WHERE regexp_matches(url, '^https?://[^/]+/robots\\.txt$')
+    ), marked AS (
+        SELECT host, ts, fp,
+               row_number() OVER (PARTITION BY host ORDER BY ts ASC, fp ASC)
+                   AS rn_first,
+               row_number() OVER (PARTITION BY host ORDER BY ts DESC, fp DESC)
+                   AS rn_last
+        FROM r
+    )
+    SELECT host,
+           CAST(count(*) AS BIGINT) AS n_captures,
+           CAST(count(DISTINCT fp) AS BIGINT) AS n_versions,
+           max(CASE WHEN rn_first = 1 THEN fp END)
+               <> max(CASE WHEN rn_last = 1 THEN fp END) AS changed
+    FROM marked GROUP BY host
 """
 
 

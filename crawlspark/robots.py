@@ -298,3 +298,49 @@ def robots_directive_stats(
         F.max("crawl_delay").alias("crawl_delay"),
         F.max("blanket_block").alias("blanket_block"),
     )
+
+
+def robots_churn(
+    pages: DataFrame,
+    url_col: str = "url",
+    ts_col: str = "warc_ts",
+    text_col: str = "text",
+) -> DataFrame:
+    """robots.txt churn audit: per host, how many DISTINCT robots
+    bodies the capture history holds and whether the LATEST capture
+    differs from the earliest — hosts that rewrite their robots.txt
+    need tighter re-fetch cadence (a cached-robots crawl against a
+    changed policy is a compliance bug, the exact failure CC's
+    robots-refresh interval exists to bound). The reference caches
+    robots per process lifetime and never revisits.
+
+    One min/max(struct(ts, fingerprint)) + countDistinct hash-agg per
+    host (partial-aggregated; repeated identical captures collapse
+    map-side via the fingerprint). Output: (host, n_captures,
+    n_versions, changed) — changed = first and last capture carry
+    different body fingerprints.
+    """
+    from .urlfilter import host_col
+    from .textops import doc_fingerprint
+
+    is_robots = F.col(url_col).rlike(r"^https?://[^/]+/robots\.txt$")
+    base = pages.filter(is_robots).select(
+        host_col(F.col(url_col)).alias("host"),
+        F.col(ts_col).cast("long").alias("ts"),
+        doc_fingerprint(F.col(text_col)).alias("fp"),
+    )
+    return (
+        base.groupBy("host")
+        .agg(
+            F.count("*").cast("long").alias("n_captures"),
+            F.countDistinct("fp").cast("long").alias("n_versions"),
+            F.min(F.struct("ts", "fp")).alias("_first"),
+            F.max(F.struct("ts", "fp")).alias("_last"),
+        )
+        .select(
+            "host",
+            "n_captures",
+            "n_versions",
+            (F.col("_first.fp") != F.col("_last.fp")).alias("changed"),
+        )
+    )

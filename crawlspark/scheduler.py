@@ -873,3 +873,58 @@ def round_admission_plan(
             (F.col("n_queued") - admitted).alias("leftover"),
         )
     )
+
+
+def retry_outcome_report(
+    fetch_log: DataFrame,
+    url_col: str = "url",
+    retry_col: str = "retry_count",
+    status_col: str = "status",
+) -> DataFrame:
+    """The N9 retry-policy observable: per retry tier (0 = first
+    attempt, 1 = first retry, ...), how many urls landed there and what
+    share ultimately succeeded — the curve that says whether retries
+    are EARNING anything (a flat success rate across tiers means the
+    failures are permanent and the retry budget is pure politeness-
+    window waste; the reference's RETRY_TIMES=3 is a blind constant,
+    this measures what it buys). Feed it back into
+    CrawlConfig.max_retries.
+
+    Per url the FINAL attempt decides the outcome: one lexicographic
+    max(struct(retry, status)) hash-agg collapses the log to |urls|
+    (partial-aggregated map-side; the oracle replays it as a
+    row_number window), then one bounded hash-agg to |tiers| rows. Success = 2xx status on the final
+    attempt. Output: (retry_count, n_urls, n_success, success_rate)
+    sorted-free (driver compare is order-insensitive).
+    """
+    per_url = (
+        fetch_log.select(
+            F.col(url_col).alias("url"),
+            F.col(retry_col).cast("long").alias("r"),
+            F.col(status_col).cast("long").alias("s"),
+        )
+        .groupBy("url")
+        .agg(F.max(F.struct("r", "s")).alias("_m"))
+        .select(
+            "url",
+            F.col("_m.r").alias("retry_count"),
+            ((F.col("_m.s") >= 200) & (F.col("_m.s") < 300))
+            .cast("long")
+            .alias("ok"),
+        )
+    )
+    return (
+        per_url.groupBy("retry_count")
+        .agg(
+            F.count("*").cast("long").alias("n_urls"),
+            F.sum("ok").cast("long").alias("n_success"),
+        )
+        .select(
+            "retry_count",
+            "n_urls",
+            "n_success",
+            F.round(
+                F.col("n_success").cast("double") / F.col("n_urls"), 6
+            ).alias("success_rate"),
+        )
+    )

@@ -2354,3 +2354,43 @@ def test_round_admission_plan_three_caps(spark):
         "y": (30, 10, 10, 40),
         "z": (0, 20, 0, 5),
     }
+
+
+def test_retry_outcome_report_final_attempt_decides(spark):
+    from crawlspark import scheduler
+
+    log = spark.createDataFrame(
+        [
+            ("u1", 0, 503), ("u1", 1, 200),   # recovered on retry 1
+            ("u2", 0, 200),                   # first-attempt success
+            ("u3", 0, 503), ("u3", 1, 503),   # still failing at tier 1
+        ],
+        ["url", "retry_count", "status"],
+    )
+    got = {
+        r["retry_count"]: (r["n_urls"], r["n_success"], r["success_rate"])
+        for r in scheduler.retry_outcome_report(log).collect()
+    }
+    assert got == {0: (1, 1, 1.0), 1: (2, 1, 0.5)}
+
+
+def test_robots_churn_versions_and_change_flag(spark):
+    from crawlspark import robots as rb
+
+    rows = [
+        ("https://a.com/robots.txt", 1, "Disallow: /x"),
+        ("https://a.com/robots.txt", 2, "Disallow: /y"),
+        ("https://a.com/robots.txt", 3, "Disallow: /y"),
+        ("https://b.com/robots.txt", 1, "Disallow: /z"),
+        ("https://b.com/robots.txt", 9, "Disallow:  /z"),  # ws-normalized same
+        ("https://c.com/page", 1, "Disallow: /w"),          # not robots
+    ]
+    d = spark.createDataFrame(rows, ["url", "warc_ts", "text"])
+    got = {
+        r["host"]: (r["n_captures"], r["n_versions"], r["changed"])
+        for r in rb.robots_churn(d).collect()
+    }
+    assert got == {
+        "a.com": (3, 2, True),
+        "b.com": (2, 1, False),
+    }
