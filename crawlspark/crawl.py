@@ -404,6 +404,7 @@ def run_round(
     budget_scale: float = 1.0,
     backend=None,
     queued_before: int | None = None,
+    robots_count: int | None = None,
 ) -> dict:
     """Execute one round; returns metric counts.
 
@@ -441,7 +442,8 @@ def run_round(
     # cache the resolved state: both the pop slice and the denied branch
     # derive from it, and the merge-on-read window must not run twice
     state = state.cache()
-    sliced, denied = pop_slice(state, robots, cfg, budget_scale)
+    sliced, denied = pop_slice(state, robots, cfg, budget_scale,
+                               robots_count=robots_count)
     # caching makes each branch compute once inside the tee job: union
     # branches that share a cached subtree block on the BlockManager's
     # per-partition load lock instead of recomputing it. The caches are

@@ -372,19 +372,22 @@ def c05_host_quota(spark, sf_dir):
 
 def c06_dns_map(spark, sf_dir):
     """N6 DNS prefetch, end-to-end through the REAL engine path: distinct
-    hosts -> driver-side DnsCache(DeterministicResolver) prefetch ->
-    broadcast {host: addr} join (dns.with_addrs). The oracle recomputes
-    the resolver's md5-derived fake IPv4 in pure DuckDB SQL — an
-    independent implementation of the same contract, so a hash match
-    verifies the cache, the prefetch bounding, and the join plumbing."""
-    from .dns import DeterministicResolver, DnsCache, with_addrs
+    hosts -> DISTRIBUTED mapInPandas resolve (one DeterministicResolver +
+    TTL cache per python worker — dns.resolve_hosts, the r5 shape with no
+    driver-side collect) -> size-gated broadcast {host: addr} join
+    (dns.with_addrs). The oracle recomputes the resolver's md5-derived
+    fake IPv4 in pure DuckDB SQL — an independent implementation of the
+    same contract, so a hash match verifies the worker-side resolution,
+    the prefetch bounding, and the join plumbing."""
+    from .dns import DeterministicResolver, with_addrs
 
     e = _t(spark, sf_dir, "events")
     slice_df = e.select(
         F.concat(F.lit("h"), F.pmod(F.col("user_id"), F.lit(128)).cast("string"),
                  F.lit(".example.org")).alias("host")
     ).distinct()
-    out = with_addrs(spark, slice_df, DnsCache(DeterministicResolver()))
+    out = with_addrs(spark, slice_df, resolver_factory=DeterministicResolver,
+                     n_hosts_hint=128)
     return out.select("host", "addr")
 
 
@@ -2023,8 +2026,10 @@ def t93_link_reciprocity(spark, sf_dir):
 def t94_politeness_ceiling(spark, sf_dir):
     """Politeness-bound throughput plan (scheduler.politeness_ceiling):
     frontier queue depths synthesized per 20 hosts; robots delays known
-    for 10 of them (0.5..5.0 s), the rest fall back to the 1 s default;
-    bottleneck cut at 30 s drain."""
+    for 10 of them (0.0..4.5 s — host h0 serves ``Crawl-delay: 0``,
+    exercising the nonpositive-delay clamp to default so max_rate never
+    divides by zero), the rest fall back to the 1 s default; bottleneck
+    cut at 30 s drain."""
     d = _t(spark, sf_dir, "documents")
     did = F.col("doc_id").cast("long")
     counts = (
@@ -2036,7 +2041,7 @@ def t94_politeness_ceiling(spark, sf_dir):
         d.filter(did < 10)
         .select(
             F.concat(F.lit("h"), did.cast("string")).alias("host"),
-            (did.cast("double") * 0.5 + 0.5).alias("crawl_delay"),
+            (did.cast("double") * 0.5).alias("crawl_delay"),
         )
     )
     return sched.politeness_ceiling(
@@ -2089,8 +2094,10 @@ def t96_round_admission_plan(spark, sf_dir):
     """Full admission composition (scheduler.round_admission_plan):
     min(largest-remainder score budget, floor(round_wall/crawl_delay),
     queue depth) per host — 20 hosts, scores k%4 (zero-score hosts
-    keep their queue with budget 0), robots delays for 10 hosts, 1 s
-    default for the rest."""
+    keep their queue with budget 0), robots delays for 10 hosts (h0's
+    is a served ``Crawl-delay: 0`` — the clamp must keep its
+    politeness_cap finite instead of NULL-dropping it from the min),
+    1 s default for the rest."""
     d = _t(spark, sf_dir, "documents")
     did = F.col("doc_id").cast("long")
     host = F.concat(F.lit("h"), (did % 20).cast("string"))
@@ -2102,7 +2109,7 @@ def t96_round_admission_plan(spark, sf_dir):
     ).distinct()
     delays = d.filter(did < 10).select(
         F.concat(F.lit("h"), did.cast("string")).alias("host"),
-        (did.cast("double") * 0.5 + 0.5).alias("crawl_delay"),
+        (did.cast("double") * 0.5).alias("crawl_delay"),
     )
     return sched.round_admission_plan(
         counts, scores, total_budget=300, round_wall=20.0, delays=delays
@@ -4805,7 +4812,7 @@ ORACLES["t80_hreflang"] = """
 """
 
 ORACLES["t81_web_clean"] = """
-    WITH pages AS (
+    WITH pages0 AS (
         SELECT 'https://' || source || '.example.com/d/'
                    || CAST(doc_id AS VARCHAR) AS url,
                CASE
@@ -4816,6 +4823,9 @@ ORACLES["t81_web_clean"] = """
                  ELSE text
                END AS text
         FROM documents
+    ), pages AS (
+        -- refetch collapse: deterministic min(text) per url (engine twin)
+        SELECT url, min(text) AS text FROM pages0 GROUP BY url
     ), s404 AS (
         SELECT url,
                (regexp_matches(lower(text),
@@ -5262,11 +5272,12 @@ ORACLES["t94_politeness_ceiling"] = """
         FROM documents GROUP BY 1
     ), delays AS (
         SELECT 'h' || CAST(doc_id AS VARCHAR) AS host,
-               CAST(doc_id AS DOUBLE) * 0.5 + 0.5 AS crawl_delay
+               CAST(doc_id AS DOUBLE) * 0.5 AS crawl_delay
         FROM documents WHERE doc_id < 10
     ), j AS (
         SELECT c.host, c.n_queued,
-               coalesce(d.crawl_delay, 1.0) AS delay
+               CASE WHEN d.crawl_delay > 0 THEN d.crawl_delay
+                    ELSE 1.0 END AS delay
         FROM counts c LEFT JOIN delays d ON c.host = d.host
     )
     SELECT host, n_queued,
@@ -5352,7 +5363,7 @@ ORACLES["t96_round_admission_plan"] = """
         FROM documents
     ), delays AS (
         SELECT 'h' || CAST(doc_id AS VARCHAR) AS host,
-               CAST(doc_id AS DOUBLE) * 0.5 + 0.5 AS crawl_delay
+               CAST(doc_id AS DOUBLE) * 0.5 AS crawl_delay
         FROM documents WHERE doc_id < 10
     ), p AS (
         SELECT host, score FROM scores WHERE score > 0
@@ -5378,8 +5389,9 @@ ORACLES["t96_round_admission_plan"] = """
     ), j AS (
         SELECT c.host, c.n_queued,
                coalesce(bu.budget, CAST(0 AS BIGINT)) AS budget,
-               CAST(floor(20.0 / coalesce(d.crawl_delay, 1.0)) AS BIGINT)
-                   AS politeness_cap
+               CAST(floor(20.0 / CASE WHEN d.crawl_delay > 0
+                                      THEN d.crawl_delay ELSE 1.0 END)
+                    AS BIGINT) AS politeness_cap
         FROM counts c
         LEFT JOIN delays d ON c.host = d.host
         LEFT JOIN budget bu ON c.host = bu.host

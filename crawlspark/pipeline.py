@@ -103,9 +103,21 @@ def web_clean(
     adds one min(struct) hash-agg + one semi-join — O(corpus), winner
     partial-aggregated map-side. Output: surviving (url, text,
     n_collapsed_lines) rows, text being the collapsed bytes.
+
+    Input urls need not be unique: refetches of the same page (several
+    rows per url) are collapsed FIRST to the lexicographically-min text
+    per url — without this, duplicate urls would fan out quadratically
+    through the two url equi-joins below and the final left_semi would
+    keep every copy of the winning url (ADVICE r4). min(text) rather
+    than dropDuplicates keeps the winner deterministic (dropDuplicates
+    picks an arbitrary row, which would break cross-engine hash parity).
+    One extra partial-aggregated hash-agg; a no-op on the declared
+    unique-by-url corpus shape.
     """
-    base = pages.select(
-        F.col(url_col).alias("url"), F.col(text_col).alias("text")
+    base = (
+        pages.select(F.col(url_col).alias("url"), F.col(text_col).alias("text"))
+        .groupBy("url")
+        .agg(F.min("text").alias("text"))
     )
     s404 = tx.soft404_stats(base, short_frac=soft404_short_frac).select(
         "url", "is_soft404"

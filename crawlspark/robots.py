@@ -271,10 +271,11 @@ def robots_directive_stats(
 
     t = F.col(text_col)
     is_robots = F.col(url_col).rlike(r"^https?://[^/]+/robots\.txt$")
-    delay = F.expr(
-        f"try_cast(regexp_extract({text_col}, "
-        r"'(?im)^crawl-delay[ \\t]*:[ \\t]*([0-9.]+)', 1) as double)"
-    )
+    # column API (not a string-formatted F.expr): survives column names
+    # that would need backticks, matches the module's style (ADVICE r4)
+    delay = F.regexp_extract(
+        t, r"(?im)^crawl-delay[ \t]*:[ \t]*([0-9.]+)", 1
+    ).try_cast("double")
     base = pages.filter(is_robots).select(
         host_col(F.col(url_col)).alias("host"),
         F.regexp_count(t, F.lit(r"(?im)^allow[ \t]*:")).cast("long").alias(

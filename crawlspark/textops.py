@@ -2474,11 +2474,15 @@ def script_profile(
     explicit code-point classes in scan codegen, zero shuffles, no
     Python (the t78 encoding_audit shape). Ranges use \\x{hhhh}
     class syntax — the one form Java regex and RE2 share (RE2 has no
-    \\uXXXX), so the oracle mirrors the patterns verbatim. ``is_mixed_script`` flags
-    docs whose letters split across >= 2 scripts with the minority
-    above 10%; ``other_share`` >= ``other_min`` flags docs that are
-    mostly non-letter junk. Counts are code points, not bytes, on
-    both engines.
+    \\uXXXX), so the oracle mirrors the patterns verbatim.
+    ``is_mixed_script`` flags docs whose COMBINED non-dominant letter
+    share reaches 10% — 89/6/5% Latin/Cyrillic/CJK flags even though no
+    single minority script reaches 10% (deliberate: injected-junk docs
+    usually spread the noise over several scripts; the combined share is
+    1 - dominant_share, the quantity a router thresholds).
+    ``other_share`` >= ``other_min`` flags docs that are mostly
+    non-letter junk. Counts are code points, not bytes, on both
+    engines.
     """
     t = F.col(text_col)
     lat = F.regexp_count(t, F.lit("[A-Za-z\\x{00C0}-\\x{024F}]")).cast("long")

@@ -2049,6 +2049,27 @@ def test_web_clean_composition_order_and_winners(spark):
     }
 
 
+def test_web_clean_duplicate_urls_no_fanout(spark):
+    """ADVICE r4: refetches of the same url (duplicate input rows) must
+    neither fan out through the url equi-joins nor emit multiple copies
+    of a winning url; the kept text is the deterministic min per url."""
+    from crawlspark import pipeline as pl
+
+    w9 = " ".join(["w"] * 9)
+    rows = [
+        ("https://a.com/1", w9 + " v2"),   # refetch, lexicographically later
+        ("https://a.com/1", w9 + " v1"),   # min(text) winner
+        ("https://a.com/1", w9 + " v2"),   # a third copy
+        ("https://a.com/2", "t\nt\nu"),
+    ]
+    d = spark.createDataFrame(rows, ["url", "text"])
+    out = pl.web_clean(d).collect()
+    got = {r["url"]: (r["text"], r["n_collapsed_lines"]) for r in out}
+    assert len(out) == len(got) == 2  # exactly one row per surviving url
+    assert got["https://a.com/1"] == (w9 + " v1", 0)
+    assert got["https://a.com/2"] == ("t\nu", 1)
+
+
 def test_pmi_collocations_hand_math(spark):
     rows = [(0, "new york a"), (1, "new york b"), (2, "a b")]
     d = spark.createDataFrame(rows, ["doc_id", "text"])
