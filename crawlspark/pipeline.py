@@ -43,14 +43,18 @@ def corpus_prep(
 
     ``scorer`` (textops.TextScorer) swaps the language/quality models:
     default = the oracle-checkable heuristics (t14 stays hash-exact); a
-    real fastText/KenLM model plugs in via textops.PandasScorer without
-    touching this pipeline.
+    real fastText/KenLM model plugs in via textops.PandasScorer, and the
+    in-engine TRAINED NB trigram classifier via textops.NBScorer (t69's
+    model driving the t14-shaped pipeline) — all through the scorer's
+    ``annotate`` hook, no pipeline changes. For pure-column scorers the
+    hook compiles to exactly the filter expressions used before.
     """
     scorer = scorer or tx.HeuristicScorer()
-    base = documents.filter(
-        (scorer.lang_col(F.col("text")) == lang)
-        & (scorer.quality_col(F.col("text")) >= min_quality)
-    ).select("doc_id", "text")
+    base = (
+        scorer.annotate(documents, text_col="text", id_col="doc_id")
+        .filter((F.col("_lang") == lang) & (F.col("_quality") >= min_quality))
+        .select("doc_id", "text")
+    )
 
     # exact dedup: canonical representative per fingerprint
     keep_exact = (
