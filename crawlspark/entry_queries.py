@@ -2163,6 +2163,58 @@ def t98_robots_churn(spark, sf_dir):
     return rb.robots_churn(pages)
 
 
+def t99_sitemap_coverage(spark, sf_dir):
+    """Sitemap-vs-crawl completeness card (robots.sitemap_coverage):
+    each doc's host advertises the doc's own url in a sitemap page, plus
+    a ghost url (never crawled) for every third doc — per host the
+    coverage ratio must count the ghosts as uncrawled and everything
+    else as hit, through the real sitemap_entries extraction."""
+    d = _t(spark, sf_dir, "documents")
+    did = F.col("doc_id").cast("long")
+    hp = F.concat(F.lit("https://"), F.col("source"), F.lit(".example.com"))
+    docurl = F.concat(hp, F.lit("/d/"), did.cast("string"))
+    smurl = F.concat(hp, F.lit("/sitemap-"), did.cast("string"),
+                     F.lit(".xml"))
+    body = F.concat(
+        F.lit("<url><loc>"), docurl, F.lit("</loc></url>"),
+        F.when(
+            did % 3 == 0,
+            F.concat(F.lit("<url><loc>"), hp, F.lit("/ghost/"),
+                     did.cast("string"), F.lit("</loc></url>")),
+        ).otherwise(F.lit("")),
+    )
+    pages = d.select(smurl.alias("url"), body.alias("text"))
+    crawled = d.select(docurl.alias("url"))
+    return rb.sitemap_coverage(pages, crawled)
+
+
+def t100_group_quality_wilson(spark, sf_dir):
+    """Wilson-lower-bound quality roll-up (textops.group_quality_wilson):
+    per source, the share of long docs (n_chars >= 300) with the
+    small-sample-honest confidence bound — the float chain (sqrt
+    included) must agree with the oracle to 6 dp."""
+    d = _t(spark, sf_dir, "documents")
+    rows = d.select(
+        F.col("source").alias("host"),
+        (F.col("n_chars") >= 300).alias("is_good"),
+    )
+    return tx.group_quality_wilson(rows, group_col="host",
+                                   good_col="is_good", z=1.96)
+
+
+def t101_length_drift_psi(spark, sf_dir):
+    """Population-stability drift between two corpus halves
+    (textops.length_drift_psi): snapshot A = even doc_ids, B = odd, over
+    a 50-char-wide length histogram; per-bucket PSI terms in integer
+    micro-nats (the cross-engine determinism contract)."""
+    d = _t(spark, sf_dir, "documents")
+    did = F.col("doc_id").cast("long")
+    a = d.filter(did % 2 == 0).select("n_chars")
+    b = d.filter(did % 2 == 1).select("n_chars")
+    return tx.length_drift_psi(a, b, len_col="n_chars", bucket_width=50,
+                               n_buckets=20)
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_filter_project": q02_filter_project,
@@ -2292,6 +2344,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "t96_round_admission_plan": t96_round_admission_plan,
     "t97_retry_outcomes": t97_retry_outcomes,
     "t98_robots_churn": t98_robots_churn,
+    "t99_sitemap_coverage": t99_sitemap_coverage,
+    "t100_group_quality_wilson": t100_group_quality_wilson,
+    "t101_length_drift_psi": t101_length_drift_psi,
 }
 
 # ---------------------------------------------------------------------------
@@ -5466,5 +5521,96 @@ ORACLES["t98_robots_churn"] = """
     FROM marked GROUP BY host
 """
 
+
+ORACLES["t99_sitemap_coverage"] = """
+    WITH sm AS (
+        SELECT 'https://' || source || '.example.com' AS hp, doc_id
+        FROM documents
+    ), pages AS (
+        SELECT hp || '/sitemap-' || CAST(doc_id AS VARCHAR) || '.xml'
+                   AS url,
+               '<url><loc>' || hp || '/d/' || CAST(doc_id AS VARCHAR)
+                   || '</loc></url>'
+                   || CASE WHEN doc_id % 3 = 0
+                           THEN '<url><loc>' || hp || '/ghost/'
+                                || CAST(doc_id AS VARCHAR) || '</loc></url>'
+                           ELSE '' END AS text
+        FROM sm
+    ), crawled AS (
+        SELECT DISTINCT hp || '/d/' || CAST(doc_id AS VARCHAR) AS loc
+        FROM sm
+    ), ex AS (
+        SELECT regexp_extract(url, '^[a-z][a-z0-9+.-]*://([^/?#]+)', 1)
+                   AS host,
+               unnest(regexp_extract_all(text,
+                   '(?i)<loc>[ \\t\\r\\n]*([^< \\t\\r\\n]+)[ \\t\\r\\n]*</loc>',
+                   1)) AS loc
+        FROM pages
+        WHERE regexp_matches(url,
+            '^https?://[^/]+[^?#]*sitemap[^/?#]*\\.xml$')
+    ), adv AS (
+        SELECT DISTINCT host, loc FROM ex
+    ), fl AS (
+        SELECT a.host,
+               CASE WHEN c.loc IS NOT NULL THEN 1 ELSE 0 END AS hit
+        FROM adv a LEFT JOIN crawled c ON a.loc = c.loc
+    )
+    SELECT host,
+           CAST(count(*) AS BIGINT) AS n_advertised,
+           CAST(sum(hit) AS BIGINT) AS n_crawled,
+           CAST(count(*) - sum(hit) AS BIGINT) AS n_uncrawled,
+           round(CAST(sum(hit) AS DOUBLE) / count(*), 6) AS coverage
+    FROM fl GROUP BY host
+"""
+
+ORACLES["t100_group_quality_wilson"] = """
+    WITH agg AS (
+        SELECT source AS host,
+               CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(CASE WHEN n_chars >= 300 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_good
+        FROM documents GROUP BY source
+    )
+    SELECT host, n, n_good,
+           round(CAST(n_good AS DOUBLE) / CAST(n AS DOUBLE), 6) AS p_hat,
+           round(
+             (CAST(n_good AS DOUBLE) / CAST(n AS DOUBLE)
+              + (1.96 * 1.96) / (2.0 * CAST(n AS DOUBLE))
+              - 1.96 * sqrt(
+                  (CAST(n_good AS DOUBLE) / CAST(n AS DOUBLE)
+                   * (1.0 - CAST(n_good AS DOUBLE) / CAST(n AS DOUBLE))
+                   + (1.96 * 1.96) / (4.0 * CAST(n AS DOUBLE)))
+                  / CAST(n AS DOUBLE)))
+             / (1.0 + (1.96 * 1.96) / CAST(n AS DOUBLE)),
+           6) AS wilson_lb
+    FROM agg
+"""
+
+ORACLES["t101_length_drift_psi"] = """
+    WITH u AS (
+        SELECT least(CAST(floor(CAST(n_chars AS DOUBLE) / 50.0) AS BIGINT),
+                     CAST(19 AS BIGINT)) AS bucket,
+               doc_id % 2 AS s
+        FROM documents
+    ), per AS (
+        SELECT bucket,
+               CAST(sum(CASE WHEN s = 0 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_a,
+               CAST(sum(CASE WHEN s = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_b
+        FROM u GROUP BY bucket
+    ), t AS (
+        SELECT bucket, n_a, n_b,
+               (CAST(n_a AS DOUBLE) + 1.0)
+                   / (sum(CAST(n_a AS DOUBLE)) OVER () + 20.0) AS p,
+               (CAST(n_b AS DOUBLE) + 1.0)
+                   / (sum(CAST(n_b AS DOUBLE)) OVER () + 20.0) AS q
+        FROM per
+    )
+    SELECT bucket, n_a, n_b,
+           CAST(round((p - q) * ln(p / q) * 1e6, 0) AS BIGINT)
+               AS psi_term_micro
+    FROM t
+"""
 
 ORACLES = {k: v for k, v in ORACLES.items() if v is not None}

@@ -189,6 +189,60 @@ def sitemap_entries(
     )
 
 
+def sitemap_coverage(
+    pages: DataFrame,
+    crawled: DataFrame,
+    url_col: str = "url",
+    text_col: str = "text",
+    crawled_url_col: str = "url",
+) -> DataFrame:
+    """Sitemap-vs-crawl completeness card: per host, how many of the
+    URLs it ADVERTISES in its fetched sitemaps (``<loc>`` entries,
+    :func:`sitemap_entries`) actually exist in the crawled corpus — the
+    audit that closes the bootstrap loop from the other side
+    (sitemap_urls/sitemap_entries SEED the frontier; this measures what
+    the crawl did with the advertisement). Low coverage on a high-value
+    host = frontier starvation or admission caps biting; advertised
+    URLs the corpus lacks are exactly the re-seed list. The reference
+    never reads sitemaps at all (robots_parser.py stops at allow/deny).
+
+    Shape: the advertised set is bounded by sitemap bodies (a corpus
+    subset); membership is ONE left join against the distinct crawled
+    urls (un-hinted — AQE broadcasts a small crawl, shuffle-joins a
+    10^10-URL one) folded into ONE per-host hash-agg — the advertised
+    relation is consumed once, no second pass. Output: (host,
+    n_advertised, n_crawled, n_uncrawled, coverage) with coverage
+    rounded to 6 dp.
+    """
+    # distinct per (host, loc): the same URL advertised from several
+    # sitemap pages of one host (index + leaf) counts once
+    adv = sitemap_entries(pages, url_col, text_col).select(
+        "host", "loc"
+    ).distinct()
+    hits = crawled.select(
+        F.col(crawled_url_col).alias("loc")
+    ).distinct().withColumn("_hit", F.lit(1))
+    flagged = adv.join(hits, "loc", "left")
+    return (
+        flagged.groupBy("host")
+        .agg(
+            F.count("*").cast("long").alias("n_advertised"),
+            F.sum(F.coalesce(F.col("_hit"), F.lit(0)))
+            .cast("long")
+            .alias("n_crawled"),
+        )
+        .select(
+            "host",
+            "n_advertised",
+            "n_crawled",
+            (F.col("n_advertised") - F.col("n_crawled")).alias("n_uncrawled"),
+            F.round(
+                F.col("n_crawled").cast("double") / F.col("n_advertised"), 6
+            ).alias("coverage"),
+        )
+    )
+
+
 def sitemap_lastmod(
     pages: "DataFrame", url_col: str = "url", text_col: str = "text"
 ) -> "DataFrame":

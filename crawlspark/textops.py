@@ -2586,3 +2586,104 @@ def script_profile(
     ).withColumn(
         "is_mostly_other", F.col("other_share") >= float(other_min)
     )
+
+
+def group_quality_wilson(
+    rows: DataFrame,
+    group_col: str = "host",
+    good_col: str = "is_good",
+    z: float = 1.96,
+) -> DataFrame:
+    """Per-group quality roll-up with a Wilson score lower bound — the
+    small-sample-honest version of the per-domain quality share (t35's
+    domain_stats reports raw means; a host with 2/2 good docs should NOT
+    outrank one with 95/100, and at web scale MOST hosts are tiny-sample:
+    the long tail of a 10^8-host crawl has a handful of pages each).
+    Rank/filter hosts by ``wilson_lb`` instead of ``p_hat`` and the
+    long-tail noise stops deciding the corpus mix.
+
+        wilson_lb = (p + z^2/2n - z*sqrt((p(1-p) + z^2/4n)/n)) / (1 + z^2/n)
+
+    Input: any relation with a group column and a boolean ``good_col``
+    (e.g. quality_score >= tau, or an NBScorer verdict). One
+    partial-aggregated hash-agg to |groups| rows, then pure column
+    algebra on the tiny aggregate — the +,*,/,sqrt chain is evaluated
+    with the SAME parenthesization the DuckDB oracle uses, so the
+    6-dp rounding matches bit-for-bit (IEEE doubles, correctly-rounded
+    sqrt on both engines). Output: (group, n, n_good, p_hat, wilson_lb).
+    """
+    zz = float(z) * float(z)
+    agg = rows.groupBy(F.col(group_col).alias("grp")).agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum(F.when(F.col(good_col), 1).otherwise(0)).cast("long").alias(
+            "n_good"
+        ),
+    )
+    n = F.col("n").cast("double")
+    p = F.col("n_good").cast("double") / n
+    lb = (
+        p + F.lit(zz) / (2.0 * n)
+        - F.lit(float(z)) * F.sqrt((p * (1.0 - p) + F.lit(zz) / (4.0 * n)) / n)
+    ) / (1.0 + F.lit(zz) / n)
+    return agg.select(
+        F.col("grp").alias(group_col),
+        "n",
+        "n_good",
+        F.round(p, 6).alias("p_hat"),
+        F.round(lb, 6).alias("wilson_lb"),
+    )
+
+
+def length_drift_psi(
+    corpus_a: DataFrame,
+    corpus_b: DataFrame,
+    len_col: str = "n_chars",
+    bucket_width: int = 200,
+    n_buckets: int = 20,
+) -> DataFrame:
+    """Population Stability Index between two corpus snapshots over a
+    document-length histogram — the drift monitor a CONTINUOUS crawl
+    runs between rounds/dumps (the t82 novelty curve says how much is
+    NEW; this says whether the distribution of what's coming in has
+    SHIFTED — a boilerplate regression, a trap host flooding short
+    pages, or an extractor change all move it). Industry rule of thumb:
+    PSI < 0.1 stable, 0.1-0.25 drifting, > 0.25 investigate.
+
+    psi = sum over buckets of (p_b - q_b) * ln(p_b / q_b), with
+    Laplace-smoothed shares p = (count+1)/(total+n_buckets) so empty
+    buckets never divide by zero. Each bucket's term is rounded to
+    integer MICRO-NATS (the t58/t69 determinism trick: per-term rounding
+    before any consumer sums them keeps cross-engine float drift out of
+    the contract; long sums are associative).
+
+    Shape: one union + one hash-agg to <= n_buckets rows (the histogram
+    partial-aggregates map-side — each corpus is scanned ONCE), then
+    single-partition windows over the tiny bucket relation for the
+    totals (bounded by n_buckets, never by corpus). Output: (bucket,
+    n_a, n_b, psi_term_micro) — total PSI = sum(psi_term_micro)/1e6.
+    """
+    kb = float(n_buckets)
+    bucket = F.least(
+        F.floor(F.col(len_col).cast("double") / float(bucket_width)),
+        F.lit(int(n_buckets) - 1),
+    ).cast("long")
+    u = corpus_a.select(bucket.alias("bucket"), F.lit(0).alias("_s")).unionByName(
+        corpus_b.select(bucket.alias("bucket"), F.lit(1).alias("_s"))
+    )
+    per = u.groupBy("bucket").agg(
+        F.sum(F.when(F.col("_s") == 0, 1).otherwise(0)).cast("long").alias("n_a"),
+        F.sum(F.when(F.col("_s") == 1, 1).otherwise(0)).cast("long").alias("n_b"),
+    )
+    w = Window.partitionBy()
+    tot_a = F.sum("n_a").over(w).cast("double")
+    tot_b = F.sum("n_b").over(w).cast("double")
+    p = (F.col("n_a").cast("double") + 1.0) / (tot_a + F.lit(kb))
+    q = (F.col("n_b").cast("double") + 1.0) / (tot_b + F.lit(kb))
+    return per.select(
+        "bucket",
+        "n_a",
+        "n_b",
+        F.round((p - q) * F.log(p / q) * F.lit(1e6), 0)
+        .cast("long")
+        .alias("psi_term_micro"),
+    )

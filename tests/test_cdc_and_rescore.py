@@ -23,7 +23,7 @@ from crawlspark.schema import PAGES, ROBOTS, SEEDS
 from crawlspark.store import SnapshotStore
 from crawlspark.synth import SiteSpec, generate_site
 
-CFG = CrawlConfig(round_wall=10.0, max_depth=1, emit_text=True)
+CFG = CrawlConfig(round_wall=25.0, max_depth=1, emit_text=True)  # r5: fewer rounds, same contracts
 
 
 def _dfs(spark, site):

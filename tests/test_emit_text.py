@@ -21,7 +21,7 @@ from crawlspark.scheduler import CrawlConfig
 from crawlspark.schema import PAGES, ROBOTS, SEEDS
 from crawlspark.synth import SiteSpec, generate_site
 
-CFG = CrawlConfig(round_wall=10.0, max_depth=1, emit_text=True)
+CFG = CrawlConfig(round_wall=25.0, max_depth=1, emit_text=True)  # r5: fewer rounds, same contracts
 
 
 def _dfs(spark, site):
@@ -105,7 +105,7 @@ def test_default_off_writes_no_corpus(spark, tmp_path):
     site = _site()
     pages, seeds, robots = _dfs(spark, site)
     runner = CrawlRunner(spark, str(tmp_path / "s"),
-                         CrawlConfig(round_wall=10.0, max_depth=1))
+                         CrawlConfig(round_wall=25.0, max_depth=1))
     runner.init(seeds)
     runner.run(pages, robots)
     assert runner.store.corpus_state() is None

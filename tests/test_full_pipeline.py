@@ -51,7 +51,7 @@ def test_crawl_to_training_shards(spark, tmp_path):
     runner = CrawlRunner(
         spark,
         str(tmp_path / "state"),
-        CrawlConfig(round_wall=10.0, max_depth=1, emit_text=True),
+        CrawlConfig(round_wall=25.0, max_depth=1, emit_text=True),
     )
     runner.init(seeds)
     res = runner.run(pages, robots)

@@ -2458,3 +2458,87 @@ def test_robots_churn_versions_and_change_flag(spark):
         "a.com": (3, 2, True),
         "b.com": (2, 1, False),
     }
+
+
+def test_group_quality_wilson_hand_math(spark):
+    """Wilson lower bound against a python-math replay: a 2/2 group must
+    NOT outrank a 19/20 group on the bound (the small-sample honesty the
+    operator exists for), and all values match the closed form to 6dp."""
+    import math
+
+    from crawlspark.textops import group_quality_wilson
+
+    def wilson(n, good, z=1.96):
+        p = good / n
+        zz = z * z
+        return round(
+            (p + zz / (2 * n) - z * math.sqrt((p * (1 - p) + zz / (4 * n)) / n))
+            / (1 + zz / n), 6,
+        )
+
+    rows = ([("tiny", True)] * 2
+            + [("big", True)] * 19 + [("big", False)]
+            + [("mixed", True)] * 3 + [("mixed", False)] * 5)
+    d = spark.createDataFrame(rows, ["host", "is_good"])
+    got = {r["host"]: (r["n"], r["n_good"], r["p_hat"], r["wilson_lb"])
+           for r in group_quality_wilson(d).collect()}
+    assert got["tiny"] == (2, 2, 1.0, wilson(2, 2))
+    assert got["big"] == (20, 19, 0.95, wilson(20, 19))
+    assert got["mixed"] == (8, 3, 0.375, wilson(8, 3))
+    assert got["big"][3] > got["tiny"][3]  # 19/20 beats 2/2 on the bound
+
+
+def test_length_drift_psi_hand_math(spark):
+    """PSI terms against a python replay (Laplace smoothing, micro-nat
+    rounding): identical snapshots give all-zero terms; a shifted
+    snapshot's term signs follow the shift direction."""
+    import math
+
+    from crawlspark.textops import length_drift_psi
+
+    a = spark.createDataFrame([(10,), (60,), (110,)], ["n_chars"])
+    b = spark.createDataFrame([(10,), (10,), (60,)], ["n_chars"])
+    got = {r["bucket"]: (r["n_a"], r["n_b"], r["psi_term_micro"])
+           for r in length_drift_psi(a, b, bucket_width=50).collect()}
+
+    def term(na, nb, ta=3, tb=3, k=20):
+        p, q = (na + 1) / (ta + k), (nb + 1) / (tb + k)
+        return int(round((p - q) * math.log(p / q) * 1e6))
+
+    assert got == {0: (1, 2, term(1, 2)), 1: (1, 1, 0), 2: (1, 0, term(1, 0))}
+    assert got[0][2] > 0 and got[2][2] > 0  # any share move is positive PSI
+    same = {r["psi_term_micro"]
+            for r in length_drift_psi(a, a, bucket_width=50).collect()}
+    assert same == {0}
+
+
+def test_sitemap_coverage_counts_ghosts_uncrawled(spark):
+    """sitemap_coverage through the real sitemap_entries extraction:
+    advertised-and-crawled vs advertised-only urls split per host; a url
+    advertised by two sitemap pages of one host counts once."""
+    from crawlspark.robots import sitemap_coverage
+
+    pages = spark.createDataFrame(
+        [("https://a.com/sitemap-1.xml",
+          "<url><loc>https://a.com/p1</loc></url>"
+          "<url><loc>https://a.com/p2</loc></url>"),
+         ("https://a.com/sitemap-2.xml",
+          "<url><loc>https://a.com/p2</loc></url>"   # dup across sitemaps
+          "<url><loc>https://a.com/ghost</loc></url>"),
+         ("https://b.com/sitemap.xml",
+          "<url><loc>https://b.com/only-ghost</loc></url>"),
+         ("https://c.com/not-a-sitemap.html",        # filtered out
+          "<url><loc>https://c.com/x</loc></url>")],
+        ["url", "text"],
+    )
+    crawled = spark.createDataFrame(
+        [("https://a.com/p1",), ("https://a.com/p2",),
+         ("https://z.com/unrelated",)], ["url"],
+    )
+    got = {r["host"]: (r["n_advertised"], r["n_crawled"], r["n_uncrawled"],
+                       r["coverage"])
+           for r in sitemap_coverage(pages, crawled).collect()}
+    assert got == {
+        "a.com": (3, 2, 1, round(2 / 3, 6)),
+        "b.com": (1, 0, 1, 0.0),
+    }
