@@ -2215,6 +2215,29 @@ def t101_length_drift_psi(spark, sf_dir):
                                n_buckets=20)
 
 
+def t102_sentence_stats(spark, sf_dir):
+    """Gopher sentence-shape signals (textops.sentence_stats): per doc,
+    sentence count / word count / mean words-per-sentence / long-sentence
+    share — all in-row higher-order functions, integer counts with two
+    exact ratio divisions (6 dp both engines)."""
+    d = _t(spark, sf_dir, "documents")
+    return tx.sentence_stats(d, long_words=12)
+
+
+def t103_host_concentration(spark, sf_dir):
+    """Corpus domain-concentration card (textops.host_concentration):
+    docs mapped onto a skewed host family (doc_id % (1 + doc_id % 7) —
+    host h0 dominates), HHI in integer pico units, deterministic top-k
+    shares."""
+    d = _t(spark, sf_dir, "documents")
+    did = F.col("doc_id").cast("long")
+    rows = d.select(
+        F.concat(F.lit("h"),
+                 (did % (F.lit(1) + (did % 7))).cast("string")).alias("host")
+    )
+    return tx.host_concentration(rows)
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_filter_project": q02_filter_project,
@@ -2347,6 +2370,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "t99_sitemap_coverage": t99_sitemap_coverage,
     "t100_group_quality_wilson": t100_group_quality_wilson,
     "t101_length_drift_psi": t101_length_drift_psi,
+    "t102_sentence_stats": t102_sentence_stats,
+    "t103_host_concentration": t103_host_concentration,
 }
 
 # ---------------------------------------------------------------------------
@@ -5611,6 +5636,62 @@ ORACLES["t101_length_drift_psi"] = """
            CAST(round((p - q) * ln(p / q) * 1e6, 0) AS BIGINT)
                AS psi_term_micro
     FROM t
+"""
+
+ORACLES["t102_sentence_stats"] = """
+    WITH s AS (
+        SELECT doc_id,
+               list_filter(string_split_regex(text, '[.!?]+\\s+'),
+                           x -> len(trim(x)) > 0) AS sents
+        FROM documents
+    ), w AS (
+        SELECT doc_id,
+               list_transform(sents,
+                              x -> len(string_split_regex(trim(x), ' +')))
+                   AS wc
+        FROM s
+    )
+    SELECT doc_id,
+           CAST(len(wc) AS BIGINT) AS n_sentences,
+           CAST(coalesce(list_sum(wc), 0) AS BIGINT) AS n_words,
+           CASE WHEN len(wc) > 0
+                THEN round(CAST(coalesce(list_sum(wc), 0) AS DOUBLE)
+                           / CAST(len(wc) AS DOUBLE), 6) END
+               AS avg_words_per_sentence,
+           CASE WHEN len(wc) > 0
+                THEN round(CAST(len(list_filter(wc, x -> x > 12)) AS DOUBLE)
+                           / CAST(len(wc) AS DOUBLE), 6) END
+               AS pct_long_sentences
+    FROM w
+"""
+
+ORACLES["t103_host_concentration"] = """
+    WITH rows_ AS (
+        SELECT 'h' || CAST(doc_id % (1 + (doc_id % 7)) AS VARCHAR) AS h
+        FROM documents
+    ), per AS (
+        SELECT h, CAST(count(*) AS BIGINT) AS n FROM rows_ GROUP BY h
+    ), tot AS (
+        SELECT CAST(sum(n) AS BIGINT) AS n_docs,
+               CAST(count(*) AS BIGINT) AS n_hosts
+        FROM per
+    ), hhi AS (
+        SELECT CAST(sum(CAST(round(
+                   pow(CAST(n AS DOUBLE), 2) * 1e12
+                   / pow(CAST((SELECT n_docs FROM tot) AS DOUBLE), 2),
+               0) AS BIGINT)) AS BIGINT) AS hhi_pico
+        FROM per
+    ), top1 AS (
+        SELECT n AS n1 FROM per ORDER BY n DESC, h ASC LIMIT 1
+    ), top10 AS (
+        SELECT CAST(sum(n) AS BIGINT) AS n10 FROM (
+            SELECT n FROM per ORDER BY n DESC, h ASC LIMIT 10
+        )
+    )
+    SELECT tot.n_docs, tot.n_hosts, hhi.hhi_pico,
+           round(CAST(top1.n1 AS DOUBLE) / tot.n_docs, 6) AS top1_share,
+           round(CAST(top10.n10 AS DOUBLE) / tot.n_docs, 6) AS top10_share
+    FROM tot, hhi, top1, top10
 """
 
 ORACLES = {k: v for k, v in ORACLES.items() if v is not None}

@@ -2687,3 +2687,112 @@ def length_drift_psi(
         .cast("long")
         .alias("psi_term_micro"),
     )
+
+
+def sentence_stats(
+    documents: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    long_words: int = 40,
+) -> DataFrame:
+    """Per-doc sentence-shape signals — the Gopher rule family this
+    plane was missing (Rae et al. 2021 filter on words-per-sentence;
+    machine-generated and boilerplate text sits at the extremes: 3-word
+    nav fragments or 200-word run-ons). Sentences split on terminal
+    punctuation runs followed by whitespace; empty fragments dropped;
+    a text with no terminator is one sentence.
+
+    Scale shape: entirely IN-ROW — split + higher-order transform/
+    aggregate/filter in whole-stage codegen, ZERO shuffles, no explode
+    (the t67 line_quality_filter shape applied at sentence grain). All
+    counts are integer; the two ratios are single divisions of two
+    integers, rounded 6 dp — exact on both engines. Output: (id,
+    n_sentences, n_words, avg_words_per_sentence, pct_long_sentences).
+    """
+    sents = F.filter(
+        F.split(F.col(text_col), r"[.!?]+\s+"),
+        lambda s: F.length(F.trim(s)) > 0,
+    )
+    wc = F.transform(sents, lambda s: F.size(F.split(F.trim(s), r" +")))
+    n_sent = F.size(wc)
+    n_words = F.aggregate(wc, F.lit(0), lambda acc, x: acc + x)
+    n_long = F.size(F.filter(wc, lambda x: x > F.lit(int(long_words))))
+    return documents.select(
+        F.col(id_col),
+        n_sent.cast("long").alias("n_sentences"),
+        n_words.cast("long").alias("n_words"),
+        F.when(
+            n_sent > 0,
+            F.round(n_words.cast("double") / n_sent.cast("double"), 6),
+        ).alias("avg_words_per_sentence"),
+        F.when(
+            n_sent > 0,
+            F.round(n_long.cast("double") / n_sent.cast("double"), 6),
+        ).alias("pct_long_sentences"),
+    )
+
+
+def host_concentration(
+    docs: DataFrame, host_col_name: str = "host"
+) -> DataFrame:
+    """Corpus domain-concentration card: how dominated is the corpus by
+    its biggest hosts — the Herfindahl-Hirschman index plus top-1/top-10
+    share. Training-data papers report exactly this when arguing a dump
+    is (or is not) a few-site echo chamber; a crawl whose HHI climbs
+    round over round is tunneling into traps.
+
+    Scale shape: ONE corpus scan into a per-host hash-agg (bounded by
+    |hosts|), PERSISTED across its three tiny consumers (totals, HHI
+    terms, top-k) so the corpus is never rescanned — |hosts| is ~10^8
+    rows worst case, a cacheable relation, and the top-k is a
+    TakeOrdered, never a global sort. HHI is summed from per-host terms
+    rounded to integer PICO units (1e12) BEFORE the sum — long sums are
+    associative, so distributed agg order cannot move the result
+    (squares of small shares need the finer grain than micro).
+    Output: ONE row (n_docs, n_hosts, hhi_pico, top1_share,
+    top10_share), shares rounded 6 dp.
+    """
+    from pyspark import StorageLevel
+
+    per = (
+        docs.groupBy(F.col(host_col_name).alias("h"))
+        .agg(F.count("*").cast("long").alias("n"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    tot = per.agg(
+        F.sum("n").cast("long").alias("n_docs"),
+        F.count("*").cast("long").alias("n_hosts"),
+    )
+    terms = per.crossJoin(tot.select("n_docs")).select(
+        F.round(
+            F.pow(F.col("n").cast("double"), 2)
+            * F.lit(1e12)
+            / F.pow(F.col("n_docs").cast("double"), 2),
+            0,
+        )
+        .cast("long")
+        .alias("t")
+    )
+    hhi = terms.agg(F.sum("t").cast("long").alias("hhi_pico"))
+    # deterministic top-k: count desc, host asc tiebreak; TakeOrdered
+    top = per.orderBy(F.desc("n"), F.asc("h")).limit(10).select("n")
+    top1 = per.orderBy(F.desc("n"), F.asc("h")).limit(1).select(
+        F.col("n").alias("n1")
+    )
+    top10_sum = top.agg(F.sum("n").cast("long").alias("n10"))
+    return (
+        tot.crossJoin(hhi)
+        .crossJoin(top1)
+        .crossJoin(top10_sum)
+        .select(
+            "n_docs",
+            "n_hosts",
+            "hhi_pico",
+            F.round(F.col("n1").cast("double") / F.col("n_docs"), 6).alias(
+                "top1_share"
+            ),
+            F.round(F.col("n10").cast("double") / F.col("n_docs"), 6).alias(
+                "top10_share"
+            ),
+        )
+    )

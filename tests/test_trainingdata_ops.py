@@ -2542,3 +2542,55 @@ def test_sitemap_coverage_counts_ghosts_uncrawled(spark):
         "a.com": (3, 2, 1, round(2 / 3, 6)),
         "b.com": (1, 0, 1, 0.0),
     }
+
+
+def test_sentence_stats_hand_counts(spark):
+    """Sentence shape against hand-split cases: multi-terminator runs,
+    no-terminator text (one sentence), trailing terminator without
+    whitespace staying attached, empty fragments dropped."""
+    from crawlspark.textops import sentence_stats
+
+    rows = [
+        (0, "One two three. Four five!  Six seven eight nine?"),
+        (1, "no terminator here at all"),
+        (2, "Ends with period."),              # no split -> 1 sentence
+        (3, "A!! B?? C.. "),                   # terminator runs
+        (4, "w " * 50),                        # one 50-word run-on
+    ]
+    d = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {r["doc_id"]: (r["n_sentences"], r["n_words"],
+                         r["avg_words_per_sentence"], r["pct_long_sentences"])
+           for r in sentence_stats(d, long_words=4).collect()}
+    assert got[0] == (3, 9, 3.0, 0.0)
+    assert got[1] == (1, 5, 5.0, 1.0)
+    assert got[2] == (1, 3, 3.0, 0.0)
+    assert got[3] == (3, 3, 1.0, 0.0)
+    assert got[4] == (1, 50, 50.0, 1.0)
+
+
+def test_host_concentration_hand_math(spark):
+    """HHI/top-share card against hand math: 6+3+1 docs over 3 hosts."""
+    from crawlspark.textops import host_concentration
+
+    rows = [("a",)] * 6 + [("b",)] * 3 + [("c",)] * 1
+    d = spark.createDataFrame(rows, ["host"])
+    r = host_concentration(d).collect()[0]
+    assert (r["n_docs"], r["n_hosts"]) == (10, 3)
+    # HHI = 0.36 + 0.09 + 0.01 = 0.46 -> 460_000_000_000 pico
+    assert r["hhi_pico"] == 460_000_000_000
+    assert r["top1_share"] == 0.6
+    assert r["top10_share"] == 1.0
+
+
+def test_host_concentration_deterministic_topk_tiebreak(spark):
+    """Equal-count hosts break ties host-ascending so the card is stable
+    across partitionings (top-k beyond 10 hosts drops the tail)."""
+    from crawlspark.textops import host_concentration
+
+    rows = [(f"h{i:02d}",) for i in range(12) for _ in range(2)] + [("h00",)]
+    d = spark.createDataFrame(rows, ["host"]).repartition(7)
+    r = host_concentration(d).collect()[0]
+    assert (r["n_docs"], r["n_hosts"]) == (25, 12)
+    assert r["top1_share"] == round(3 / 25, 6)
+    # top10 = h00(3) + h01..h09 (2 each) = 21
+    assert r["top10_share"] == round(21 / 25, 6)
