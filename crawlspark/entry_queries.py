@@ -2238,6 +2238,59 @@ def t103_host_concentration(spark, sf_dir):
     return tx.host_concentration(rows)
 
 
+def t104_extraction_density(spark, sf_dir):
+    """Extraction-quality audit (textops.extraction_density): html
+    synthesized around each doc's text with doc_id%5 anchor tags; every
+    10th doc gets 200 boilerplate divs so its text-to-html ratio falls
+    under the low-yield cut — lengths, ratios, link density and the
+    flag must all match the oracle."""
+    d = _t(spark, sf_dir, "documents")
+    did = F.col("doc_id").cast("long")
+    html = F.concat(
+        F.lit("<html><body><p>"), F.col("text"), F.lit("</p>"),
+        F.expr("repeat('<a href=\"/l\">x</a>', cast(doc_id % 5 as int))"),
+        F.when(
+            did % 10 == 0,
+            F.expr("repeat('<div class=\"nav\">padpadpad</div>', 200)"),
+        ).otherwise(F.lit("")),
+        F.lit("</body></html>"),
+    )
+    pages = d.select(
+        F.concat(F.lit("https://"), F.col("source"), F.lit(".example.com/d/"),
+                 did.cast("string")).alias("url"),
+        html.alias("html"),
+        F.col("text"),
+    )
+    return tx.extraction_density(pages)
+
+
+def t105_robots_violation_audit(spark, sf_dir):
+    """Robots-compliance audit (robots.robots_violation_audit): fetch
+    log over 20 hosts where every fifth url sits under /private; only
+    EVEN hosts publish a '/private' deny prefix — their violation
+    counts must show exactly the denied fetches, odd (ruleless) hosts
+    must audit to zero."""
+    d = _t(spark, sf_dir, "documents")
+    did = F.col("doc_id").cast("long")
+    host = F.concat(F.lit("h"), (did % 20).cast("string"))
+    log = d.select(
+        host.alias("host"),
+        F.concat(
+            F.lit("https://"), host, F.lit(".example.com"),
+            F.when(did % 5 == 0, F.lit("/private/")).otherwise(F.lit("/d/")),
+            did.cast("string"),
+        ).alias("url"),
+    )
+    robots = (
+        d.filter((did < 20) & (did % 2 == 0))
+        .select(
+            F.concat(F.lit("h"), did.cast("string")).alias("host"),
+            F.array(F.lit("/private")).alias("deny_prefixes"),
+        )
+    )
+    return rb.robots_violation_audit(log, robots)
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_filter_project": q02_filter_project,
@@ -2372,6 +2425,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "t101_length_drift_psi": t101_length_drift_psi,
     "t102_sentence_stats": t102_sentence_stats,
     "t103_host_concentration": t103_host_concentration,
+    "t104_extraction_density": t104_extraction_density,
+    "t105_robots_violation_audit": t105_robots_violation_audit,
 }
 
 # ---------------------------------------------------------------------------
@@ -5692,6 +5747,72 @@ ORACLES["t103_host_concentration"] = """
            round(CAST(top1.n1 AS DOUBLE) / tot.n_docs, 6) AS top1_share,
            round(CAST(top10.n10 AS DOUBLE) / tot.n_docs, 6) AS top10_share
     FROM tot, hhi, top1, top10
+"""
+
+ORACLES["t104_extraction_density"] = """
+    WITH pages AS (
+        SELECT 'https://' || source || '.example.com/d/'
+                   || CAST(doc_id AS VARCHAR) AS url,
+               '<html><body><p>' || text || '</p>'
+                   || repeat('<a href="/l">x</a>',
+                             CAST(doc_id % 5 AS INTEGER))
+                   || CASE WHEN doc_id % 10 = 0
+                           THEN repeat('<div class="nav">padpadpad</div>',
+                                       200)
+                           ELSE '' END
+                   || '</body></html>' AS html,
+               text
+        FROM documents
+    )
+    SELECT url,
+           CAST(len(html) AS BIGINT) AS html_len,
+           CAST(len(text) AS BIGINT) AS text_len,
+           CASE WHEN len(html) > 0
+                THEN round(CAST(len(text) AS DOUBLE)
+                           / CAST(len(html) AS DOUBLE), 6) END
+               AS text_ratio,
+           CAST(len(regexp_extract_all(html, '(?i)<a[ \\t][^>]*href'))
+                AS BIGINT) AS n_links,
+           CASE WHEN len(html) > 0
+                THEN round(CAST(len(regexp_extract_all(html,
+                               '(?i)<a[ \\t][^>]*href')) AS DOUBLE)
+                           * 1024.0 / CAST(len(html) AS DOUBLE), 6) END
+               AS links_per_kb,
+           coalesce(CASE WHEN len(html) > 0
+                         THEN round(CAST(len(text) AS DOUBLE)
+                                    / CAST(len(html) AS DOUBLE), 6) END
+                    < 0.1, FALSE) AS low_yield
+    FROM pages
+"""
+
+ORACLES["t105_robots_violation_audit"] = """
+    WITH log AS (
+        SELECT 'h' || CAST(doc_id % 20 AS VARCHAR) AS host,
+               'https://h' || CAST(doc_id % 20 AS VARCHAR)
+                   || '.example.com'
+                   || CASE WHEN doc_id % 5 = 0 THEN '/private/'
+                           ELSE '/d/' END
+                   || CAST(doc_id AS VARCHAR) AS url
+        FROM documents
+    ), robots AS (
+        SELECT 'h' || CAST(doc_id AS VARCHAR) AS rh,
+               ['/private'] AS deny_prefixes
+        FROM documents WHERE doc_id < 20 AND doc_id % 2 = 0
+    ), j AS (
+        SELECT l.host,
+               CASE WHEN r.rh IS NOT NULL
+                    AND len(list_filter(r.deny_prefixes,
+                        p -> starts_with(regexp_extract(l.url,
+                            '^[a-z][a-z0-9+.-]*://[^/?#]*([^?#]*)', 1),
+                            p))) > 0
+                    THEN 1 ELSE 0 END AS v
+        FROM log l LEFT JOIN robots r ON l.host = r.rh
+    )
+    SELECT host,
+           CAST(count(*) AS BIGINT) AS n_fetches,
+           CAST(sum(v) AS BIGINT) AS n_violations,
+           round(CAST(sum(v) AS DOUBLE) / count(*), 6) AS violation_rate
+    FROM j GROUP BY host
 """
 
 ORACLES = {k: v for k, v in ORACLES.items() if v is not None}

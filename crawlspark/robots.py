@@ -399,3 +399,52 @@ def robots_churn(
             (F.col("_first.fp") != F.col("_last.fp")).alias("changed"),
         )
     )
+
+
+def robots_violation_audit(
+    fetch_log: DataFrame,
+    robots: DataFrame,
+    url_col: str = "url",
+    host_col_name: str = "host",
+) -> DataFrame:
+    """Robots-compliance audit over a fetch log: per host, how many
+    fetched URLs fall under a deny prefix — the governance card for a
+    THIRD-PARTY crawl dump (CC publishes exactly this class of audit),
+    and an invariant check for this engine's own logs, which must audit
+    to zero violations (the admission path denies before fetch;
+    asserted end-to-end in tests). Hosts absent from the robots table
+    have no rules, so their fetches cannot violate.
+
+    Shape: one join on host (un-hinted — same size-gate reasoning as
+    with_robots: the audit caller usually has no measured host count,
+    AQE decides) + an EXISTS over the deny-prefix array in codegen +
+    one per-host hash-agg. Output: (host, n_fetches, n_violations,
+    violation_rate rounded 6 dp).
+    """
+    r = robots.select(
+        F.col("host").alias("_rh"), F.col("deny_prefixes")
+    )
+    joined = fetch_log.select(
+        F.col(host_col_name).alias("host"), F.col(url_col).alias("url")
+    ).join(r, F.col("host") == F.col("_rh"), "left")
+    path = F.parse_url(F.col("url"), F.lit("PATH"))
+    viol = F.when(
+        F.col("deny_prefixes").isNotNull(),
+        F.exists("deny_prefixes", lambda p: path.startswith(p)),
+    ).otherwise(F.lit(False))
+    return (
+        joined.select("host", viol.alias("_v"))
+        .groupBy("host")
+        .agg(
+            F.count("*").cast("long").alias("n_fetches"),
+            F.sum(F.when(F.col("_v"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_violations"),
+        )
+        .withColumn(
+            "violation_rate",
+            F.round(
+                F.col("n_violations").cast("double") / F.col("n_fetches"), 6
+            ),
+        )
+    )

@@ -2796,3 +2796,45 @@ def host_concentration(
             ),
         )
     )
+
+
+def extraction_density(
+    pages: DataFrame,
+    url_col: str = "url",
+    html_col: str = "html",
+    text_col: str = "text",
+    min_ratio: float = 0.1,
+) -> DataFrame:
+    """Extraction-quality audit: per page, how much of the served HTML
+    survived text extraction (text-to-html ratio) and how link-dense the
+    markup is — the two classic boilerplate/nav-page discriminators
+    (content pages extract 20-60% of their bytes with few links/KB;
+    chrome-heavy hub pages extract <10% with dozens). Flags
+    ``low_yield`` pages whose ratio falls under ``min_ratio`` — the
+    re-extract/drop candidate list an extractor regression audit reads.
+
+    Input html/text as STRING columns (the engine's binary html decodes
+    at the caller — kernels.extract_text's contract). Stateless
+    projection: two lengths, one regexp_count, pure ratios rounded 6 dp
+    — scan codegen, zero shuffles. Output: (url, html_len, text_len,
+    text_ratio, n_links, links_per_kb, low_yield).
+    """
+    h = F.col(html_col)
+    hlen = F.length(h).cast("long")
+    tlen = F.length(F.col(text_col)).cast("long")
+    nlinks = F.regexp_count(h, F.lit(r"(?i)<a[ \t][^>]*href")).cast("long")
+    ratio = F.when(
+        hlen > 0, F.round(tlen.cast("double") / hlen.cast("double"), 6)
+    )
+    return pages.select(
+        F.col(url_col).alias("url"),
+        hlen.alias("html_len"),
+        tlen.alias("text_len"),
+        ratio.alias("text_ratio"),
+        nlinks.alias("n_links"),
+        F.when(
+            hlen > 0,
+            F.round(nlinks.cast("double") * 1024.0 / hlen.cast("double"), 6),
+        ).alias("links_per_kb"),
+        F.coalesce(ratio < float(min_ratio), F.lit(False)).alias("low_yield"),
+    )

@@ -2594,3 +2594,71 @@ def test_host_concentration_deterministic_topk_tiebreak(spark):
     assert r["top1_share"] == round(3 / 25, 6)
     # top10 = h00(3) + h01..h09 (2 each) = 21
     assert r["top10_share"] == round(21 / 25, 6)
+
+
+def test_extraction_density_hand_counts(spark):
+    """Length/ratio/link-density audit against hand-computed values,
+    including the low-yield flag and a zero-length html edge."""
+    from crawlspark.textops import extraction_density
+
+    html1 = '<html><a href="/x">a</a><A HREF="/y">b</A></html>'  # 49 chars
+    rows = [
+        ("u1", html1, "tttttttttt"),                # ratio 10/49
+        ("u2", "<div>" + "x" * 95, "tiny"),         # 4/100 -> low yield
+        ("u3", "", "text"),                         # html_len 0 -> NULLs
+    ]
+    d = spark.createDataFrame(rows, ["url", "html", "text"])
+    got = {r["url"]: r.asDict() for r in extraction_density(d).collect()}
+    assert got["u1"]["html_len"] == len(html1)
+    assert got["u1"]["n_links"] == 2  # case-insensitive href match
+    assert got["u1"]["text_ratio"] == round(10 / len(html1), 6)
+    assert got["u1"]["links_per_kb"] == round(2 * 1024 / len(html1), 6)
+    assert got["u1"]["low_yield"] is False
+    assert got["u2"]["text_ratio"] == 0.04 and got["u2"]["low_yield"] is True
+    assert got["u3"]["text_ratio"] is None and got["u3"]["low_yield"] is False
+
+
+def test_robots_violation_audit_hand_counts(spark):
+    """Per-host violation counts: denied-prefix fetches counted only for
+    hosts WITH rules; ruleless hosts audit to zero by construction."""
+    from crawlspark.robots import robots_violation_audit
+
+    log = spark.createDataFrame(
+        [("a.com", "https://a.com/private/1"),
+         ("a.com", "https://a.com/ok/2"),
+         ("a.com", "https://a.com/private/3"),
+         ("b.com", "https://b.com/private/9")],  # no rules for b.com
+        ["host", "url"],
+    )
+    robots = spark.createDataFrame(
+        [("a.com", ["/private"])], "host string, deny_prefixes array<string>"
+    )
+    got = {r["host"]: (r["n_fetches"], r["n_violations"], r["violation_rate"])
+           for r in robots_violation_audit(log, robots).collect()}
+    assert got == {"a.com": (3, 2, round(2 / 3, 6)), "b.com": (1, 0, 0.0)}
+
+
+def test_engine_fetch_log_audits_to_zero_violations(spark, tmp_path):
+    """North-rule invariant: the engine's OWN fetch log, audited against
+    the same robots table the crawl ran with, must show zero violations
+    on every host — admission denies before fetch."""
+    import pyspark.sql.functions as F
+
+    from crawlspark.robots import robots_violation_audit
+    from crawlspark.runner import CrawlRunner
+    from crawlspark.scheduler import CrawlConfig
+    from crawlspark.schema import PAGES, ROBOTS, SEEDS
+    from crawlspark.synth import SiteSpec, generate_site
+
+    site = generate_site(SiteSpec(n_hosts=2, lists_per_host=2, per_list=5,
+                                  private_hosts=1, seed=19))
+    runner = CrawlRunner(spark, str(tmp_path / "s"),
+                         CrawlConfig(round_wall=1e9, per_host_cap=1000,
+                                     max_depth=1))
+    runner.init(spark.createDataFrame(site["seeds"], schema=SEEDS))
+    robots = spark.createDataFrame(site["robots"], schema=ROBOTS)
+    runner.run(spark.createDataFrame(site["pages"], schema=PAGES), robots)
+    log = runner.store.fetch_log_state().select("host", "url")
+    assert log.count() > 0
+    audit = robots_violation_audit(log, robots)
+    assert audit.filter(F.col("n_violations") > 0).count() == 0
