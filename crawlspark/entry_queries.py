@@ -2291,6 +2291,30 @@ def t105_robots_violation_audit(spark, sf_dir):
     return rb.robots_violation_audit(log, robots)
 
 
+def t106_zipf_slope(spark, sf_dir):
+    """Zipf-fit corpus-health card (textops.zipf_slope): least-squares
+    slope of ln(freq) vs ln(rank) over the top-50 token frequencies —
+    micro-nat points, long regression sums, one-row output."""
+    d = _t(spark, sf_dir, "documents")
+    return tx.zipf_slope(d, top_n=50)
+
+
+def t107_embedding_health(spark, sf_dir):
+    """Embedding-table health card (similarity.embedding_health): every
+    29th vector zeroed out so the dead-encoder counter is exercised;
+    per label: counts, dim range, zero vectors, mean L2 norm in micro
+    units (per-row fixed-order fold + cross-row micro-int mean)."""
+    e = _t(spark, sf_dir, "embeddings")
+    vid = F.col("vec_id").cast("long")
+    emb = F.when(
+        vid % 29 == 0,
+        F.transform(F.col("embedding"), lambda x: F.lit(0.0).cast("float")),
+    ).otherwise(F.col("embedding"))
+    return sim.embedding_health(
+        e.select(F.col("label"), emb.alias("embedding"), "vec_id")
+    )
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_filter_project": q02_filter_project,
@@ -2427,6 +2451,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "t103_host_concentration": t103_host_concentration,
     "t104_extraction_density": t104_extraction_density,
     "t105_robots_violation_audit": t105_robots_violation_audit,
+    "t106_zipf_slope": t106_zipf_slope,
+    "t107_embedding_health": t107_embedding_health,
 }
 
 # ---------------------------------------------------------------------------
@@ -5813,6 +5839,71 @@ ORACLES["t105_robots_violation_audit"] = """
            CAST(sum(v) AS BIGINT) AS n_violations,
            round(CAST(sum(v) AS DOUBLE) / count(*), 6) AS violation_rate
     FROM j GROUP BY host
+"""
+
+ORACLES["t106_zipf_slope"] = """
+    WITH toks AS (
+        SELECT unnest(string_split_regex(lower(text), '\\s+')) AS tok
+        FROM documents
+    ), f AS (
+        SELECT tok, CAST(count(*) AS BIGINT) AS n
+        FROM toks WHERE len(tok) > 0 GROUP BY tok
+    ), top AS (
+        SELECT tok, n FROM f ORDER BY n DESC, tok ASC LIMIT 50
+    ), pts AS (
+        SELECT CAST(round(ln(CAST(rn AS DOUBLE)) * 1e6, 0) AS BIGINT) AS x,
+               CAST(round(ln(CAST(n AS DOUBLE)) * 1e6, 0) AS BIGINT) AS y
+        FROM (SELECT n,
+                     row_number() OVER (ORDER BY n DESC, tok ASC) AS rn
+              FROM top)
+    ), s AS (
+        SELECT CAST(count(*) AS BIGINT) AS np,
+               CAST(sum(x) AS BIGINT) AS sx,
+               CAST(sum(y) AS BIGINT) AS sy,
+               CAST(sum(x * y) AS BIGINT) AS sxy,
+               CAST(sum(x * x) AS BIGINT) AS sxx
+        FROM pts
+    )
+    SELECT np AS n_points,
+           round((CAST(np AS DOUBLE) * CAST(sxy AS DOUBLE)
+                  - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                 / (CAST(np AS DOUBLE) * CAST(sxx AS DOUBLE)
+                    - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)), 6) AS slope,
+           round((CAST(sy AS DOUBLE) / 1e6
+                  - ((CAST(np AS DOUBLE) * CAST(sxy AS DOUBLE)
+                      - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                     / (CAST(np AS DOUBLE) * CAST(sxx AS DOUBLE)
+                        - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)))
+                    * CAST(sx AS DOUBLE) / 1e6)
+                 / CAST(np AS DOUBLE), 6) AS intercept
+    FROM s
+"""
+
+ORACLES["t107_embedding_health"] = """
+    WITH e AS (
+        SELECT label,
+               CASE WHEN vec_id % 29 = 0
+                    THEN list_transform(embedding,
+                                        x -> CAST(0.0 AS FLOAT))
+                    ELSE embedding END AS emb
+        FROM embeddings
+    ), r AS (
+        SELECT label,
+               CAST(len(emb) AS BIGINT) AS dim,
+               CAST(round(sqrt(list_sum(list_transform(emb,
+                        x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+                    * 1e6, 0) AS BIGINT) AS nm
+        FROM e
+    )
+    SELECT label,
+           CAST(count(*) AS BIGINT) AS n_vecs,
+           CAST(min(dim) AS BIGINT) AS dim_min,
+           CAST(max(dim) AS BIGINT) AS dim_max,
+           CAST(sum(CASE WHEN nm = 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_zero,
+           CAST(round(CAST(sum(nm) AS DOUBLE) / CAST(count(*) AS DOUBLE),
+                      0) AS BIGINT) AS mean_norm_micro
+    FROM r GROUP BY label
 """
 
 ORACLES = {k: v for k, v in ORACLES.items() if v is not None}

@@ -329,3 +329,56 @@ def jl_project(
         )
         comps.append(F.expr(f"round(({terms}) * {inv!r}, 6)"))
     return embeddings.select(id_col, F.array(*comps).alias("proj"))
+
+
+def embedding_health(
+    embeddings: DataFrame,
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Embedding-table health card, per label: vector count, dimension
+    range (a dim mismatch inside one table breaks every downstream
+    dot product), zero-vector count (dead encoder outputs — cosine
+    against them is undefined and ANN buckets collect them all), and
+    mean L2 norm in integer micro units (un-normalized tables make
+    cosine vs dot-product choices load-bearing; the card says which
+    world you are in before t07/t09-style ops run).
+
+    Per-row norm is a fixed-order left fold over the vector (cast to
+    double per element, the t07 oracle idiom) — deterministic; the
+    cross-row mean uses the micro-int trick (round each norm to micro
+    BEFORE the long sum). One hash-agg to |labels| rows. Output:
+    (label, n_vecs, dim_min, dim_max, n_zero, mean_norm_micro).
+    """
+    v = F.col(vec_col)
+    norm = F.sqrt(
+        F.aggregate(
+            v,
+            F.lit(0.0).cast("double"),
+            lambda acc, x: acc + x.cast("double") * x.cast("double"),
+        )
+    )
+    rows = embeddings.select(
+        F.col(label_col).alias("label"),
+        F.size(v).cast("long").alias("dim"),
+        F.round(norm * 1e6, 0).cast("long").alias("norm_micro"),
+    )
+    return (
+        rows.groupBy("label")
+        .agg(
+            F.count("*").cast("long").alias("n_vecs"),
+            F.min("dim").alias("dim_min"),
+            F.max("dim").alias("dim_max"),
+            F.sum(F.when(F.col("norm_micro") == 0, 1).otherwise(0))
+            .cast("long")
+            .alias("n_zero"),
+            F.round(
+                F.sum("norm_micro").cast("double")
+                / F.count("*").cast("double"),
+                0,
+            )
+            .cast("long")
+            .alias("mean_norm_micro"),
+        )
+    )

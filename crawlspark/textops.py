@@ -2838,3 +2838,61 @@ def extraction_density(
         ).alias("links_per_kb"),
         F.coalesce(ratio < float(min_ratio), F.lit(False)).alias("low_yield"),
     )
+
+
+def zipf_slope(
+    documents: DataFrame, text_col: str = "text", top_n: int = 100
+) -> DataFrame:
+    """Zipf-fit corpus-health card: least-squares slope of ln(freq) vs
+    ln(rank) over the top-N token frequencies. Natural-language corpora
+    sit near slope -1 (Zipf's law); template/boilerplate floods flatten
+    the head (slope toward 0) and token-salad spam steepens past -1.5 —
+    a one-row monitor next to t103's host concentration.
+
+    Determinism contract: ranks are a DETERMINISTIC ordering (freq
+    desc, token asc); each point's ln(rank)/ln(freq) is rounded to
+    integer MICRO-NATS first, and the regression sums (Sx, Sy, Sxy,
+    Sxx) are then pure LONG sums — associative, so distributed agg
+    order cannot move the slope. The final slope/intercept divisions
+    are single double expressions of those longs, rounded 6 dp, written
+    identically in the DuckDB twin.
+
+    Scale shape: one explode + token hash-agg (bounded by vocab), a
+    TakeOrdered top-N (never a global sort), then a single-partition
+    window over N <= top_n rows. Output: ONE row (n_points,
+    slope, intercept).
+    """
+    toks = documents.select(
+        F.explode(F.split(F.lower(F.col(text_col)), r"\s+")).alias("tok")
+    ).filter(F.length("tok") > 0)
+    freq = toks.groupBy("tok").agg(F.count("*").cast("long").alias("n"))
+    top = freq.orderBy(F.desc("n"), F.asc("tok")).limit(int(top_n))
+    w = Window.orderBy(F.desc("n"), F.asc("tok"))
+    pts = top.withColumn("rank", F.row_number().over(w)).select(
+        F.round(F.log(F.col("rank").cast("double")) * 1e6, 0)
+        .cast("long")
+        .alias("x"),
+        F.round(F.log(F.col("n").cast("double")) * 1e6, 0)
+        .cast("long")
+        .alias("y"),
+    )
+    s = pts.agg(
+        F.count("*").cast("long").alias("np"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum("y").cast("long").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).cast("long").alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"),
+    )
+    npd = F.col("np").cast("double")
+    slope = (npd * F.col("sxy").cast("double")
+             - F.col("sx").cast("double") * F.col("sy").cast("double")) / (
+        npd * F.col("sxx").cast("double")
+        - F.col("sx").cast("double") * F.col("sx").cast("double")
+    )
+    intercept = (F.col("sy").cast("double") / 1e6
+                 - slope * F.col("sx").cast("double") / 1e6) / npd
+    return s.select(
+        F.col("np").alias("n_points"),
+        F.round(slope, 6).alias("slope"),
+        F.round(intercept, 6).alias("intercept"),
+    )

@@ -2662,3 +2662,56 @@ def test_engine_fetch_log_audits_to_zero_violations(spark, tmp_path):
     assert log.count() > 0
     audit = robots_violation_audit(log, robots)
     assert audit.filter(F.col("n_violations") > 0).count() == 0
+
+
+def test_zipf_slope_hand_math(spark):
+    """Zipf slope against a python least-squares replay on a corpus with
+    known token frequencies (exact-power-law input gives slope ~-1)."""
+    import math
+
+    from crawlspark.textops import zipf_slope
+
+    # freq(token_k) = 24/k for k=1..4 -> perfect Zipf, slope -1
+    words = []
+    for k, tok in enumerate(["alpha", "beta", "gamma", "delta"], start=1):
+        words += [tok] * (24 // k)
+    d = spark.createDataFrame([(" ".join(words),)], ["text"])
+    r = zipf_slope(d, top_n=10).collect()[0]
+    assert r["n_points"] == 4
+
+    def micro(v):
+        return round(v * 1e6)
+
+    xs = [micro(math.log(k)) for k in range(1, 5)]
+    ys = [micro(math.log(24 // k)) for k in range(1, 5)]
+    n = 4
+    sx, sy = sum(xs), sum(ys)
+    sxy = sum(a * b for a, b in zip(xs, ys))
+    sxx = sum(a * a for a in xs)
+    slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    intercept = (sy / 1e6 - slope * sx / 1e6) / n
+    assert r["slope"] == round(slope, 6)
+    assert r["intercept"] == round(intercept, 6)
+    assert -1.1 < r["slope"] < -0.9  # the Zipf-shaped input reads ~-1
+
+
+def test_embedding_health_hand_math(spark):
+    """Health card against hand-computed norms: 3-4-0 triangle vectors,
+    a zero vector, a dim-mismatched label."""
+    from crawlspark.similarity import embedding_health
+
+    rows = [
+        (0, 0, [3.0, 4.0]),          # norm 5
+        (1, 0, [0.0, 0.0]),          # zero vector
+        (2, 0, [1.0, 0.0]),          # norm 1
+        (3, 1, [2.0, 0.0, 0.0]),     # dim 3, norm 2
+        (4, 1, [0.0, 2.0]),          # dim 2 -> label 1 dim range 2..3
+    ]
+    d = spark.createDataFrame(rows, "vec_id long, label long, embedding array<float>")
+    got = {r["label"]: r.asDict() for r in embedding_health(d).collect()}
+    assert got[0]["n_vecs"] == 3 and got[0]["n_zero"] == 1
+    assert (got[0]["dim_min"], got[0]["dim_max"]) == (2, 2)
+    # mean_norm = (5 + 0 + 1)/3 -> 2_000_000 micro
+    assert got[0]["mean_norm_micro"] == 2_000_000
+    assert (got[1]["dim_min"], got[1]["dim_max"]) == (2, 3)
+    assert got[1]["mean_norm_micro"] == 2_000_000 and got[1]["n_zero"] == 0
