@@ -27,7 +27,7 @@ core.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 _HOST_RE = r"^[a-z][a-z0-9+.-]*://([^/?#]+)"
@@ -181,4 +181,49 @@ def nearest_capture(
             F.col("w.ts").alias("capture_ts"),
             F.col("w.d").alias("delta_seconds"),
         )
+    )
+
+
+def capture_cadence(
+    captures: DataFrame,
+    url_col: str = "url",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Per-URL capture-cadence card over an archive's capture history
+    (CDX-shaped rows): how often a URL actually gets re-captured —
+    the observational complement of scheduler.revisit_schedule (that
+    op says how often a crawl SHOULD revisit given content churn; this
+    says how often the archive DID, the coverage-gap audit CC-style
+    collections publish). max_gap >> mean_gap flags urls with capture
+    droughts.
+
+    Timestamps as integer epoch seconds — every statistic here is
+    integer arithmetic except the final mean division (exact ratio,
+    rounded 6 dp). mean_gap needs NO lag window (it telescopes to
+    (last-first)/(n-1)); max_gap does: one lag window sharded by url
+    (10^10 urls shard on the key), one hash-agg to |urls|. Single-
+    capture urls emit NULL gaps.
+    """
+    w = Window.partitionBy("url").orderBy("ts")
+    gaps = captures.select(
+        F.col(url_col).alias("url"),
+        F.col(ts_col).cast("long").alias("ts"),
+    ).withColumn("_gap", F.col("ts") - F.lag("ts").over(w))
+    per = gaps.groupBy("url").agg(
+        F.count("*").cast("long").alias("n_captures"),
+        F.min("ts").alias("first_ts"),
+        F.max("ts").alias("last_ts"),
+        F.max("_gap").alias("max_gap"),
+    )
+    mean_gap = F.when(
+        F.col("n_captures") > 1,
+        F.round(
+            (F.col("last_ts") - F.col("first_ts")).cast("double")
+            / (F.col("n_captures") - 1).cast("double"),
+            6,
+        ),
+    )
+    return per.select(
+        "url", "n_captures", "first_ts", "last_ts",
+        mean_gap.alias("mean_gap"), F.col("max_gap").cast("long").alias("max_gap"),
     )

@@ -20,6 +20,7 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from . import cdx as cx
 from . import dedup as dd
 from . import graph as gr
 from . import robots as rb
@@ -2315,6 +2316,37 @@ def t107_embedding_health(spark, sf_dir):
     )
 
 
+def t108_crawl_yield_curve(spark, sf_dir):
+    """Discovery-decay curve (scheduler.crawl_yield_curve): 12 synthetic
+    rounds whose per-doc link yield decays 40-4*round — the
+    saturation flag must flip exactly where new_links/fetched crosses
+    0.1, with cumulative sums over the ordered rounds."""
+    d = _t(spark, sf_dir, "documents")
+    did = F.col("doc_id").cast("long")
+    metrics = d.select(
+        (did % 12).alias("round"),
+        F.lit(1).alias("fetched"),
+        F.greatest(F.lit(0), F.lit(40) - F.lit(4) * (did % 12)).alias(
+            "new_links"
+        ),
+    )
+    return sched.crawl_yield_curve(metrics, saturation_rate=0.1)
+
+
+def t109_capture_cadence(spark, sf_dir):
+    """Capture-cadence card (cdx.capture_cadence): 100 urls with jittered
+    integer capture times (ts = doc_id + 3*(doc_id%7)) — per-url
+    capture counts, exact telescoped mean gap, lag-window max gap,
+    single-capture NULLs at the tail urls."""
+    d = _t(spark, sf_dir, "documents")
+    did = F.col("doc_id").cast("long")
+    caps = d.select(
+        F.concat(F.lit("u"), (did % 100).cast("string")).alias("url"),
+        (did + (did % 7) * 3).alias("ts"),
+    )
+    return cx.capture_cadence(caps)
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_filter_project": q02_filter_project,
@@ -2453,6 +2485,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "t105_robots_violation_audit": t105_robots_violation_audit,
     "t106_zipf_slope": t106_zipf_slope,
     "t107_embedding_health": t107_embedding_health,
+    "t108_crawl_yield_curve": t108_crawl_yield_curve,
+    "t109_capture_cadence": t109_capture_cadence,
 }
 
 # ---------------------------------------------------------------------------
@@ -5904,6 +5938,61 @@ ORACLES["t107_embedding_health"] = """
            CAST(round(CAST(sum(nm) AS DOUBLE) / CAST(count(*) AS DOUBLE),
                       0) AS BIGINT) AS mean_norm_micro
     FROM r GROUP BY label
+"""
+
+ORACLES["t108_crawl_yield_curve"] = """
+    WITH m AS (
+        SELECT doc_id % 12 AS round, 1 AS fetched,
+               greatest(0, 40 - 4 * (doc_id % 12)) AS new_links
+        FROM documents
+    ), per AS (
+        SELECT round,
+               CAST(sum(fetched) AS BIGINT) AS fetched,
+               CAST(sum(new_links) AS BIGINT) AS new_links
+        FROM m GROUP BY round
+    )
+    SELECT round, fetched, new_links,
+           CASE WHEN fetched > 0
+                THEN round(CAST(new_links AS DOUBLE)
+                           / CAST(fetched AS DOUBLE), 6) END
+               AS discovery_rate,
+           CAST(sum(fetched) OVER (ORDER BY round
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                AS BIGINT) AS cum_fetched,
+           CAST(sum(new_links) OVER (ORDER BY round
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                AS BIGINT) AS cum_new_links,
+           coalesce(CASE WHEN fetched > 0
+                         THEN round(CAST(new_links AS DOUBLE)
+                                    / CAST(fetched AS DOUBLE), 6) END
+                    < 0.1, FALSE) AS saturated
+    FROM per
+"""
+
+ORACLES["t109_capture_cadence"] = """
+    WITH caps AS (
+        SELECT 'u' || CAST(doc_id % 100 AS VARCHAR) AS url,
+               CAST(doc_id + (doc_id % 7) * 3 AS BIGINT) AS ts
+        FROM documents
+    ), g AS (
+        SELECT url, ts,
+               ts - lag(ts) OVER (PARTITION BY url ORDER BY ts) AS gap
+        FROM caps
+    ), per AS (
+        SELECT url,
+               CAST(count(*) AS BIGINT) AS n_captures,
+               CAST(min(ts) AS BIGINT) AS first_ts,
+               CAST(max(ts) AS BIGINT) AS last_ts,
+               CAST(max(gap) AS BIGINT) AS max_gap
+        FROM g GROUP BY url
+    )
+    SELECT url, n_captures, first_ts, last_ts,
+           CASE WHEN n_captures > 1
+                THEN round(CAST(last_ts - first_ts AS DOUBLE)
+                           / CAST(n_captures - 1 AS DOUBLE), 6) END
+               AS mean_gap,
+           max_gap
+    FROM per
 """
 
 ORACLES = {k: v for k, v in ORACLES.items() if v is not None}

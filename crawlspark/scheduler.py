@@ -969,3 +969,50 @@ def retry_outcome_report(
             ).alias("success_rate"),
         )
     )
+
+
+def crawl_yield_curve(
+    metrics: DataFrame,
+    round_col: str = "round",
+    fetched_col: str = "fetched",
+    links_col: str = "new_links",
+    saturation_rate: float = 0.1,
+) -> DataFrame:
+    """Per-round discovery-decay curve from the engine's own metrics
+    rows: fetches, newly discovered links, the discovery rate
+    (new_links / fetched — the frontier's reproduction number: above 1
+    the crawl is still expanding, below it the frontier is draining),
+    cumulative totals, and a saturation flag once the rate falls under
+    ``saturation_rate``. THE stop/budget question for a broad crawl —
+    "is another round still buying new URLs?" — answered from data the
+    rounds already persisted (Q8's metrics), no extra crawl-time work.
+
+    Shape: one hash-agg to |rounds| rows (metrics may hold several rows
+    per round across resumes — summed), then single-partition windows
+    over that bounded relation (rounds are thousands at most, never
+    corpus-sized). Output: (round, fetched, new_links, discovery_rate,
+    cum_fetched, cum_new_links, saturated).
+    """
+    per = metrics.groupBy(F.col(round_col).alias("round")).agg(
+        F.sum(fetched_col).cast("long").alias("fetched"),
+        F.sum(links_col).cast("long").alias("new_links"),
+    )
+    w = Window.orderBy("round").rowsBetween(Window.unboundedPreceding, 0)
+    rate = F.when(
+        F.col("fetched") > 0,
+        F.round(
+            F.col("new_links").cast("double") / F.col("fetched").cast("double"),
+            6,
+        ),
+    )
+    return per.select(
+        "round",
+        "fetched",
+        "new_links",
+        rate.alias("discovery_rate"),
+        F.sum("fetched").over(w).cast("long").alias("cum_fetched"),
+        F.sum("new_links").over(w).cast("long").alias("cum_new_links"),
+        F.coalesce(rate < float(saturation_rate), F.lit(False)).alias(
+            "saturated"
+        ),
+    )

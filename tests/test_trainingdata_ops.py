@@ -2715,3 +2715,38 @@ def test_embedding_health_hand_math(spark):
     assert got[0]["mean_norm_micro"] == 2_000_000
     assert (got[1]["dim_min"], got[1]["dim_max"]) == (2, 3)
     assert got[1]["mean_norm_micro"] == 2_000_000 and got[1]["n_zero"] == 0
+
+
+def test_crawl_yield_curve_hand_counts(spark):
+    """Yield curve against hand math: decaying discovery flips the
+    saturation flag at the right round; cumulative sums ordered."""
+    from crawlspark.scheduler import crawl_yield_curve
+
+    rows = [  # (round, fetched, new_links) — round 1 split in two rows
+        (0, 10, 30), (1, 6, 3), (1, 4, 2), (2, 10, 0), (3, 0, 0),
+    ]
+    d = spark.createDataFrame(rows, ["round", "fetched", "new_links"])
+    got = {r["round"]: r.asDict()
+           for r in crawl_yield_curve(d, saturation_rate=0.2).collect()}
+    assert got[0]["discovery_rate"] == 3.0 and got[0]["saturated"] is False
+    assert got[1]["fetched"] == 10 and got[1]["new_links"] == 5  # summed
+    assert got[1]["discovery_rate"] == 0.5 and got[1]["saturated"] is False
+    assert got[2]["discovery_rate"] == 0.0 and got[2]["saturated"] is True
+    assert got[3]["discovery_rate"] is None and got[3]["saturated"] is False
+    assert got[3]["cum_fetched"] == 30 and got[3]["cum_new_links"] == 35
+
+
+def test_capture_cadence_hand_gaps(spark):
+    """Cadence card: telescoped mean gap, lag max gap, single-capture
+    NULLs; input order must not matter."""
+    from crawlspark.cdx import capture_cadence
+
+    rows = [("a", 100), ("a", 400), ("a", 150), ("b", 7)]
+    d = spark.createDataFrame(rows, ["url", "ts"]).repartition(3)
+    got = {r["url"]: r.asDict() for r in capture_cadence(d).collect()}
+    # a: sorted ts 100,150,400 -> gaps 50, 250
+    assert got["a"]["n_captures"] == 3
+    assert (got["a"]["first_ts"], got["a"]["last_ts"]) == (100, 400)
+    assert got["a"]["mean_gap"] == 150.0 and got["a"]["max_gap"] == 250
+    assert got["b"]["n_captures"] == 1
+    assert got["b"]["mean_gap"] is None and got["b"]["max_gap"] is None
