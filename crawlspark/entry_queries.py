@@ -2347,6 +2347,35 @@ def t109_capture_cadence(spark, sf_dir):
     return cx.capture_cadence(caps)
 
 
+def t110_stale_capture_report(spark, sf_dir):
+    """Declared-vs-archived freshness gap (robots.stale_capture_report):
+    each doc's sitemap declares lastmod 2024-01-(1+doc_id%28); captures
+    exist only for doc_id%3!=0 at day 19723+doc_id%14 — the report must
+    emit exactly the stale rows (declared day > captured day, i.e.
+    doc_id%28 >= 14 here) and the never-captured holes, in integer-day
+    algebra."""
+    d = _t(spark, sf_dir, "documents")
+    did = F.col("doc_id").cast("long")
+    hp = F.concat(F.lit("https://"), F.col("source"), F.lit(".example.com"))
+    docurl = F.concat(hp, F.lit("/d/"), did.cast("string"))
+    body = F.concat(
+        F.lit("<urlset><url><loc>"), docurl,
+        F.lit("</loc><lastmod>2024-01-"),
+        F.lpad(((did % 28) + 1).cast("string"), 2, "0"),
+        F.lit("</lastmod></url></urlset>"),
+    )
+    pages = d.select(
+        F.concat(hp, F.lit("/sitemap-"), did.cast("string"),
+                 F.lit(".xml")).alias("url"),
+        body.alias("text"),
+    )
+    caps = d.filter(did % 3 != 0).select(
+        docurl.alias("url"),
+        (F.lit(86400) * (F.lit(19723) + (did % 14))).alias("ts"),
+    )
+    return rb.stale_capture_report(pages, caps)
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_filter_project": q02_filter_project,
@@ -2487,6 +2516,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "t107_embedding_health": t107_embedding_health,
     "t108_crawl_yield_curve": t108_crawl_yield_curve,
     "t109_capture_cadence": t109_capture_cadence,
+    "t110_stale_capture_report": t110_stale_capture_report,
 }
 
 # ---------------------------------------------------------------------------
@@ -5993,6 +6023,50 @@ ORACLES["t109_capture_cadence"] = """
                AS mean_gap,
            max_gap
     FROM per
+"""
+
+ORACLES["t110_stale_capture_report"] = """
+    WITH d AS (
+        SELECT doc_id,
+               'https://' || source || '.example.com' AS hp
+        FROM documents
+    ), pages AS (
+        SELECT hp || '/sitemap-' || CAST(doc_id AS VARCHAR) || '.xml'
+                   AS url,
+               '<urlset><url><loc>' || hp || '/d/'
+                   || CAST(doc_id AS VARCHAR)
+                   || '</loc><lastmod>2024-01-'
+                   || lpad(CAST((doc_id % 28) + 1 AS VARCHAR), 2, '0')
+                   || '</lastmod></url></urlset>' AS text,
+               doc_id, hp
+        FROM d
+    ), lm AS (
+        SELECT regexp_extract(url, '^[a-z][a-z0-9+.-]*://([^/?#]+)', 1)
+                   AS host,
+               hp || '/d/' || CAST(doc_id AS VARCHAR) AS u,
+               CAST((CAST('2024-01-'
+                       || lpad(CAST((doc_id % 28) + 1 AS VARCHAR), 2, '0')
+                       AS DATE) - DATE '1970-01-01') AS BIGINT)
+                   AS lastmod_day
+        FROM pages
+        WHERE regexp_matches(url,
+            '^https?://[^/]+[^?#]*sitemap[^/?#]*\\.xml$')
+    ), lmx AS (
+        SELECT host, u, CAST(max(lastmod_day) AS BIGINT) AS lastmod_day
+        FROM lm GROUP BY host, u
+    ), cap AS (
+        SELECT hp || '/d/' || CAST(doc_id AS VARCHAR) AS u,
+               CAST(max(CAST(floor(
+                   CAST(86400 * (19723 + (doc_id % 14)) AS DOUBLE)
+                   / 86400.0) AS BIGINT)) AS BIGINT) AS last_capture_day
+        FROM d WHERE doc_id % 3 <> 0 GROUP BY 1
+    )
+    SELECT l.host, l.u AS url, l.lastmod_day, c.last_capture_day,
+           l.lastmod_day - c.last_capture_day AS staleness_days,
+           c.last_capture_day IS NULL AS never_captured
+    FROM lmx l LEFT JOIN cap c ON l.u = c.u
+    WHERE c.last_capture_day IS NULL
+       OR l.lastmod_day - c.last_capture_day > 0
 """
 
 ORACLES = {k: v for k, v in ORACLES.items() if v is not None}

@@ -448,3 +448,70 @@ def robots_violation_audit(
             ),
         )
     )
+
+
+def stale_capture_report(
+    pages: DataFrame,
+    captures: DataFrame,
+    url_col: str = "url",
+    text_col: str = "text",
+    cap_url_col: str = "url",
+    cap_ts_col: str = "ts",
+) -> DataFrame:
+    """Freshness gap between what hosts DECLARE and what the archive
+    HOLDS: join sitemap ``<lastmod>`` declarations
+    (:func:`sitemap_lastmod`) against the capture history — a URL whose
+    declared last modification post-dates its last capture is stale in
+    the archive, and a declared URL with no capture at all is a
+    coverage hole. The output IS the re-seed list, pre-ranked by
+    staleness; the server-declared half of the signal
+    scheduler.revisit_schedule estimates from observed content churn.
+
+    Date algebra stays in INTEGER DAYS on both engines (lastmod ->
+    days-since-epoch via datediff; capture ts -> floor(ts/86400)) — no
+    timezone-sensitive timestamp casts anywhere. Several lastmod
+    declarations per URL collapse to the max; capture history to the
+    max ts. Shape: two bounded hash-aggs + one un-hinted left join on
+    url (AQE picks broadcast for small capture sets). Output: (host,
+    url, lastmod_day, last_capture_day, staleness_days, never_captured)
+    — only stale or never-captured rows.
+    """
+    lm = (
+        sitemap_lastmod(pages, url_col, text_col)
+        .select(
+            "host",
+            F.col("loc").alias("url"),
+            F.datediff(F.col("lastmod_date"), F.to_date(F.lit("1970-01-01")))
+            .cast("long")
+            .alias("lastmod_day"),
+        )
+        .groupBy("host", "url")
+        .agg(F.max("lastmod_day").alias("lastmod_day"))
+    )
+    cap = (
+        captures.select(
+            F.col(cap_url_col).alias("url"),
+            F.floor(F.col(cap_ts_col).cast("double") / 86400.0)
+            .cast("long")
+            .alias("_day"),
+        )
+        .groupBy("url")
+        .agg(F.max("_day").alias("last_capture_day"))
+    )
+    j = lm.join(cap, "url", "left")
+    return (
+        j.select(
+            "host",
+            "url",
+            "lastmod_day",
+            "last_capture_day",
+            (F.col("lastmod_day") - F.col("last_capture_day")).alias(
+                "staleness_days"
+            ),
+            F.col("last_capture_day").isNull().alias("never_captured"),
+        )
+        .filter(
+            F.col("last_capture_day").isNull()
+            | (F.col("staleness_days") > 0)
+        )
+    )

@@ -2750,3 +2750,35 @@ def test_capture_cadence_hand_gaps(spark):
     assert got["a"]["mean_gap"] == 150.0 and got["a"]["max_gap"] == 250
     assert got["b"]["n_captures"] == 1
     assert got["b"]["mean_gap"] is None and got["b"]["max_gap"] is None
+
+
+def test_stale_capture_report_hand_case(spark):
+    """Stale rows = declared lastmod day > last capture day; undeclared
+    captures ignored; never-captured declared urls flagged; fresh urls
+    absent. Integer-day algebra throughout."""
+    from crawlspark.robots import stale_capture_report
+
+    pages = spark.createDataFrame(
+        [("https://a.com/sitemap.xml",
+          "<urlset>"
+          "<url><loc>https://a.com/p1</loc><lastmod>2024-01-10</lastmod></url>"
+          "<url><loc>https://a.com/p2</loc><lastmod>2024-01-05</lastmod></url>"
+          "<url><loc>https://a.com/p3</loc><lastmod>2024-01-07</lastmod></url>"
+          "</urlset>")],
+        ["url", "text"],
+    )
+    day = 19723  # 2024-01-01
+    caps = spark.createDataFrame(
+        [("https://a.com/p1", 86400 * (day + 4)),   # captured Jan 5 < Jan 10
+         ("https://a.com/p2", 86400 * (day + 9)),   # captured Jan 10 > Jan 5
+         ("https://x.com/q", 86400 * day)],         # undeclared url
+        ["url", "ts"],
+    )
+    got = {r["url"]: r.asDict()
+           for r in stale_capture_report(pages, caps).collect()}
+    assert set(got) == {"https://a.com/p1", "https://a.com/p3"}
+    p1 = got["https://a.com/p1"]
+    assert (p1["lastmod_day"], p1["last_capture_day"]) == (day + 9, day + 4)
+    assert p1["staleness_days"] == 5 and p1["never_captured"] is False
+    p3 = got["https://a.com/p3"]
+    assert p3["never_captured"] is True and p3["staleness_days"] is None
