@@ -2376,6 +2376,22 @@ def t110_stale_capture_report(spark, sf_dir):
     return rb.stale_capture_report(pages, caps)
 
 
+def t111_lix_readability(spark, sf_dir):
+    """LIX readability per doc (textops.lix_readability): the
+    syllable-free readability grade — words/sentences +
+    100*longwords/words, long >= 7 chars."""
+    d = _t(spark, sf_dir, "documents")
+    return tx.lix_readability(d, long_chars=7)
+
+
+def t112_vocab_growth(spark, sf_dir):
+    """Corpus vocabulary card (textops.vocab_growth): total tokens,
+    distinct types, hapax legomena, TTR and hapax share — the Heaps'
+    companion to t106's Zipf fit, one-row output."""
+    d = _t(spark, sf_dir, "documents")
+    return tx.vocab_growth(d)
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_filter_project": q02_filter_project,
@@ -2517,6 +2533,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "t108_crawl_yield_curve": t108_crawl_yield_curve,
     "t109_capture_cadence": t109_capture_cadence,
     "t110_stale_capture_report": t110_stale_capture_report,
+    "t111_lix_readability": t111_lix_readability,
+    "t112_vocab_growth": t112_vocab_growth,
 }
 
 # ---------------------------------------------------------------------------
@@ -6067,6 +6085,52 @@ ORACLES["t110_stale_capture_report"] = """
     FROM lmx l LEFT JOIN cap c ON l.u = c.u
     WHERE c.last_capture_day IS NULL
        OR l.lastmod_day - c.last_capture_day > 0
+"""
+
+ORACLES["t111_lix_readability"] = """
+    WITH s AS (
+        SELECT doc_id,
+               list_filter(string_split_regex(text, '[.!?]+\\s+'),
+                           x -> len(trim(x)) > 0) AS sents,
+               list_filter(string_split_regex(trim(text), '\\s+'),
+                           w -> len(w) > 0) AS words
+        FROM documents
+    )
+    SELECT doc_id,
+           CAST(len(words) AS BIGINT) AS n_words,
+           CAST(len(sents) AS BIGINT) AS n_sentences,
+           CAST(len(list_filter(words, w -> len(w) >= 7)) AS BIGINT)
+               AS n_long_words,
+           CASE WHEN len(sents) > 0 AND len(words) > 0
+                THEN round(CAST(len(words) AS DOUBLE)
+                           / CAST(len(sents) AS DOUBLE)
+                           + 100.0
+                             * CAST(len(list_filter(words,
+                                        w -> len(w) >= 7)) AS DOUBLE)
+                             / CAST(len(words) AS DOUBLE), 6) END AS lix
+    FROM s
+"""
+
+ORACLES["t112_vocab_growth"] = """
+    WITH toks AS (
+        SELECT unnest(string_split_regex(lower(text), '\\s+')) AS tok
+        FROM documents
+    ), f AS (
+        SELECT tok, CAST(count(*) AS BIGINT) AS n
+        FROM toks WHERE len(tok) > 0 GROUP BY tok
+    ), agg AS (
+        SELECT CAST(sum(n) AS BIGINT) AS n_tokens,
+               CAST(count(*) AS BIGINT) AS n_types,
+               CAST(sum(CASE WHEN n = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_hapax
+        FROM f
+    )
+    SELECT n_tokens, n_types, n_hapax,
+           round(CAST(n_types AS DOUBLE) / CAST(n_tokens AS DOUBLE), 6)
+               AS type_token_ratio,
+           round(CAST(n_hapax AS DOUBLE) / CAST(n_types AS DOUBLE), 6)
+               AS hapax_share
+    FROM agg
 """
 
 ORACLES = {k: v for k, v in ORACLES.items() if v is not None}

@@ -2896,3 +2896,90 @@ def zipf_slope(
         F.round(slope, 6).alias("slope"),
         F.round(intercept, 6).alias("intercept"),
     )
+
+
+def lix_readability(
+    documents: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    long_chars: int = 7,
+) -> DataFrame:
+    """Per-doc LIX readability index — the syllable-free readability
+    measure (Björnsson 1968): ``words/sentences + 100*long_words/words``
+    with long = >= ``long_chars`` characters. Unlike Flesch it needs no
+    syllable model, so it computes identically on any engine — the
+    readability grade LLM-corpus curricula bucket by (LIX < 30 easy,
+    40-50 newsprint, > 60 bureaucratic/spam). Complements
+    sentence_stats: same sentence splitter, different signal (word
+    LENGTH mix vs sentence SHAPE).
+
+    All in-row (split + higher-order counts, zero shuffles); the index
+    is two exact integer ratios summed, rounded 6 dp. Docs with no
+    sentences/words emit NULL. Output: (id, n_words, n_sentences,
+    n_long_words, lix).
+    """
+    sents = F.filter(
+        F.split(F.col(text_col), r"[.!?]+\s+"),
+        lambda s: F.length(F.trim(s)) > 0,
+    )
+    words = F.filter(
+        F.split(F.trim(F.col(text_col)), r"\s+"),
+        lambda w: F.length(w) > 0,
+    )
+    n_s = F.size(sents)
+    n_w = F.size(words)
+    n_long = F.size(F.filter(words, lambda w: F.length(w) >= int(long_chars)))
+    lix = F.when(
+        (n_s > 0) & (n_w > 0),
+        F.round(
+            n_w.cast("double") / n_s.cast("double")
+            + F.lit(100.0) * n_long.cast("double") / n_w.cast("double"),
+            6,
+        ),
+    )
+    return documents.select(
+        F.col(id_col),
+        n_w.cast("long").alias("n_words"),
+        n_s.cast("long").alias("n_sentences"),
+        n_long.cast("long").alias("n_long_words"),
+        lix.alias("lix"),
+    )
+
+
+def vocab_growth(
+    documents: DataFrame, text_col: str = "text"
+) -> DataFrame:
+    """Corpus vocabulary card (the Heaps'-law companion to t106's Zipf
+    fit): total tokens, distinct types, hapax legomena (frequency-1
+    types), type-token ratio and hapax share. Template floods crater
+    the TTR; OCR noise and token salad inflate the hapax share toward
+    1 — the two cheapest whole-corpus health numbers after size itself.
+
+    One explode + one token hash-agg (bounded by vocab, partial-
+    aggregated) + one scalar agg. All counts integer; the two ratios
+    are single divisions rounded 6 dp. Output: ONE row (n_tokens,
+    n_types, n_hapax, type_token_ratio, hapax_share).
+    """
+    toks = documents.select(
+        F.explode(F.split(F.lower(F.col(text_col)), r"\s+")).alias("tok")
+    ).filter(F.length("tok") > 0)
+    freq = toks.groupBy("tok").agg(F.count("*").cast("long").alias("n"))
+    return freq.agg(
+        F.sum("n").cast("long").alias("n_tokens"),
+        F.count("*").cast("long").alias("n_types"),
+        F.sum(F.when(F.col("n") == 1, 1).otherwise(0))
+        .cast("long")
+        .alias("n_hapax"),
+    ).select(
+        "n_tokens",
+        "n_types",
+        "n_hapax",
+        F.round(
+            F.col("n_types").cast("double") / F.col("n_tokens").cast("double"),
+            6,
+        ).alias("type_token_ratio"),
+        F.round(
+            F.col("n_hapax").cast("double") / F.col("n_types").cast("double"),
+            6,
+        ).alias("hapax_share"),
+    )

@@ -2782,3 +2782,43 @@ def test_stale_capture_report_hand_case(spark):
     assert p1["staleness_days"] == 5 and p1["never_captured"] is False
     p3 = got["https://a.com/p3"]
     assert p3["never_captured"] is True and p3["staleness_days"] is None
+
+
+def test_lix_readability_hand_math(spark):
+    """LIX against hand counts: classic two-sentence case, no-sentence
+    empty text -> NULL, long-word threshold at exactly 7 chars."""
+    from crawlspark.textops import lix_readability
+
+    rows = [
+        (0, "The quick brown fox jumped. Excellent behaviour observed."),
+        (1, ""),
+        (2, "abcdefg abcdef"),  # exactly-7 counts long, 6 does not
+    ]
+    d = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {r["doc_id"]: r.asDict() for r in lix_readability(d).collect()}
+    # doc 0: 8 words, 2 sentences, long: jumped.(7)? 'jumped.' is 7 chars
+    # incl the period - splitter consumes '. ' between sentences but the
+    # final 'observed.' keeps its dot; count by the splitter's words:
+    # words = [The,quick,brown,fox,jumped.,Excellent,behaviour,observed.]
+    # long(>=7) = jumped.(7), Excellent(9), behaviour(9), observed.(9) = 4
+    assert got[0]["n_words"] == 8 and got[0]["n_sentences"] == 2
+    assert got[0]["n_long_words"] == 4
+    assert got[0]["lix"] == round(8 / 2 + 100 * 4 / 8, 6)
+    assert got[1]["lix"] is None and got[1]["n_words"] == 0
+    assert got[2]["n_long_words"] == 1
+    assert got[2]["lix"] == round(2 / 1 + 100 * 1 / 2, 6)
+
+
+def test_vocab_growth_hand_counts(spark):
+    """Vocabulary card: tokens lowercased, hapax = freq-1 types."""
+    from crawlspark.textops import vocab_growth
+
+    d = spark.createDataFrame(
+        [("the cat THE dog",), ("cat mouse",)], ["text"]
+    )
+    r = vocab_growth(d).collect()[0]
+    # tokens: the, cat, the, dog, cat, mouse = 6; types: the(2) cat(2)
+    # dog(1) mouse(1) = 4; hapax = 2
+    assert (r["n_tokens"], r["n_types"], r["n_hapax"]) == (6, 4, 2)
+    assert r["type_token_ratio"] == round(4 / 6, 6)
+    assert r["hapax_share"] == 0.5
