@@ -40,11 +40,16 @@ def get_spark(
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
-        # coalesce small shuffles by SIZE, not core count: with the default
-        # parallelismFirst=true every tiny shuffle still launches one task
-        # per core, a flat per-stage tax that grows with cluster size (the
-        # Spark docs recommend false for production)
-        .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", "false")
+        # parallelismFirst=true (the Spark default, restored r6): the r5
+        # setting of false let AQE coalesce any shuffle under the 64m
+        # advisory size to ONE partition — a ~50 MB shuffle that fans out
+        # into CPU-heavy work (t04's 71M generated pairs at sf1.0) ran
+        # single-threaded, 159 s instead of seconds. Measured r6: with
+        # true, tiny (<1 MB) shuffles STILL coalesce to 1 partition (the
+        # 1 MB minPartitionSize floor), so the per-stage task tax r5
+        # feared does not occur, while mid-size shuffles keep
+        # defaultParallelism — scale-adaptive on any cluster size.
+        .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", "true")
         .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", "64m")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
