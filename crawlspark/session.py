@@ -88,3 +88,31 @@ def get_spark(
     spark = b.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     return spark
+
+
+def spread_input(df, min_partitions: int | None = None):
+    """Round-robin repartition a narrow input up to cluster parallelism
+    when (and only when) its scan has fewer splits than cores.
+
+    Parquet scans parallelize at row-group granularity: a small
+    single-row-group file (the documents/embeddings tables at every
+    sandbox SF) is ONE task no matter what maxPartitionBytes says, so
+    every CPU-heavy per-row derivation downstream (shingling, hashing,
+    cosine algebra) runs single-threaded (guide §2.5 "input skew: one
+    huge unsplittable file ... repartition immediately after the read").
+
+    Scale-adaptive by construction: the target is defaultParallelism
+    (cluster-derived, never a constant) and the repartition is skipped
+    when the input already has enough partitions — at corpus scale file
+    splits exceed cores, so this is a no-op there, never an extra
+    corpus-wide shuffle. Only safe for consumers whose result is a row
+    SET (aggregations, joins, deterministic-keyed rankings): round-robin
+    placement changes row order, not content.
+    """
+    if df.isStreaming:
+        return df
+    sc = df.sparkSession.sparkContext
+    target = min_partitions or sc.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df

@@ -22,6 +22,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from .session import spread_input
+
 
 def dot_col(a, b):
     return F.aggregate(
@@ -60,8 +62,13 @@ def cosine_topk(
     q = embeddings.filter(F.col(id_col).isin(query_ids)).select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec")
     )
-    joined = embeddings.select(
-        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("nvec")
+    # corpus side spread to cluster parallelism: the embeddings table is a
+    # single-row-group parquet at sandbox SFs, so the broadcast nested-loop
+    # join (and the per-row cosine algebra) would otherwise run as ONE task
+    joined = spread_input(
+        embeddings.select(
+            F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("nvec")
+        )
     ).join(F.broadcast(q), F.col("neighbor_id") != F.col("query_id"))
     scored = joined.select(
         "query_id",
@@ -99,7 +106,7 @@ def lsh_topk(
     Recall < 1 by design; the tradeoff is the bucket equi-join replacing
     the full cross product."""
     planes = planes or [0, 1, 2, 3]
-    with_bucket = embeddings.select(
+    with_bucket = spread_input(embeddings).select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("nvec"),
         sign_bucket_col(F.col(vec_col), planes).alias("bucket"),
