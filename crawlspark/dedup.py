@@ -219,23 +219,34 @@ def ngram_jaccard_pairs(
 
 def minhash_signatures(documents: DataFrame, n_hashes: int = 32, k: int = 3) -> DataFrame:
     """MinHash signature per doc: for each hash i, min over shingles of
-    (a_i * x + b_i) mod p. Computed as one explode + groupBy — two
-    shuffles total regardless of n_hashes (hashes are array elements,
-    not rows)."""
+    (a_i * x + b_i) mod p.
+
+    r6: computed entirely IN-ROW — the signature is a per-document map, so
+    the r5 explode + groupBy(doc_id) (2.6M exploded rows + a shuffle at
+    sf1.0) was pure overhead: each doc's min folds over its own shingle
+    array (one hash pass via transform, then one aggregate per hash
+    component — longs only, the md5 runs once per shingle). ZERO shuffles
+    at any scale. Requires doc_id unique (the documented PK contract; the
+    old shape merged duplicate doc_ids, this one emits a row per input
+    row). Measured sf1.0 hot best-of-N: 2.02 s -> 0.38 s, rows identical.
+    """
     params = minhash_params(n_hashes)
-    x = _shingle_hash_col(F.col("shingle"))
-    # within-doc array_distinct == full (doc, shingle) distinct (doc_id is
-    # the PK) — min() is dup-insensitive anyway, but the pre-explode dedup
-    # also shrinks the exploded relation with zero shuffle
-    exploded = spread_input(documents).select(
-        "doc_id",
-        F.explode(F.array_distinct(shingles_col(F.col("text"), k))).alias("shingle"),
-    ).withColumn("x", x)
-    aggs = [
-        F.min((F.col("x") * F.lit(a) + F.lit(b)) % F.lit(_P)).alias(f"h{i}")
+    # init larger than any (a*x+b) mod p value (< 2^31); shingles_col never
+    # yields an empty array, so the init never survives to the output
+    xs = F.transform(
+        F.array_distinct(shingles_col(F.col("text"), k)),
+        lambda s: _shingle_hash_col(s),
+    )
+    d = spread_input(documents).select("doc_id", xs.alias("xs"))
+    mins = [
+        F.aggregate(
+            "xs",
+            F.lit(1 << 62),
+            lambda acc, x: F.least(acc, (x * F.lit(a) + F.lit(b)) % F.lit(_P)),
+        ).alias(f"h{i}")
         for i, (a, b) in enumerate(params)
     ]
-    sig = exploded.groupBy("doc_id").agg(*aggs)
+    sig = d.select("doc_id", *mins)
     return sig.select(
         "doc_id", F.array(*[F.col(f"h{i}") for i in range(n_hashes)]).alias("signature")
     )

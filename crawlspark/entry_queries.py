@@ -306,8 +306,15 @@ def c01_priority_pop(spark, sf_dir):
     exact window shape of the frontier pop (priority DESC, seq ASC)."""
     e = _t(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy(F.desc("value"), F.asc("event_id"))
+    # r6: explicit repartition on the window key — the events table is a
+    # single-row-group parquet, so the window's partial sort otherwise runs
+    # as ONE task before the exchange; pre-partitioning moves the sort
+    # behind a 32-way shuffle the window reuses (no second exchange).
+    # Measured sf1.0 hot: 1.16 s -> 0.54 s; rows identical (the ranking
+    # order (value DESC, event_id ASC) is a total order per user).
     return (
-        e.withColumn("rn", F.row_number().over(w))
+        e.repartition("user_id")
+        .withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= 3)
         .select("user_id", "event_id", "value", "rn")
     )
@@ -327,8 +334,12 @@ def c03_dedup_latest(spark, sf_dir):
     tiebreak event_id) — the results_state/frontier_state window."""
     e = _t(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy(F.desc("ts"), F.desc("event_id"))
+    # r6: same single-task-scan fix as c01 — pre-partition on the window
+    # key so the sort runs behind the shuffle instead of on the lone scan
+    # task; the window reuses the exchange.
     return (
-        e.withColumn("rn", F.row_number().over(w))
+        e.repartition("user_id")
+        .withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") == 1)
         .select("user_id", "event_id", "event_type")
     )
