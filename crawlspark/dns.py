@@ -142,6 +142,18 @@ def resolve_hosts(hosts_df: DataFrame, resolver_factory,
     """
     import pandas as pd  # noqa: F401 (worker-side too)
 
+    # ADVICE r5: key the worker cache by (caller key, resolver identity,
+    # ttl), not the caller key alone — a later call reusing a cache_key
+    # with a different factory or ttl must get a fresh resolver, not the
+    # first call's (stale addresses, silently). The factory's module and
+    # qualname identify the resolver class; closures with differing
+    # captured state should use distinct cache_keys (documented).
+    if cache_key is not None:
+        cache_key = (
+            f"{cache_key}:{getattr(resolver_factory, '__module__', '')}."
+            f"{getattr(resolver_factory, '__qualname__', '')}:{default_ttl}"
+        )
+
     def _resolve(batches):
         import pandas as pd
         cache = None

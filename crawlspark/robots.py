@@ -421,9 +421,12 @@ def robots_violation_audit(
     one per-host hash-agg. Output: (host, n_fetches, n_violations,
     violation_rate rounded 6 dp).
     """
+    # one row per host (ADVICE r5): duplicate host rows — e.g. robots
+    # re-fetch snapshots — would fan out the left join and inflate
+    # n_fetches/n_violations; with_robots documents the same precondition
     r = robots.select(
         F.col("host").alias("_rh"), F.col("deny_prefixes")
-    )
+    ).dropDuplicates(["_rh"])
     joined = fetch_log.select(
         F.col(host_col_name).alias("host"), F.col(url_col).alias("url")
     ).join(r, F.col("host") == F.col("_rh"), "left")

@@ -2751,6 +2751,14 @@ def host_concentration(
     (squares of small shares need the finer grain than micro).
     Output: ONE row (n_docs, n_hosts, hhi_pico, top1_share,
     top10_share), shares rounded 6 dp.
+
+    r6 (ADVICE r5 / VERDICT task 5): the card's single row is computed
+    EAGERLY inside a try/finally that unpersists the per-host aggregate
+    before returning — CacheManager holds DataFrame cache blocks until an
+    explicit unpersist, so the old lazy shape leaked one |hosts|-sized
+    cache entry per invocation for the session lifetime. The returned
+    one-row frame is a materialized literal; every invocation still
+    recomputes from the input (nothing is memoized across calls).
     """
     from pyspark import StorageLevel
 
@@ -2759,42 +2767,51 @@ def host_concentration(
         .agg(F.count("*").cast("long").alias("n"))
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
-    tot = per.agg(
-        F.sum("n").cast("long").alias("n_docs"),
-        F.count("*").cast("long").alias("n_hosts"),
-    )
-    terms = per.crossJoin(tot.select("n_docs")).select(
-        F.round(
-            F.pow(F.col("n").cast("double"), 2)
-            * F.lit(1e12)
-            / F.pow(F.col("n_docs").cast("double"), 2),
-            0,
+    try:
+        tot = per.agg(
+            F.sum("n").cast("long").alias("n_docs"),
+            F.count("*").cast("long").alias("n_hosts"),
         )
-        .cast("long")
-        .alias("t")
-    )
-    hhi = terms.agg(F.sum("t").cast("long").alias("hhi_pico"))
-    # deterministic top-k: count desc, host asc tiebreak; TakeOrdered
-    top = per.orderBy(F.desc("n"), F.asc("h")).limit(10).select("n")
-    top1 = per.orderBy(F.desc("n"), F.asc("h")).limit(1).select(
-        F.col("n").alias("n1")
-    )
-    top10_sum = top.agg(F.sum("n").cast("long").alias("n10"))
-    return (
-        tot.crossJoin(hhi)
-        .crossJoin(top1)
-        .crossJoin(top10_sum)
-        .select(
-            "n_docs",
-            "n_hosts",
-            "hhi_pico",
-            F.round(F.col("n1").cast("double") / F.col("n_docs"), 6).alias(
-                "top1_share"
-            ),
-            F.round(F.col("n10").cast("double") / F.col("n_docs"), 6).alias(
-                "top10_share"
-            ),
+        terms = per.crossJoin(tot.select("n_docs")).select(
+            F.round(
+                F.pow(F.col("n").cast("double"), 2)
+                * F.lit(1e12)
+                / F.pow(F.col("n_docs").cast("double"), 2),
+                0,
+            )
+            .cast("long")
+            .alias("t")
         )
+        hhi = terms.agg(F.sum("t").cast("long").alias("hhi_pico"))
+        # deterministic top-k: count desc, host asc tiebreak; TakeOrdered
+        top = per.orderBy(F.desc("n"), F.asc("h")).limit(10).select("n")
+        top1 = per.orderBy(F.desc("n"), F.asc("h")).limit(1).select(
+            F.col("n").alias("n1")
+        )
+        top10_sum = top.agg(F.sum("n").cast("long").alias("n10"))
+        row = (
+            tot.crossJoin(hhi)
+            .crossJoin(top1)
+            .crossJoin(top10_sum)
+            .select(
+                "n_docs",
+                "n_hosts",
+                "hhi_pico",
+                F.round(F.col("n1").cast("double") / F.col("n_docs"), 6).alias(
+                    "top1_share"
+                ),
+                F.round(F.col("n10").cast("double") / F.col("n_docs"), 6).alias(
+                    "top10_share"
+                ),
+            )
+            .collect()
+        )
+    finally:
+        per.unpersist()
+    return docs.sparkSession.createDataFrame(
+        row,
+        "n_docs long, n_hosts long, hhi_pico long, "
+        "top1_share double, top10_share double",
     )
 
 

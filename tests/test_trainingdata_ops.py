@@ -2596,6 +2596,18 @@ def test_host_concentration_deterministic_topk_tiebreak(spark):
     assert r["top10_share"] == round(21 / 25, 6)
 
 
+def test_host_concentration_releases_cache(spark):
+    """Card-op cache lifecycle (VERDICT r5 task 5): the per-host aggregate
+    is persisted only inside the op — after the returned row is built, no
+    storage blocks remain (the r5 shape leaked one cache entry per call)."""
+    from crawlspark.textops import host_concentration
+
+    d = spark.createDataFrame([("a",), ("a",), ("b",)], ["host"])
+    host_concentration(d).collect()
+    infos = spark.sparkContext._jsc.sc().getRDDStorageInfo()
+    assert len(infos) == 0, [str(i) for i in infos]
+
+
 def test_extraction_density_hand_counts(spark):
     """Length/ratio/link-density audit against hand-computed values,
     including the low-yield flag and a zero-length html edge."""
