@@ -63,9 +63,13 @@ def _shingle_hash_col(shingle) -> "F.Column":
 def exact_dedup(documents: DataFrame) -> DataFrame:
     """Exact content dedup: canonical representative = min doc_id per
     md5-fingerprint. One hash-aggregate shuffle; no sort."""
+    # NOT spread (r6): md5+normalize is cheap per byte — round-robin
+    # repartition of the text column costs more than it parallelizes at
+    # every measured SF (sf0.1: 0.28 s plain vs 0.72 s spread; sf1.0:
+    # 0.65 vs 0.81). spread_input stays for genuinely CPU-heavy
+    # derivations (shingling, simhash, cosine).
     return (
-        spread_input(documents)
-        .select(doc_fingerprint(F.col("text")).alias("fingerprint"), "doc_id")
+        documents.select(doc_fingerprint(F.col("text")).alias("fingerprint"), "doc_id")
         .groupBy("fingerprint")
         .agg(F.min("doc_id").alias("keep_doc_id"), F.count("*").alias("n_copies"))
     )
@@ -237,7 +241,7 @@ def minhash_signatures(documents: DataFrame, n_hashes: int = 32, k: int = 3) -> 
         F.array_distinct(shingles_col(F.col("text"), k)),
         lambda s: _shingle_hash_col(s),
     )
-    d = spread_input(documents).select("doc_id", xs.alias("xs"))
+    d = documents.select("doc_id", xs.alias("xs"))
     mins = [
         F.aggregate(
             "xs",
