@@ -83,16 +83,17 @@ def _pad(df: DataFrame, table: str) -> DataFrame:
 
 
 def _write_tee(store: FrontierStore, tee: DataFrame) -> str:
-    """The round's ONE Spark action: repartition + partitionBy(_table)
+    """The round's ONE Spark action: rebalance + partitionBy(_table)
     parquet write; per-table counts are collected by the Observation the
     caller attached — no separate count jobs, no collect()s.
 
-    repartition WITHOUT an explicit count: AQE's size-based coalescing
-    (advisoryPartitionSize=64m, parallelismFirst=false) right-sizes the
-    write — a small round's delta lands in 1-2 files (no small-file
-    explosion rounds later), a 10^8-row round stays wide. The exchange
-    also keeps the upstream compute at full parallelism while the write
-    itself is narrow.
+    REBALANCE hint (r6; was a bare repartition): AQE right-sizes the
+    write toward the 64m advisory AND splits skewed partitions
+    (OptimizeSkewInRebalancePartitions) — a 10^8-row round whose results
+    partition dwarfs the frontier marks no longer bottlenecks one write
+    task. Sub-advisory rounds still coalesce subject to the
+    parallelism floor; the store's compaction keeps long-crawl file
+    counts bounded either way.
 
     Returns (shared_dir, has_data). has_data is read driver-side from the
     output layout: a dynamic-partition write of an EMPTY DataFrame creates
@@ -103,7 +104,7 @@ def _write_tee(store: FrontierStore, tee: DataFrame) -> str:
 
     shared = store.shared_write_dir()
     (
-        tee.repartition("_table", "url")
+        tee.hint("rebalance", "_table", "url")
         .write.partitionBy("_table")
         # bloom filter on the fingerprint column (SURVEY D1): the
         # Parquet-native stand-in for the reference's Redis SET membership
