@@ -313,6 +313,18 @@ def verify_jaccard_pairs(
     |cand| x shingles-per-doc. No full index self-join anywhere (round-1
     verify recomputed all-pairs Jaccard corpus-wide, defeating LSH).
     """
+    # r6: materialize the candidate set once — it appears THREE times in
+    # this plan (both arms of cand_docs plus the intersection join), and
+    # for LSH callers it is the banded self-join, the expensive half of
+    # the operator. Same checkpoint discipline as dup_clusters: lineage
+    # truncated, blocks released with the result.
+    spark = documents.sparkSession
+    reliable = spark.sparkContext.getCheckpointDir() is not None
+
+    def _ckpt(df: DataFrame) -> DataFrame:
+        return df.checkpoint(eager=True) if reliable else df.localCheckpoint(eager=True)
+
+    cand = _ckpt(cand)
     idx = shingle_index(documents, k, max_df)
     cand_docs = (
         cand.select(F.col("doc_a").alias("doc_id"))
@@ -322,8 +334,12 @@ def verify_jaccard_pairs(
     idx_c = idx.join(cand_docs, "doc_id", "left_semi")
     # carried sizes (same trick as ngram_jaccard_pairs): n_sh rides the
     # index rows through the intersection joins, so no sizes table and no
-    # post-joins — the semi-joined index is computed exactly once per side
-    sized = idx_c.withColumn("n_sh", F.count("*").over(Window.partitionBy("doc_id")))
+    # post-joins. The semi-joined sized index feeds BOTH join sides, so it
+    # too is materialized once (r6; it was recomputed per side, doubling
+    # the shingle pipeline).
+    sized = _ckpt(
+        idx_c.withColumn("n_sh", F.count("*").over(Window.partitionBy("doc_id")))
+    )
     a_idx = sized.select(
         F.col("doc_id").alias("doc_a"), "shingle", F.col("n_sh").alias("n_a")
     )
@@ -367,9 +383,6 @@ def dup_clusters(pairs: DataFrame, max_iters: int = 25) -> DataFrame:
         )
         .distinct()
     )
-    labels = edges.select(F.col("src").alias("doc_id")).distinct().withColumn(
-        "cluster_id", F.col("doc_id")
-    )
     spark = pairs.sparkSession
     # Lineage truncation per iteration: reliable checkpoint when a
     # checkpoint dir is configured (survives executor loss — required for
@@ -384,29 +397,46 @@ def dup_clusters(pairs: DataFrame, max_iters: int = 25) -> DataFrame:
     def _ckpt(df: DataFrame) -> DataFrame:
         return df.checkpoint(eager=True) if reliable else df.localCheckpoint(eager=True)
 
-    labels = _ckpt(labels)
-    for _ in range(max_iters):
-        # candidate label per node: min of own label and neighbors' labels
-        nbr = (
-            edges.join(labels.withColumnRenamed("doc_id", "src"), "src")
-            .select(F.col("dst").alias("doc_id"), "cluster_id")
+    # r6: materialize the EDGE table once. edges is a lazy plan over the
+    # pair generator (for t13-class callers the full shingle->posting->
+    # pair pipeline); without this every iteration's join and the final
+    # convergence probe re-executed that whole subtree — measured at
+    # sf0.1 the t13 gate spent ~4x the pair-pipeline cost in the loop.
+    # After the checkpoint each iteration touches only the bounded
+    # (2|pairs|)-row edge relation; blocks are released on return (the
+    # returned labels' lineage is truncated by its own checkpoint, so
+    # unpersisting edges cannot force recompute).
+    edges = _ckpt(edges)
+    try:
+        labels = _ckpt(
+            edges.select(F.col("src").alias("doc_id"))
+            .distinct()
+            .withColumn("cluster_id", F.col("doc_id"))
         )
-        new_labels = _ckpt(
-            labels.unionByName(nbr)
-            .groupBy("doc_id")
-            .agg(F.min("cluster_id").alias("cluster_id"))
-        )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "doc_id")
-            .filter(F.col("n.cluster_id") != F.col("o.cluster_id"))
-            .limit(1)
-            .count()
-        )
-        labels.unpersist()  # previous iteration's blocks are dead now
-        labels = new_labels
-        if changed == 0:
-            return labels
+        for _ in range(max_iters):
+            # candidate label per node: min of own label and neighbors'
+            nbr = (
+                edges.join(labels.withColumnRenamed("doc_id", "src"), "src")
+                .select(F.col("dst").alias("doc_id"), "cluster_id")
+            )
+            new_labels = _ckpt(
+                labels.unionByName(nbr)
+                .groupBy("doc_id")
+                .agg(F.min("cluster_id").alias("cluster_id"))
+            )
+            changed = (
+                new_labels.alias("n")
+                .join(labels.alias("o"), "doc_id")
+                .filter(F.col("n.cluster_id") != F.col("o.cluster_id"))
+                .limit(1)
+                .count()
+            )
+            labels.unpersist()  # previous iteration's blocks are dead now
+            labels = new_labels
+            if changed == 0:
+                return labels
+    finally:
+        edges.unpersist()
     raise RuntimeError(
         f"dup_clusters did not converge in {max_iters} iterations — "
         "component diameter exceeds the bound; raise max_iters"
@@ -569,6 +599,20 @@ def simhash64_pairs_banded(
     mask = (1 << width) - 1
     withsim = spread_input(documents).select(
         "doc_id", simhash64_col(F.col("text"), k).alias("simhash")
+    )
+    # r6: materialize the simhash table before the band self-join — both
+    # join sides reference the same subtree, so the Arrow kernel (the
+    # expensive half of this operator) otherwise runs TWICE. Checkpoint,
+    # not cache: lineage is truncated so the blocks are released when the
+    # returned frame is dropped (ContextCleaner), no CacheManager pin.
+    # The relation is 16 B/doc — the same class as the banked signature
+    # tables the incremental dedup path persists.
+    spark = documents.sparkSession
+    reliable = spark.sparkContext.getCheckpointDir() is not None
+    withsim = (
+        withsim.checkpoint(eager=True)
+        if reliable
+        else withsim.localCheckpoint(eager=True)
     )
     band_cols = [
         F.struct(
@@ -910,6 +954,14 @@ def lsh_estimate_audit(
     )
     estimated = cand.select(
         "doc_a", "doc_b", F.round(est, 6).alias("est_jaccard")
+    )
+    # r6: estimated feeds both the truth verify and the final stitch join;
+    # materialize it once (banded self-join + signature algebra upstream)
+    spark = documents.sparkSession
+    estimated = (
+        estimated.checkpoint(eager=True)
+        if spark.sparkContext.getCheckpointDir() is not None
+        else estimated.localCheckpoint(eager=True)
     )
     truth = verify_jaccard_pairs(
         documents, estimated.select("doc_a", "doc_b"), k, threshold=0.0

@@ -491,9 +491,15 @@ def seed_distance(
             eager=True
         )
 
-    e = edges.select(
-        F.col(src_col).alias("_s"), F.col(dst_col).alias("_d")
-    ).distinct()
+    # r6: materialize the deduped edge table once — every hop's join (and
+    # the final union lineage) otherwise re-executes the upstream edge
+    # derivation per hop, the same per-iteration recompute dup_clusters
+    # had. Checkpointed, so blocks release with the result's lineage.
+    e = _ckpt(
+        edges.select(
+            F.col(src_col).alias("_s"), F.col(dst_col).alias("_d")
+        ).distinct()
+    )
     dist = seeds.select(
         F.col(seed_col).alias("node"), F.lit(0).cast("long").alias("dist")
     ).distinct()

@@ -16,6 +16,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from .session import spread_input
+
 # tiny stopword sets for the n-gram/stopword language heuristic
 EN_STOP = ["the", "and", "of", "to", "a", "in", "is", "that", "it", "for"]
 
@@ -350,6 +352,11 @@ def repetition_signals(
     shuffle keys are (doc_id, line/gram), so heavy repetition inside one
     doc stays one group and the plan scales like exact dedup. Tiebreak
     for the top 2-gram is (count DESC, gram ASC), deterministic."""
+    # r6: parallelize the scan-side heavy lifting (explode/trigram/
+    # line split) when the input is an unsplittable small parquet;
+    # no-op at corpus scale and for well-partitioned inputs
+    documents = spread_input(documents)
+
     lines = documents.select(
         "doc_id", F.explode(F.split(F.col("text"), line_delimiter)).alias("line")
     )
@@ -673,6 +680,11 @@ def window_dup_stats(documents: DataFrame, w: int = 8) -> DataFrame:
 
     Output: (doc_id, n_windows, n_dup_windows, dup_fraction) for docs
     containing at least one window that also appears in another doc."""
+    # r6: parallelize the scan-side heavy lifting (explode/trigram/
+    # line split) when the input is an unsplittable small parquet;
+    # no-op at corpus scale and for well-partitioned inputs
+    documents = spread_input(documents)
+
     toks = F.split(F.col("text"), " ")
     n_tok = F.size(toks)
     totals = documents.select(
@@ -1206,6 +1218,11 @@ def exactsubstr_removal(documents: DataFrame, w: int = 8) -> DataFrame:
     all (its dedup plane is the URL dupefilter, dupefilter.py); this is
     training-data surface the north rule's corpus consumer needs.
     """
+    # r6: parallelize the scan-side heavy lifting (explode/trigram/
+    # line split) when the input is an unsplittable small parquet;
+    # no-op at corpus scale and for well-partitioned inputs
+    documents = spread_input(documents)
+
     wins = documents.select(
         "doc_id",
         F.posexplode(shingles_col(F.col("text"), w)).alias("pos", "win"),
@@ -2010,6 +2027,11 @@ def nb_lang_id(
     (t70 composes this with the md5 split coin).
     Output: (id_col, label_col, predicted, score_micro).
     """
+    # r6: parallelize the scan-side heavy lifting (explode/trigram/
+    # line split) when the input is an unsplittable small parquet;
+    # no-op at corpus scale and for well-partitioned inputs
+    documents = spread_input(documents)
+
     k = float(add_k)
 
     def _base(df: DataFrame) -> DataFrame:
