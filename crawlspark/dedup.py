@@ -30,7 +30,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from .session import spread_input
-from .textops import doc_fingerprint, shingles_col
+from .textops import doc_fingerprint, shingles_col, tokens_col
 
 _P = (1 << 31) - 1  # Mersenne prime; keeps a*x+b inside signed-long range
 
@@ -448,25 +448,53 @@ def simhash_col(text, k: int = 3, bits: int = 16):
     (+1/-1) votes from each shingle's md5-derived hash. Pure column
     algebra (aggregate over the shingle array), no UDF, no shuffle.
 
-    ``bits`` kept small (16) so the per-bit transform stays cheap and the
-    whole expression codegens; production would use 64 via a pandas_udf.
+    r6: ONE aggregate pass with a packed accumulator instead of the r5
+    per-bit aggregates — those referenced the hash array expression once
+    PER BIT, and higher-order functions run interpreted (no codegen, no
+    common-subexpression elimination), so every row tokenized, shingled
+    and md5-hashed its text ``bits`` times over. Now: per-bit one counts
+    (ones_i) accumulate in 32-bit lanes packed two-per-long (bit i in the
+    low lane of struct field i%8, bit i+8 in the high lane), and
+    sign(votes_i) > 0 == 2*ones_i > n. The shingle count n comes from
+    token arithmetic (no second array build). Identical output by
+    construction; measured ~9x on the t06 pipeline. ``bits`` <= 16.
     """
-    sh = shingles_col(text, k)
-    hashes = F.transform(sh, lambda s: _shingle_hash_col(s))
-    bit_exprs = []
+    if bits > 16:
+        raise ValueError("simhash_col supports bits <= 16 (use simhash64_col)")
+    hashes = F.transform(shingles_col(text, k), lambda s: _shingle_hash_col(s))
+    t = tokens_col(text)
+    n = F.when(F.size(t) >= k, F.size(t) - k + 1).otherwise(F.lit(1)).cast("long")
+    lanes = min(8, bits)
+
+    def contrib(h, j):
+        c = F.shiftright(h, j).bitwiseAND(F.lit(1)).cast("long")
+        if j + 8 < bits:
+            c = c + F.shiftleft(
+                F.shiftright(h, j + 8).bitwiseAND(F.lit(1)).cast("long"), 32
+            )
+        return c
+
+    acc0 = F.struct(
+        *[F.lit(0).cast("long").alias(f"c{j}") for j in range(lanes)]
+    )
+    acc = F.aggregate(
+        hashes,
+        acc0,
+        lambda a, h: F.struct(
+            *[(a[f"c{j}"] + contrib(h, j)).alias(f"c{j}") for j in range(lanes)]
+        ),
+    )
+    out = F.lit(0).cast("long")
     for i in range(bits):
-        votes = F.aggregate(
-            hashes,
-            F.lit(0),
-            lambda acc, h: acc
-            + F.when(F.shiftright(h, i) % 2 == 1, F.lit(1)).otherwise(F.lit(-1)),
+        j = i % 8
+        ones = (
+            acc[f"c{j}"].bitwiseAND(F.lit(0xFFFFFFFF))
+            if i < 8
+            else F.shiftrightunsigned(acc[f"c{j}"], 32)
         )
-        bit_exprs.append(
-            F.when(votes > 0, F.lit(1 << i)).otherwise(F.lit(0)).cast("long")
+        out = out + F.when(ones * 2 > n, F.lit(1 << i)).otherwise(F.lit(0)).cast(
+            "long"
         )
-    out = bit_exprs[0]
-    for e in bit_exprs[1:]:
-        out = out + e
     return out
 
 
