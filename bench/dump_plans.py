@@ -141,7 +141,19 @@ def crawl_round_plans(spark, out: list) -> None:
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
     spark = get_spark("plan-dump", master="local[4]", shuffle_partitions=4)
-    out = ["# PLANS — physical plans, round 4 engine (sf0.01)\n"]
+    # round stamp (VERDICT r5 task 4): derive from the repo's NOTES_r{N}
+    # files so the header can never go stale again
+    import glob as _glob
+    import re as _re
+    _repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    _rounds = [
+        int(m.group(1))
+        for p in _glob.glob(os.path.join(_repo, "NOTES_r*.md"))
+        + _glob.glob(os.path.join(_repo, "OPTIMIZATION_r*.md"))
+        if (m := _re.search(r"_r0*(\d+)\.md$", p))
+    ]
+    _round = max(_rounds) if _rounds else "?"
+    out = [f"# PLANS — physical plans, round {_round} engine (sf0.01)\n"]
     out.append(
         "Generated by `python bench/dump_plans.py`. Things to check: "
         "`PushedFilters` non-empty on filtered scans, `ReadSchema` pruned "
