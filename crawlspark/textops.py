@@ -2058,6 +2058,16 @@ def nb_lang_id(
     ct = mtrigs.groupBy(label_col, "trig").agg(
         F.count("*").cast("long").alias("c")
     )
+    # r6: the (lang, trigram) count table feeds THREE consumers (n_l,
+    # vocab, the smoothed log-prob table) — without materialization each
+    # re-runs the corpus trigram explode+aggregate. Bounded by
+    # |langs|x|vocab|; checkpointed so blocks release with the result.
+    spark = documents.sparkSession
+    ct = (
+        ct.checkpoint(eager=True)
+        if spark.sparkContext.getCheckpointDir() is not None
+        else ct.localCheckpoint(eager=True)
+    )
     nl = ct.groupBy(label_col).agg(F.sum("c").alias("n_l"))
     vocab = ct.agg(F.countDistinct("trig").alias("v"))
     lp = (
