@@ -106,7 +106,11 @@ def lsh_topk(
     Recall < 1 by design; the tradeoff is the bucket equi-join replacing
     the full cross product."""
     planes = planes or [0, 1, 2, 3]
-    with_bucket = spread_input(embeddings).select(
+    # NOT spread (r6 A/B): unlike cosine_topk, the per-row cosine here
+    # runs only on the bucket-join candidates, and the bucket projection
+    # is too cheap to pay a repartition for (sf0.1: 0.57 s plain vs 0.67
+    # spread; sf1.0: tie).
+    with_bucket = embeddings.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("nvec"),
         sign_bucket_col(F.col(vec_col), planes).alias("bucket"),
