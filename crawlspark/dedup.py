@@ -272,6 +272,19 @@ def minhash_lsh_pairs(
     """
     rows_per_band = n_hashes // bands
     sig = minhash_signatures(documents, n_hashes, k)
+    # r6: materialize the signature table before the banded self-join —
+    # both join sides reference the buckets subtree, so without this the
+    # in-row MinHash (an md5 per shingle per doc) executed TWICE, and it
+    # is the dominant cost of candidate generation (measured sf0.1:
+    # cand-only 5.4 s of t25's 8.0 s; same pathology t12 fixed for
+    # simhash64_pairs_banded). n_hashes longs/doc — same size class as
+    # the banked signature tables this module already checkpoints.
+    spark = documents.sparkSession
+    sig = (
+        sig.checkpoint(eager=True)
+        if spark.sparkContext.getCheckpointDir() is not None
+        else sig.localCheckpoint(eager=True)
+    )
     band_cols = [
         F.struct(
             F.lit(b).alias("band"),
@@ -876,6 +889,17 @@ def incremental_minhash_dedup(
     ships for URL fingerprints.
     """
     new_sigs = minhash_signatures(new_docs, n_hashes, k)
+    # r6: the batch bucket table feeds BOTH the join's left side and the
+    # history-union right side — materialize the batch signatures once so
+    # the in-row MinHash (md5 per shingle) does not execute twice.
+    # O(batch) rows, n_hashes longs each; history_sigs stays caller-owned
+    # (referenced once, and at scale it is a persisted table already).
+    spark = new_docs.sparkSession
+    new_sigs = (
+        new_sigs.checkpoint(eager=True)
+        if spark.sparkContext.getCheckpointDir() is not None
+        else new_sigs.localCheckpoint(eager=True)
+    )
     nb = signature_buckets(new_sigs, n_hashes, bands)
     ob = signature_buckets(
         history_sigs.select("doc_id", "signature"), n_hashes, bands
@@ -958,6 +982,15 @@ def lsh_estimate_audit(
     run on the full corpus.
     """
     sigs = minhash_signatures(documents, n_hashes, k)
+    # r6: materialize signatures before the banded self-join (both sides
+    # of the band equi-join reference this subtree — without it the
+    # in-row MinHash runs twice; same fix as minhash_lsh_pairs/t12)
+    spark0 = documents.sparkSession
+    sigs = (
+        sigs.checkpoint(eager=True)
+        if spark0.sparkContext.getCheckpointDir() is not None
+        else sigs.localCheckpoint(eager=True)
+    )
     b = signature_buckets(sigs, n_hashes, bands)
     cand = (
         b.alias("x")
