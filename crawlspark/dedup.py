@@ -426,6 +426,26 @@ def dup_clusters(pairs: DataFrame, max_iters: int = 25) -> DataFrame:
             .distinct()
             .withColumn("cluster_id", F.col("doc_id"))
         )
+        # r6: convergence probe via the LABEL-SUM invariant instead of a
+        # per-iteration join, for NUMERIC node ids. Each new label is
+        # min(own, neighbors') with own always a candidate, so labels are
+        # monotone non-increasing per node — the iteration is converged
+        # iff sum(cluster_id) is unchanged. The probe becomes one scalar
+        # aggregate over the just-materialized checkpoint blocks (no
+        # join, no recompute); decimal(38,0) so the sum cannot overflow
+        # long at 10^9+ docs under ANSI mode. Non-numeric ids (t85's host
+        # strings) have no sound scalar invariant — they keep the join
+        # probe (their label tables are host-bounded, tiny).
+        from pyspark.sql.types import NumericType
+
+        numeric = isinstance(labels.schema["cluster_id"].dataType, NumericType)
+
+        def _sum(df: DataFrame):
+            return df.agg(
+                F.sum(F.col("cluster_id").cast("decimal(38,0)"))
+            ).collect()[0][0]
+
+        prev_sum = _sum(labels) if numeric else None
         for _ in range(max_iters):
             # candidate label per node: min of own label and neighbors'
             nbr = (
@@ -437,16 +457,21 @@ def dup_clusters(pairs: DataFrame, max_iters: int = 25) -> DataFrame:
                 .groupBy("doc_id")
                 .agg(F.min("cluster_id").alias("cluster_id"))
             )
-            changed = (
-                new_labels.alias("n")
-                .join(labels.alias("o"), "doc_id")
-                .filter(F.col("n.cluster_id") != F.col("o.cluster_id"))
-                .limit(1)
-                .count()
-            )
+            if numeric:
+                new_sum = _sum(new_labels)
+                converged = new_sum == prev_sum
+                prev_sum = new_sum
+            else:
+                converged = (
+                    new_labels.alias("n")
+                    .join(labels.alias("o"), "doc_id")
+                    .filter(F.col("n.cluster_id") != F.col("o.cluster_id"))
+                    .limit(1)
+                    .count()
+                ) == 0
             labels.unpersist()  # previous iteration's blocks are dead now
             labels = new_labels
-            if changed == 0:
+            if converged:
                 return labels
     finally:
         edges.unpersist()
