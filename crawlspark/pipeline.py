@@ -64,6 +64,17 @@ def corpus_prep(
         .select("doc_id")
     )
     survivors = base.join(keep_exact, "doc_id", "left_semi")
+    # r6: survivors feeds BOTH the near-dup pair pipeline and the final
+    # anti-join — materialize it once so the annotate + fingerprint
+    # dedup subtree does not execute twice (checkpoint, not persist:
+    # lineage truncated, blocks released when the result's plan is GC'd,
+    # the module-wide discipline).
+    spark = documents.sparkSession
+    survivors = (
+        survivors.checkpoint(eager=True)
+        if spark.sparkContext.getCheckpointDir() is not None
+        else survivors.localCheckpoint(eager=True)
+    )
 
     # near-dup clusters among survivors; drop everything but the cluster min
     pairs = ngram_jaccard_pairs(survivors, k=k, threshold=jaccard_threshold, max_df=max_df)
