@@ -229,6 +229,12 @@ def embedding_near_dup(
     threshold), bucketed by sign-LSH so the pair join never goes
     quadratic over the whole corpus."""
     planes = planes or [0, 1, 2, 3]
+    # r6: the within-bucket pair cosines (the operator's real cost — for
+    # a corpus of n docs over 2^|planes| buckets, ~n^2/2^(b+1) 64-dim
+    # dot products) otherwise run in the lone scan task of a
+    # single-row-group embeddings parquet: the bucket join broadcasts
+    # its small side and inherits the probe side's 1-partition layout.
+    embeddings = spread_input(embeddings)
     wb = embeddings.select(
         F.col(id_col).alias("id"),
         F.col(vec_col).alias("vec"),
