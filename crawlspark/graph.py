@@ -68,6 +68,16 @@ def pagerank(
     dangling-mass contract.
     """
     spark = edges.sparkSession
+    reliable = spark.sparkContext.getCheckpointDir() is not None
+
+    def _ckpt(df: DataFrame) -> DataFrame:
+        return df.checkpoint(eager=True) if reliable else df.localCheckpoint(eager=True)
+
+    # r6: materialize the caller's edge plan ONCE — both the node-set
+    # derivation (count below) and the share table consumed it, so an
+    # expensive edge extraction (t28's lag window over the event log)
+    # executed twice before any iteration ran.
+    edges = _ckpt(edges)
     # persisted: every iteration's eager checkpoint re-reads the node set
     # (and the count below materializes it anyway)
     nodes = (
@@ -79,21 +89,17 @@ def pagerank(
     n = nodes.count()
     if n == 0:
         nodes.unpersist()
+        edges.unpersist()
         return nodes.withColumn("pagerank", F.lit(0.0))
     outw = edges.groupBy("src").agg(F.sum("weight").alias("out_w"))
     # cached: every iteration's join re-reads the share table; without
     # the persist each eager checkpoint below would recompute it from the
-    # raw edges (iters x the largest scan in the loop)
+    # (materialized) edge table every round
     shares = edges.join(outw, "src").select(
         "src", "dst", (F.col("weight") / F.col("out_w")).alias("share")
     ).persist()
     base = (1.0 - damping) / n
     pr = nodes.withColumn("pagerank", F.lit(1.0 / n))
-
-    reliable = spark.sparkContext.getCheckpointDir() is not None
-
-    def _ckpt(df: DataFrame) -> DataFrame:
-        return df.checkpoint(eager=True) if reliable else df.localCheckpoint(eager=True)
 
     prev = None
     for _ in range(iters):
@@ -116,9 +122,10 @@ def pagerank(
         if prev is not None and not reliable:
             prev.unpersist()
         prev, pr = pr, nxt
-    # final pr is checkpointed; lineage no longer needs either table
+    # final pr is checkpointed; lineage no longer needs any of the tables
     shares.unpersist()
     nodes.unpersist()
+    edges.unpersist()
     return pr.select("node", F.round("pagerank", 6).alias("pagerank"))
 
 
@@ -698,41 +705,56 @@ def hits(edges: DataFrame, iters: int = 3) -> DataFrame:
     def _ckpt(df: DataFrame) -> DataFrame:
         return df.checkpoint(eager=True) if reliable else df.localCheckpoint(eager=True)
 
-    def _norm(df: DataFrame, col: str) -> DataFrame:
-        tot = df.agg(F.sum(col).alias("_tot"))
-        return df.crossJoin(tot).select(
+    def _norm_ck(df: DataFrame, col: str):
+        # r6: checkpoint the half-step aggregate FIRST, then read the
+        # normalization total from the materialized blocks as a scalar
+        # and divide by it as a literal. The old shape
+        # (df.crossJoin(df.agg(sum))) referenced the propagation
+        # join+agg subtree TWICE in one plan, so every half-step
+        # executed its edge join twice; the long sum and the double
+        # division are value-identical either way. The scalar agg is a
+        # parallel tree-agg over the bounded node table — no global
+        # window, scale shape unchanged.
+        ck = _ckpt(df)
+        tot = ck.agg(F.sum(col).alias("_tot")).collect()[0][0]
+        normed = ck.select(
             "node",
-            F.round(F.col(col).cast("double") / F.col("_tot") * F.lit(1e9))
+            F.round(F.col(col).cast("double") / F.lit(tot) * F.lit(1e9))
             .cast("long")
             .alias(col),
         )
+        return ck, normed
 
     # floor, not round: floor(1e9/n) is unambiguous across engines
     # (python round is banker's, SQL round is half-away)
     init = 10**9 // n
     hub = nodes.withColumn("hub", F.lit(init).cast("long"))
     auth = None
+    # unpersist handles: new_auth/new_hub are projections OVER their
+    # checkpoints, so block release must target the ck frames themselves
+    hub_ck = auth_ck = None
     for _ in range(iters):
         auth_raw = (
             e.join(hub, e.src == hub.node)
             .groupBy(F.col("dst").alias("node"))
             .agg(F.sum("hub").alias("auth"))
         )
-        new_auth = _ckpt(_norm(auth_raw, "auth"))
+        new_auth_ck, new_auth = _norm_ck(auth_raw, "auth")
         hub_raw = (
             e.join(new_auth, e.dst == new_auth.node)
             .groupBy(F.col("src").alias("node"))
             .agg(F.sum("auth").alias("hub"))
         )
-        new_hub = _ckpt(_norm(hub_raw, "hub"))
+        new_hub_ck, new_hub = _norm_ck(hub_raw, "hub")
         # previous iteration's blocks are dead once the new eager
-        # checkpoints are materialized (the pagerank pattern); the
-        # round-0 hub is unpersisted as a no-op
+        # checkpoints are materialized (the pagerank pattern)
         if not reliable:
-            hub.unpersist()
-            if auth is not None:
-                auth.unpersist()
+            if hub_ck is not None:
+                hub_ck.unpersist()
+            if auth_ck is not None:
+                auth_ck.unpersist()
         hub, auth = new_hub, new_auth
+        hub_ck, auth_ck = new_hub_ck, new_auth_ck
     out = (
         nodes.join(hub, "node", "left")
         .join(auth, "node", "left")
