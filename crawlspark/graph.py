@@ -906,6 +906,16 @@ def apply_canonical(
     drops = links.filter(
         (~F.col("is_self")) & F.col("target_in_corpus")
     ).select("url", "canonical_url")
+    # r6: drops feeds BOTH the survivor anti-join and the alias counts —
+    # materialize it once so the html regex extraction + membership join
+    # does not execute twice. Bounded by |pages with a non-self
+    # in-corpus canonical| (two short url columns).
+    spark = pages.sparkSession
+    drops = (
+        drops.checkpoint(eager=True)
+        if spark.sparkContext.getCheckpointDir() is not None
+        else drops.localCheckpoint(eager=True)
+    )
     survivors = pages.select(F.col(url_col).alias("url")).distinct().join(
         drops.select("url"), "url", "left_anti"
     )

@@ -321,7 +321,10 @@ def contamination_check(
         .distinct()
     )
     probe_ids = probe.select("doc_id")
-    doc_sh = documents.join(probe_ids, "doc_id", "left_anti").select(
+    # r6: the corpus-side shingle explode is the operator's heavy term —
+    # parallelize it when the input is an unsplittable small parquet
+    # (no-op at corpus scale; guide §2.5)
+    doc_sh = spread_input(documents).join(probe_ids, "doc_id", "left_anti").select(
         "doc_id", F.explode(F.array_distinct(shingles_col(F.col("text"), k))).alias("shingle")
     )
     return (
