@@ -2057,38 +2057,20 @@ def nb_lang_id(
     base = _base(documents)
     trigs = _trigs(base)
     tb = base if train is None else _base(train)
-    spark = documents.sparkSession
-
-    def _ckpt(df: DataFrame) -> DataFrame:
-        return (
-            df.checkpoint(eager=True)
-            if spark.sparkContext.getCheckpointDir() is not None
-            else df.localCheckpoint(eager=True)
-        )
-
-    # Per-doc trigram term frequencies — needed by the scoring join in
-    # every mode. r6: in SELF-TRAIN mode this is ALSO the sufficient
-    # statistic for the model counts (c(l,t) = Σ_doc tf), so materialize
-    # dt once and derive ct from it — the corpus trigram explode runs
-    # ONCE instead of twice (once for the model, once for scoring).
-    dt = trigs.groupBy(id_col, label_col, "trig").agg(
-        F.count("*").cast("long").alias("tf")
+    mtrigs = trigs if train is None else _trigs(tb)
+    ct = mtrigs.groupBy(label_col, "trig").agg(
+        F.count("*").cast("long").alias("c")
     )
-    if train is None:
-        dt = _ckpt(dt)
-        ct = dt.groupBy(label_col, "trig").agg(
-            F.sum("tf").cast("long").alias("c")
-        )
-    else:
-        mtrigs = _trigs(tb)
-        ct = mtrigs.groupBy(label_col, "trig").agg(
-            F.count("*").cast("long").alias("c")
-        )
-    # the (lang, trigram) count table feeds THREE consumers (n_l, vocab,
-    # the smoothed log-prob table) — without materialization each re-runs
-    # its upstream aggregate. Bounded by |langs|x|vocab|; checkpointed so
-    # blocks release with the result.
-    ct = _ckpt(ct)
+    # r6: the (lang, trigram) count table feeds THREE consumers (n_l,
+    # vocab, the smoothed log-prob table) — without materialization each
+    # re-runs the corpus trigram explode+aggregate. Bounded by
+    # |langs|x|vocab|; checkpointed so blocks release with the result.
+    spark = documents.sparkSession
+    ct = (
+        ct.checkpoint(eager=True)
+        if spark.sparkContext.getCheckpointDir() is not None
+        else ct.localCheckpoint(eager=True)
+    )
     nl = ct.groupBy(label_col).agg(F.sum("c").alias("n_l"))
     vocab = ct.agg(F.countDistinct("trig").alias("v"))
     lp = (
@@ -2133,6 +2115,9 @@ def nb_lang_id(
             .cast("long")
             .alias("prior_micro"),
         )
+    )
+    dt = trigs.groupBy(id_col, label_col, "trig").agg(
+        F.count("*").cast("long").alias("tf")
     )
     langs = prior.select("cand", "prior_micro")
     scored = (
