@@ -1474,6 +1474,8 @@ def bigram_lm_perplexity(
     (most fluent) ... n_buckets = tail.
     """
     cols = ["doc_id"] + ([lang_col] if lang_col else [])
+    # NOT spread (r6 A/B): three consumers re-pay the repartition
+    # shuffle each (t58 1.2->2.0 measured); see _hashed_bigram_buckets.
     toks = documents.select(
         *cols,
         F.expr(f"filter(split(lower({text_col}), ' '), w -> w != '')").alias(
@@ -1534,6 +1536,10 @@ def _hashed_bigram_buckets(
     (same trick as stratified_sample / sequence packing): bucket =
     conv(md5('salt:w1 w2')[0:8], 16, 10) % n_buckets. Docs with < 2
     tokens have no bigrams and drop out."""
+    # NOT spread (r6 A/B): the bigram relation is consumed by MULTIPLE
+    # aggregates in every caller, so a round-robin repartition re-pays
+    # its shuffle per consumer and lost at sf0.1 (t59 1.3->1.4, t61
+    # 1.5->2.5). spread_input stays for single-consumer heavy explodes.
     toks = df.select(
         *id_cols,
         F.expr(
