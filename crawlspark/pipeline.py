@@ -129,11 +129,26 @@ def web_clean(
     One extra partial-aggregated hash-agg; a no-op on the declared
     unique-by-url corpus shape.
     """
+    spark = pages.sparkSession
+
+    def _ckpt(df: DataFrame) -> DataFrame:
+        return (
+            df.checkpoint(eager=True)
+            if spark.sparkContext.getCheckpointDir() is not None
+            else df.localCheckpoint(eager=True)
+        )
+
     base = (
         pages.select(F.col(url_col).alias("url"), F.col(text_col).alias("text"))
         .groupBy("url")
         .agg(F.min("text").alias("text"))
     )
+    # r6: base feeds THREE consumers (soft-404 stats, encoding audit,
+    # the kept join) and the final self-semi-join doubles the whole
+    # subtree again — without materialization the url-dedup aggregate
+    # executed up to 6x per call. One corpus-sized checkpoint each for
+    # base and collapsed replaces those re-executions.
+    base = _ckpt(base)
     s404 = tx.soft404_stats(base, short_frac=soft404_short_frac).select(
         "url", "is_soft404"
     )
@@ -144,10 +159,12 @@ def web_clean(
         .filter(~F.col("is_soft404") & ~F.col("suspect"))
         .select("url", "text")
     )
-    collapsed = tx.collapse_repeated_lines(kept, id_col="url").select(
-        "url",
-        "text",
-        (F.col("n_lines") - F.col("n_kept")).alias("n_collapsed_lines"),
+    collapsed = _ckpt(
+        tx.collapse_repeated_lines(kept, id_col="url").select(
+            "url",
+            "text",
+            (F.col("n_lines") - F.col("n_kept")).alias("n_collapsed_lines"),
+        )
     )
     fp = collapsed.select(
         "url", tx.doc_fingerprint(F.col("text")).alias("fp")
