@@ -325,6 +325,7 @@ def verify_jaccard_pairs(
     k: int = 3,
     threshold: float = 0.5,
     max_df: int | None = None,
+    cand_materialized: bool = False,
 ) -> DataFrame:
     """Exact Jaccard restricted to a candidate pair set — the verify half
     of LSH, costed by |candidates|, never corpus².
@@ -346,7 +347,10 @@ def verify_jaccard_pairs(
     def _ckpt(df: DataFrame) -> DataFrame:
         return df.checkpoint(eager=True) if reliable else df.localCheckpoint(eager=True)
 
-    cand = _ckpt(cand)
+    # cand_materialized: callers that already checkpointed the candidate
+    # frame (lsh_estimate_audit) skip the redundant re-materialization
+    if not cand_materialized:
+        cand = _ckpt(cand)
     idx = shingle_index(documents, k, max_df)
     cand_docs = (
         cand.select(F.col("doc_a").alias("doc_id"))
@@ -812,6 +816,16 @@ def cluster_best_keeper(clusters: DataFrame, quality: DataFrame) -> DataFrame:
     Never a window over raw docs, never corpus x corpus.
     """
     m = clusters.join(quality, "doc_id")
+    # r6: m feeds both the per-cluster keeper aggregate and the final
+    # join back — without materialization the quality side (for t49 a
+    # corpus scan + the regex-heavy quality_score) executes twice.
+    # Bounded: one row per clustered doc.
+    spark = clusters.sparkSession
+    m = (
+        m.checkpoint(eager=True)
+        if spark.sparkContext.getCheckpointDir() is not None
+        else m.localCheckpoint(eager=True)
+    )
     keep = (
         m.groupBy("cluster_id")
         .agg(
@@ -1061,7 +1075,11 @@ def lsh_estimate_audit(
         else estimated.localCheckpoint(eager=True)
     )
     truth = verify_jaccard_pairs(
-        documents, estimated.select("doc_a", "doc_b"), k, threshold=0.0
+        documents,
+        estimated.select("doc_a", "doc_b"),
+        k,
+        threshold=0.0,
+        cand_materialized=True,
     ).select("doc_a", "doc_b", F.col("jaccard").alias("true_jaccard"))
     return (
         estimated.join(truth, ["doc_a", "doc_b"], "left")
