@@ -434,7 +434,7 @@ def dup_clusters(pairs: DataFrame, max_iters: int = 25) -> DataFrame:
     # unpersisting edges cannot force recompute).
     edges = _ckpt(edges)
     try:
-        labels = _ckpt(
+        init = (
             edges.select(F.col("src").alias("doc_id"))
             .distinct()
             .withColumn("cluster_id", F.col("doc_id"))
@@ -443,38 +443,51 @@ def dup_clusters(pairs: DataFrame, max_iters: int = 25) -> DataFrame:
         # per-iteration join, for NUMERIC node ids. Each new label is
         # min(own, neighbors') with own always a candidate, so labels are
         # monotone non-increasing per node — the iteration is converged
-        # iff sum(cluster_id) is unchanged. The probe becomes one scalar
-        # aggregate over the just-materialized checkpoint blocks (no
-        # join, no recompute); decimal(38,0) so the sum cannot overflow
-        # long at 10^9+ docs under ANSI mode. Non-numeric ids (t85's host
-        # strings) have no sound scalar invariant — they keep the join
-        # probe (their label tables are host-bounded, tiny).
+        # iff sum(cluster_id) is unchanged. decimal(38,0) so the sum
+        # cannot overflow long at 10^9+ docs under ANSI mode. In
+        # localCheckpoint mode the sum rides the checkpoint job itself as
+        # an Observation metric (zero extra jobs per iteration; verified:
+        # CollectMetrics fires on Dataset.localCheckpoint's action); a
+        # reliable checkpoint materializes through the RDD API where
+        # observe metrics are not guaranteed, so that mode reads the sum
+        # from the materialized blocks with a scalar agg instead.
+        # Non-numeric ids (t85's host strings) have no sound scalar
+        # invariant — they keep the join probe (host-bounded tables).
+        from pyspark.sql import Observation
         from pyspark.sql.types import NumericType
 
-        numeric = isinstance(labels.schema["cluster_id"].dataType, NumericType)
+        numeric = isinstance(init.schema["cluster_id"].dataType, NumericType)
+        _sum_col = F.sum(F.col("cluster_id").cast("decimal(38,0)")).alias("s")
 
-        def _sum(df: DataFrame):
-            return df.agg(
-                F.sum(F.col("cluster_id").cast("decimal(38,0)"))
-            ).collect()[0][0]
+        def _ckpt_with_sum(df: DataFrame):
+            if reliable:
+                ck = _ckpt(df)
+                return ck, ck.agg(_sum_col).collect()[0][0]
+            obs = Observation()
+            ck = df.observe(obs, _sum_col).localCheckpoint(eager=True)
+            return ck, obs.get["s"]
 
-        prev_sum = _sum(labels) if numeric else None
+        if numeric:
+            labels, prev_sum = _ckpt_with_sum(init)
+        else:
+            labels, prev_sum = _ckpt(init), None
         for _ in range(max_iters):
             # candidate label per node: min of own label and neighbors'
             nbr = (
                 edges.join(labels.withColumnRenamed("doc_id", "src"), "src")
                 .select(F.col("dst").alias("doc_id"), "cluster_id")
             )
-            new_labels = _ckpt(
+            merged = (
                 labels.unionByName(nbr)
                 .groupBy("doc_id")
                 .agg(F.min("cluster_id").alias("cluster_id"))
             )
             if numeric:
-                new_sum = _sum(new_labels)
+                new_labels, new_sum = _ckpt_with_sum(merged)
                 converged = new_sum == prev_sum
                 prev_sum = new_sum
             else:
+                new_labels = _ckpt(merged)
                 converged = (
                     new_labels.alias("n")
                     .join(labels.alias("o"), "doc_id")
