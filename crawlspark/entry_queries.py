@@ -1261,7 +1261,11 @@ def t51_incremental_minhash(spark, sf_dir):
     d = _t(spark, sf_dir, "documents")
     hist = d.filter(F.col("doc_id") % 2 == 0)
     new = d.filter(F.col("doc_id") % 2 == 1)
-    hist_sigs = dd.minhash_signatures(hist, n_hashes=8, k=3)
+    # r6: the history fold here is derived live from the corpus scan (in
+    # production it is a persisted table) — spread it like the batch side
+    from .session import spread_input as _spread
+
+    hist_sigs = dd.minhash_signatures(_spread(hist), n_hashes=8, k=3)
     return dd.incremental_minhash_dedup(
         new, hist_sigs, n_hashes=8, bands=4, k=3, est_threshold=0.25
     )

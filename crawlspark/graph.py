@@ -715,8 +715,22 @@ def hits(edges: DataFrame, iters: int = 3) -> DataFrame:
         # division are value-identical either way. The scalar agg is a
         # parallel tree-agg over the bounded node table — no global
         # window, scale shape unchanged.
-        ck = _ckpt(df)
-        tot = ck.agg(F.sum(col).alias("_tot")).collect()[0][0]
+        # localCheckpoint mode: the total rides the materialization job
+        # itself as an Observation metric (zero extra jobs per half-step;
+        # the dup_clusters pattern). Reliable checkpoints go through the
+        # RDD API where observe metrics are not guaranteed — that mode
+        # reads the total from the materialized blocks.
+        if reliable:
+            ck = _ckpt(df)
+            tot = ck.agg(F.sum(col).alias("_tot")).collect()[0][0]
+        else:
+            from pyspark.sql import Observation
+
+            obs = Observation()
+            ck = df.observe(obs, F.sum(col).alias("_tot")).localCheckpoint(
+                eager=True
+            )
+            tot = obs.get["_tot"]
         normed = ck.select(
             "node",
             F.round(F.col(col).cast("double") / F.lit(tot) * F.lit(1e9))
