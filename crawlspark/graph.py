@@ -507,9 +507,22 @@ def seed_distance(
             F.col(src_col).alias("_s"), F.col(dst_col).alias("_d")
         ).distinct()
     )
-    dist = seeds.select(
-        F.col(seed_col).alias("node"), F.lit(0).cast("long").alias("dist")
-    ).distinct()
+    # r6: the visited set is kept as a UNION of the per-hop checkpointed
+    # level sets instead of re-checkpointing the whole accumulated
+    # relation every hop — that re-copy was O(V) writes PER HOP
+    # (O(V·hops) total); every union child is already materialized, so
+    # lineage stays flat (one union node per hop, bounded by max_hops)
+    # and nothing can recompute. The emptiness probe rides the level
+    # set's materialization job as an Observation row count in
+    # localCheckpoint mode (the dup_clusters pattern); reliable mode
+    # reads isEmpty() from the materialized blocks.
+    from pyspark.sql import Observation
+
+    dist = _ckpt(
+        seeds.select(
+            F.col(seed_col).alias("node"), F.lit(0).cast("long").alias("dist")
+        ).distinct()
+    )
     frontier = dist.select("node")
     for hop in range(1, max_hops + 1):
         nxt = (
@@ -517,18 +530,19 @@ def seed_distance(
             .select(F.col("_d").alias("node"))
             .distinct()
             .join(dist, "node", "left_anti")
-        )
-        new = _ckpt(
-            nxt.select(
-                "node", F.lit(hop).cast("long").alias("dist")
+        ).select("node", F.lit(hop).cast("long").alias("dist"))
+        if reliable:
+            new = _ckpt(nxt)
+            empty = new.isEmpty()
+        else:
+            obs = Observation()
+            new = nxt.observe(obs, F.count(F.lit(1)).alias("n")).localCheckpoint(
+                eager=True
             )
-        )
-        if new.isEmpty():
+            empty = obs.get["n"] == 0
+        if empty:
             break
-        prev = dist
-        dist = _ckpt(prev.unionAll(new))
-        if not reliable:
-            prev.unpersist()
+        dist = dist.unionAll(new)
         frontier = new.select("node")
     return dist
 
