@@ -278,6 +278,18 @@ def test_dup_clusters_hand_computed(spark):
         dedup.dup_clusters(chain, max_iters=2)
 
 
+def test_dup_clusters_string_ids(spark):
+    """Non-numeric node ids take the JOIN convergence probe (the r6
+    label-sum invariant applies only to numeric labels) — propagation
+    semantics must be identical: min LEXICOGRAPHIC id per component,
+    including transitivity across a 2-hop chain."""
+    pairs = spark.createDataFrame(
+        [("b", "c"), ("c", "a"), ("x", "y")], ["doc_a", "doc_b"]
+    )
+    got = {r["doc_id"]: r["cluster_id"] for r in dedup.dup_clusters(pairs).collect()}
+    assert got == {"a": "a", "b": "a", "c": "a", "x": "x", "y": "x"}
+
+
 def test_corpus_prep_drops_dups_keeps_canonicals(spark):
     from crawlspark.pipeline import corpus_prep
 
